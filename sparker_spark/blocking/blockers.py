@@ -1,0 +1,247 @@
+"""Block building.
+
+Reference parity: python/sparker/blockers.py:81-113
+(Blocking.create_blocks) and scala/.../TokenBlocking.scala:35-79.
+
+The reference materializes ``RDD[BlockClean|BlockDirty]`` objects whose
+``profiles`` field nests per-source id sets (objects.py:90-198). This
+engine keeps blocks *fully exploded* — the shape every downstream
+operator (purging, filtering, pair enumeration) actually consumes::
+
+    assignments(block_id LONG, key STRING, profile_id LONG, source_id INT)
+    meta(block_id LONG, key STRING, block_size LONG, num_sources INT,
+         comparisons LONG, entropy DOUBLE, cluster_id INT)
+
+Comparison counts replicate the reference exactly:
+  * dirty (1 source):  n·(n−1)            (objects.py:188-192 — NOT halved)
+  * clean (k sources): Σ_{i<j} n_i·n_j =  ((Σn)² − Σn²)/2
+                                           (objects.py:127-143)
+
+Block filters replicate blockers.py:106-111: drop singleton blocks;
+clean-clean additionally requires ≥2 non-empty sources.
+
+Dense block ids: the reference uses zipWithIndex (blockers.py:111,
+partition-order dependent); we use ``row_number() OVER (ORDER BY key)``
+— deterministic and hash-checkable. The window is over the *distinct
+key* relation (one row per surviving block), not the exploded
+assignments, so the sort is proportional to #blocks, not #rows; at
+100 TB the id column is optional (operators join on `key` just as
+well) and can be disabled with assign_ids=False.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparker_spark.blocking.strategies import BlockingKeysStrategies
+
+
+@dataclass
+class BlockCollection:
+    """A blocking collection: exploded assignments + per-block meta."""
+
+    assignments: DataFrame  # (block_id, key, profile_id, source_id)
+    meta: DataFrame  # (block_id, key, block_size, num_sources, comparisons, entropy, cluster_id)
+    clean: bool  # True = clean-clean (multi-source), False = dirty
+
+    def cache(self) -> "BlockCollection":
+        self.assignments.cache()
+        self.meta.cache()
+        return self
+
+    def unpersist(self) -> "BlockCollection":
+        self.assignments.unpersist()
+        self.meta.unpersist()
+        return self
+
+
+def comparisons_expr(clean: bool):
+    """Column expr for a block's comparison count given per-block
+    aggregates ``block_size`` (Σn) and ``sum_sq`` (Σn²)."""
+    if clean:
+        return ((F.col("block_size") * F.col("block_size") - F.col("sum_sq")) / 2).cast(
+            "long"
+        )
+    return (F.col("block_size") * (F.col("block_size") - F.lit(1))).cast("long")
+
+
+class Blocking:
+    @staticmethod
+    def blocks_from_keys(
+        keys: DataFrame,
+        clean: bool = False,
+        entropies: DataFrame | None = None,
+        assign_ids: bool = True,
+    ) -> BlockCollection:
+        """Invert (profile → keys) to blocks and compute per-block stats.
+
+        ``keys``: (profile_id, source_id, key) distinct rows.
+        ``entropies``: optional (key, entropy, cluster_id) for
+        loose-schema blocking (B7).
+        """
+        # per (key, source) profile counts -> per-key stats; one shuffle.
+        per_source = keys.groupBy("key", "source_id").agg(
+            F.count("*").alias("n")
+        )
+        stats = per_source.groupBy("key").agg(
+            F.sum("n").alias("block_size"),
+            F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+            F.count("*").alias("num_sources"),
+        )
+        if clean:
+            stats = stats.where((F.col("block_size") > 1) & (F.col("num_sources") > 1))
+        else:
+            stats = stats.where(F.col("block_size") > 1)
+
+        meta = stats.withColumn("comparisons", comparisons_expr(clean))
+
+        if assign_ids:
+            meta = meta.withColumn(
+                "block_id", F.row_number().over(Window.orderBy("key")).cast("long")
+            )
+        else:
+            meta = meta.withColumn("block_id", F.xxhash64("key"))
+
+        if entropies is not None:
+            meta = meta.join(entropies, "key", "left").fillna(
+                {"entropy": 1.0, "cluster_id": -1}
+            )
+        else:
+            meta = meta.withColumn("entropy", F.lit(1.0)).withColumn(
+                "cluster_id", F.lit(-1)
+            )
+
+        meta = meta.select(
+            "block_id",
+            "key",
+            "block_size",
+            "num_sources",
+            "comparisons",
+            "entropy",
+            "cluster_id",
+        )
+
+        assignments = keys.join(
+            meta.select("block_id", "key"), "key"
+        ).select("block_id", "key", "profile_id", "source_id")
+
+        return BlockCollection(assignments=assignments, meta=meta, clean=clean)
+
+    @staticmethod
+    def create_blocks(
+        profiles: DataFrame,
+        clean: bool = False,
+        keys_to_exclude=None,
+        attributes_to_exclude=None,
+        blocking_method=BlockingKeysStrategies.token_blocking,
+        assign_ids: bool = True,
+        **kwargs,
+    ) -> BlockCollection:
+        """End-to-end: profiles -> keys -> blocks (blockers.py:81-113)."""
+        keys = blocking_method(
+            profiles,
+            attributes_to_exclude=attributes_to_exclude,
+            keys_to_exclude=keys_to_exclude,
+            **kwargs,
+        )
+        return Blocking.blocks_from_keys(keys, clean=clean, assign_ids=assign_ids)
+
+    @staticmethod
+    def create_blocks_clusters(
+        profiles: DataFrame,
+        clusters: list,
+        clean: bool = False,
+        keys_to_exclude=None,
+        attributes_to_exclude=None,
+        exclude_default_cluster: bool = False,
+        cluster_name_separator: str = "_",
+    ) -> BlockCollection:
+        """Loose-schema (BLAST) blocking — reference blockers.py:8-79,
+        TokenBlocking.scala:189-274. Tokens are suffixed with the id of
+        the attribute cluster their source attribute belongs to
+        (``token{sep}clusterId``); blocks inherit the cluster entropy.
+
+        ``clusters``: list of KeysCluster-like dicts
+        ``{"cluster_id": int, "keys": ["{source}_{attr}", ...],
+        "entropy": float}`` — tiny (≤ #attributes), shipped as a literal
+        map, exactly the broadcast the reference uses (blockers.py:30).
+        """
+        from pyspark.sql import functions as F
+        from sparker_spark.blocking.strategies import (
+            TOKEN_SPLIT_RE,
+            _base_values,
+        )
+
+        default_cluster_id = max(c["cluster_id"] for c in clusters) if clusters else 0
+        entries = {}
+        entropy_by_cluster = {}
+        for c in clusters:
+            entropy_by_cluster[int(c["cluster_id"])] = float(c.get("entropy", 1.0))
+            for k in c["keys"]:
+                entries[k] = int(c["cluster_id"])
+
+        mapping = F.create_map(
+            *[x for k, v in entries.items() for x in (F.lit(k), F.lit(v))]
+        )
+
+        values = _base_values(profiles, attributes_to_exclude)
+        toks = values.select(
+            "profile_id",
+            "source_id",
+            "attr",
+            F.explode(F.split(F.col("value"), TOKEN_SPLIT_RE)).alias("token"),
+        ).where(F.length("token") > 0)
+        if keys_to_exclude:
+            toks = toks.where(~F.col("token").isin(list(keys_to_exclude)))
+
+        qualified = toks.withColumn(
+            "cluster_id",
+            F.coalesce(
+                mapping[F.concat(F.col("source_id"), F.lit("_"), F.col("attr"))],
+                F.lit(default_cluster_id),
+            ),
+        )
+        if exclude_default_cluster:
+            qualified = qualified.where(F.col("cluster_id") != default_cluster_id)
+
+        keys = qualified.select(
+            "profile_id",
+            "source_id",
+            F.concat(
+                F.col("token"), F.lit(cluster_name_separator), F.col("cluster_id")
+            ).alias("key"),
+        ).distinct()
+
+        cluster_entropy = F.create_map(
+            *[
+                x
+                for cid, e in entropy_by_cluster.items()
+                for x in (F.lit(f"{cluster_name_separator}{cid}"), F.lit(e))
+            ]
+        )
+        coll = Blocking.blocks_from_keys(keys, clean=clean)
+        # block entropy = entropy of the cluster the key belongs to
+        meta = coll.meta.drop("entropy", "cluster_id")
+        suffix = F.regexp_extract(
+            F.col("key"), f"({cluster_name_separator}[0-9]+)$", 1
+        )
+        cid = F.regexp_extract(F.col("key"), f"{cluster_name_separator}([0-9]+)$", 1)
+        meta = meta.withColumn(
+            "entropy", F.coalesce(cluster_entropy[suffix], F.lit(1.0))
+        ).withColumn("cluster_id", cid.cast("int"))
+        return BlockCollection(
+            assignments=coll.assignments,
+            meta=meta.select(
+                "block_id",
+                "key",
+                "block_size",
+                "num_sources",
+                "comparisons",
+                "entropy",
+                "cluster_id",
+            ),
+            clean=clean,
+        )

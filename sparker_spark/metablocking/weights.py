@@ -1,0 +1,224 @@
+"""Meta-blocking edge weighting.
+
+Reference parity: python/sparker/common_node_pruning.py (calc_cbs
+:104-146, calc_weights :149-263, compute_statistics :56-101).
+
+The reference enumerates each profile's neighborhood from a
+driver-collected broadcast block index inside mapPartitions with
+O(max_id) dense Python arrays per partition — its documented
+scalability cliff (the whole filtered block collection must fit on the
+driver AND in every Python worker). This engine replaces that with the
+classic relational form: a self-equi-join of the exploded
+(block, profile) assignments on block_id followed by a hash aggregate.
+Catalyst picks shuffle-hash/sort-merge, AQE splits skewed block_ids,
+Tungsten spills — none of which the reference can do.
+
+Output: the *directed* edge relation ``edges(src, dst, weight, cbs)``
+(both orientations). Directed matters for parity: WNP/CNP thresholds
+average each node's full neighborhood (wnp.py:192-229 runs with
+first_step=True), and the EJS formula is orientation-dependent
+(common_node_pruning.py:217-248). Pruners take the ``src < dst`` half.
+
+ARCS deviation (documented): the Python reference divides each
+neighbor's CBS by the comparison count of *every* block of the profile
+(common_node_pruning.py:185-201 — the division sits inside the block
+loop, so the result is cbs/Π(comparisons) and depends on non-shared
+blocks). We implement the published ARCS semantics — Σ over *shared*
+blocks of 1/comparisons(block) — matching the Scala tree's intent and
+the Papadakis papers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparker_spark.blocking.blockers import BlockCollection
+from sparker_spark.metablocking.pruning_utils import WeightTypes
+
+EPS = 0.00000000001  # EJS epsilon guard, common_node_pruning.py:218,228
+
+
+@dataclass
+class EdgeContext:
+    """Everything a pruner needs: the directed weighted edges plus the
+    scalars the reference collects (#blocks, #edges)."""
+
+    edges: DataFrame  # (src LONG, dst LONG, cbs DOUBLE, weight DOUBLE)
+    weight_type: str
+    num_blocks: int
+    num_edges: int | None = None  # only computed for EJS
+
+    def half(self) -> DataFrame:
+        """The undirected `p1 < p2` half (emit-once convention,
+        common_node_pruning.py:139)."""
+        return self.edges.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("p1"), F.col("dst").alias("p2"), "weight"
+        )
+
+
+class EdgeWeighting:
+    @staticmethod
+    def co_occurrence(
+        blocks: BlockCollection, use_entropy: bool = False
+    ) -> DataFrame:
+        """Directed co-occurrence pairs with shared-block aggregates:
+        (src, dst, cbs, arcs_sum[, entropy_sum]).
+
+        Dirty ER compares everything in a block; clean-clean only
+        across sources (pruning_utils.py:29-53 get_all_neighbors).
+        """
+        a = blocks.assignments.select(
+            F.col("block_id").alias("bid"),
+            F.col("profile_id").alias("src"),
+            F.col("source_id").alias("src_source"),
+        )
+        b = blocks.assignments.select(
+            F.col("block_id").alias("bid"),
+            F.col("profile_id").alias("dst"),
+            F.col("source_id").alias("dst_source"),
+        )
+        if blocks.clean:
+            cond = F.col("src_source") != F.col("dst_source")
+        else:
+            cond = F.col("src") != F.col("dst")
+        pairs = a.join(b, "bid").where(cond)
+
+        meta_cols = blocks.meta.select(
+            F.col("block_id").alias("bid"), "comparisons", "entropy"
+        )
+        pairs = pairs.join(meta_cols, "bid")
+
+        aggs = [
+            F.count("*").cast("double").alias("cbs"),
+            F.sum(1.0 / F.col("comparisons")).alias("arcs_sum"),
+        ]
+        if use_entropy:
+            aggs.append(F.sum("entropy").alias("entropy_sum"))
+        return pairs.groupBy("src", "dst").agg(*aggs)
+
+    @staticmethod
+    def profile_num_blocks(profile_blocks_filtered: DataFrame) -> DataFrame:
+        """|B(p)| per profile — reference profile_blocks_size_index
+        (built from the *filtered* profile blocks, before the
+        zero-comparison block drop: notebooks/Main.scala:117)."""
+        return profile_blocks_filtered.groupBy("profile_id").agg(
+            F.count("*").alias("num_blocks")
+        )
+
+    @staticmethod
+    def weighted_edges(
+        blocks: BlockCollection,
+        profile_blocks_filtered: DataFrame,
+        weight_type: str = WeightTypes.CBS,
+        use_entropy: bool = False,
+    ) -> EdgeContext:
+        """Build the directed weighted edge relation for any of the six
+        weight types (common_node_pruning.py:149-263)."""
+        if weight_type not in WeightTypes.ALL:
+            raise ValueError(f"invalid weight type: {weight_type}")
+
+        co = EdgeWeighting.co_occurrence(blocks, use_entropy)
+        num_blocks = blocks.meta.count()  # len(block_index)
+
+        sizes = EdgeWeighting.profile_num_blocks(profile_blocks_filtered)
+        src_sz = sizes.select(
+            F.col("profile_id").alias("src"), F.col("num_blocks").alias("src_blocks")
+        )
+        dst_sz = sizes.select(
+            F.col("profile_id").alias("dst"), F.col("num_blocks").alias("dst_blocks")
+        )
+        e = co.join(src_sz, "src").join(dst_sz, "dst")
+
+        ent = F.col("entropy_sum") if use_entropy else F.lit(1.0)
+        cbs = F.col("cbs")
+        B = F.lit(float(num_blocks))
+        num_edges = None
+
+        if weight_type == WeightTypes.CBS:
+            # calc_weights leaves CBS counts untouched (entropy is
+            # accumulated but unused for CBS in the reference).
+            weight = cbs
+        elif weight_type == WeightTypes.JS:
+            weight = (
+                cbs / (F.col("src_blocks") + F.col("dst_blocks") - cbs)
+            ) * ent
+        elif weight_type == WeightTypes.ECBS:
+            weight = (
+                cbs
+                * F.log10(B / F.col("src_blocks"))
+                * F.log10(B / F.col("dst_blocks"))
+                * ent
+            )
+        elif weight_type == WeightTypes.ARCS:
+            weight = F.col("arcs_sum") * ent
+        elif weight_type == WeightTypes.CHI_SQUARE:
+            weight = EdgeWeighting._chi_square(
+                cbs, F.col("dst_blocks"), F.col("src_blocks"), B
+            ) * ent
+        elif weight_type == WeightTypes.EJS:
+            # stats pre-pass (compute_statistics :56-101): per-profile
+            # distinct-neighbor counts + global distinct edge count.
+            per_profile = co.groupBy("src").agg(F.count("*").alias("e_cnt"))
+            num_edges = co.where(F.col("src") < F.col("dst")).count()
+            E = F.lit(float(num_edges))
+            e = e.join(
+                per_profile.select(
+                    F.col("src").alias("src"), F.col("e_cnt").alias("src_edges")
+                ),
+                "src",
+                "left",
+            ).join(
+                per_profile.select(
+                    F.col("src").alias("dst"), F.col("e_cnt").alias("dst_edges")
+                ),
+                "dst",
+                "left",
+            )
+            js = cbs / (F.col("src_blocks") + F.col("dst_blocks") - cbs)
+            e_src = F.coalesce(F.col("src_edges").cast("double"), F.lit(0.0)) + EPS
+            e_dst = F.coalesce(F.col("dst_edges").cast("double"), F.lit(EPS))
+            if use_entropy:
+                # parity with the reference's (quirky) entropy
+                # bracketing, common_node_pruning.py:232-239
+                weight = (js * ent) * F.log10(E / e_dst * F.log10(E / e_src))
+            else:
+                weight = js * F.log10(E / (e_dst * F.log10(E / e_src)))
+            weight = F.coalesce(weight, F.lit(0.0))
+
+        edges = e.select("src", "dst", "cbs", weight.cast("double").alias("weight"))
+        return EdgeContext(
+            edges=edges,
+            weight_type=weight_type,
+            num_blocks=num_blocks,
+            num_edges=num_edges,
+        )
+
+    @staticmethod
+    def _chi_square(cbs, dst_blocks, src_blocks, total_blocks):
+        """2x2 chi-square, exactly common_node_pruning.py:6-35.
+
+        Contingency cells: [cbs, dst-cbs; src-cbs, B-(dst+src-cbs)],
+        row totals [dst, B-dst], column totals [src, B-src].
+        """
+        c00 = cbs
+        c01 = dst_blocks - cbs
+        c10 = src_blocks - cbs
+        c11 = total_blocks - (dst_blocks + src_blocks - cbs)
+        r0 = dst_blocks
+        r1 = total_blocks - dst_blocks
+        k0 = src_blocks
+        k1 = total_blocks - src_blocks
+
+        def term(obs, row_total, col_total):
+            expected = (row_total * col_total) / total_blocks
+            return F.pow(obs - expected, F.lit(2.0)) / expected
+
+        return (
+            term(c00, r0, k0)
+            + term(c01, r0, k1)
+            + term(c10, r1, k0)
+            + term(c11, r1, k1)
+        )

@@ -1,0 +1,106 @@
+"""WNP — Weighted Node Pruning (+ BLAST's chi-square variant).
+
+Reference parity: python/sparker/wnp.py:231-298 (wnp), :192-229
+(calc_thresholds), :26-77 (do_pruning).
+
+Two passes, exactly like the reference but as DataFrame aggregates:
+ 1. per-profile local threshold over the FULL directed neighborhood
+    (avg, or max/2) — a groupBy instead of a collected+broadcast map;
+ 2. keep the `p1 < p2` half of the edges whose weight passes the
+    endpoint thresholds under AND/OR, or BLAST's
+    sqrt(t1² + t2²)/chi2divider rule for chi-square (wnp.py:47-60).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparker_spark.blocking.blockers import BlockCollection
+from sparker_spark.metablocking.pruning_utils import (
+    ComparisonTypes,
+    ThresholdTypes,
+    WeightTypes,
+)
+from sparker_spark.metablocking.weights import EdgeContext, EdgeWeighting
+
+
+class WNP:
+    @staticmethod
+    def calc_thresholds(ctx: EdgeContext, threshold_type: str) -> DataFrame:
+        """(profile_id, threshold) — wnp.py:192-229."""
+        if threshold_type == ThresholdTypes.AVG:
+            agg = F.avg("weight")
+        elif threshold_type == ThresholdTypes.MAX_FRACT_2:
+            agg = F.max("weight") / 2.0
+        else:
+            raise ValueError(f"invalid threshold type: {threshold_type}")
+        return ctx.edges.groupBy(F.col("src").alias("profile_id")).agg(
+            agg.alias("threshold")
+        )
+
+    @staticmethod
+    def prune(
+        ctx: EdgeContext,
+        threshold_type: str = ThresholdTypes.AVG,
+        comparison_type: str = ComparisonTypes.OR,
+        chi2divider: float = 2.0,
+    ) -> DataFrame:
+        """Pruned edges (p1, p2, weight) with p1 < p2 — wnp.py:26-77."""
+        if comparison_type not in (ComparisonTypes.AND, ComparisonTypes.OR):
+            raise ValueError(f"invalid comparison type: {comparison_type}")
+        thresholds = WNP.calc_thresholds(ctx, threshold_type)
+        half = ctx.half()
+        t1 = thresholds.select(
+            F.col("profile_id").alias("p1"), F.col("threshold").alias("t1")
+        )
+        t2 = thresholds.select(
+            F.col("profile_id").alias("p2"), F.col("threshold").alias("t2")
+        )
+        joined = half.join(t1, "p1").join(t2, "p2")
+        if ctx.weight_type == WeightTypes.CHI_SQUARE:
+            # BLAST rule, wnp.py:47-60
+            thr = F.sqrt(F.pow(F.col("t1"), 2.0) + F.pow(F.col("t2"), 2.0)) / float(
+                chi2divider
+            )
+            kept = joined.where(F.col("weight") >= thr)
+        elif comparison_type == ComparisonTypes.AND:
+            kept = joined.where(
+                (F.col("weight") >= F.col("t1")) & (F.col("weight") >= F.col("t2"))
+            )
+        else:
+            kept = joined.where(
+                (F.col("weight") >= F.col("t1")) | (F.col("weight") >= F.col("t2"))
+            )
+        return kept.select("p1", "p2", "weight")
+
+    @staticmethod
+    def wnp(
+        blocks: BlockCollection,
+        profile_blocks_filtered: DataFrame,
+        threshold_type: str = ThresholdTypes.AVG,
+        weight_type: str = WeightTypes.CBS,
+        use_entropy: bool = False,
+        chi2divider: float = 2.0,
+        comparison_type: str = ComparisonTypes.OR,
+    ) -> DataFrame:
+        """End-to-end WNP (wnp.py:231-298): weight edges then prune.
+        Returns the retained edges DataFrame (p1, p2, weight)."""
+        ctx = EdgeWeighting.weighted_edges(
+            blocks, profile_blocks_filtered, weight_type, use_entropy
+        )
+        return WNP.prune(ctx, threshold_type, comparison_type, chi2divider)
+
+    @staticmethod
+    def get_all_edges(
+        blocks: BlockCollection,
+        profile_blocks_filtered: DataFrame,
+        weight_type: str = WeightTypes.CBS,
+        use_entropy: bool = False,
+    ) -> DataFrame:
+        """Full weighted graph, no pruning (wnp.py:300-351). Returns
+        the p1 < p2 half."""
+        ctx = EdgeWeighting.weighted_edges(
+            blocks, profile_blocks_filtered, weight_type, use_entropy
+        )
+        return ctx.half()
