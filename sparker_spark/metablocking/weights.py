@@ -82,9 +82,19 @@ class EdgeWeighting:
         )
         if blocks.clean:
             cond = F.col("src_source") != F.col("dst_source")
+            pairs = a.join(b, "bid").where(cond)
         else:
-            cond = F.col("src") != F.col("dst")
-        pairs = a.join(b, "bid").where(cond)
+            # Dirty ER: the full directed neighborhood INCLUDES a
+            # self-loop per profile — calc_cbs's enumeration guard is
+            # `(profile_id < neighbor_id) or first_step`
+            # (common_node_pruning.py:139), so with first_step=True the
+            # profile accumulates itself (weight = #blocks). WNP/CNP
+            # thresholds, WEP's global mean and EJS statistics are all
+            # computed over that self-inclusive neighborhood; final
+            # edge sets never contain self-loops (half() takes
+            # src < dst). Clean-clean never sees self (cross-source
+            # enumeration only, pruning_utils.py:29-53).
+            pairs = a.join(b, "bid")
 
         meta_cols = blocks.meta.select(
             F.col("block_id").alias("bid"), "comparisons", "entropy"

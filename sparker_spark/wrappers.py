@@ -129,11 +129,11 @@ class CSVWrapper:
         real_id_field: str = "",
         source_id: int = 0,
     ) -> DataFrame:
+        # Spark-default quote/escape — matches the reference's effective
+        # options (wrappers.py:96 sets sep and a dead "delimiter" alias).
         df = (
             spark.read.option("header", str(header).lower())
             .option("sep", separator)
-            .option("quote", '"')
-            .option("escape", '"')
             .csv(file_path)
         )
         return DataFrameWrapper.load_profiles(

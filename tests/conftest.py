@@ -3,7 +3,17 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+# Make both this repo and the reference library importable inside Spark's
+# executor Python workers (they inherit PYTHONPATH from the JVM process).
+_extra = f"{REPO_ROOT}:/root/reference/python"
+os.environ["PYTHONPATH"] = (
+    _extra + ":" + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH")
+    else _extra
+)
 
 from sparker_spark.session import get_spark  # noqa: E402
 

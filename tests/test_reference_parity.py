@@ -1,0 +1,237 @@
+"""End-to-end parity vs the actual reference library.
+
+Runs the reference SparkER Python package (read-only at
+/root/reference/python) side-by-side with this engine on the bundled
+`cora` dirty dataset (python/datasets/dirty/cora) with the notebook
+stage parameters (purge 1.005, filter 0.8 — examples/Dirty
+datasets.ipynb) and compares the *exact* retained-edge sets of the
+full pipeline, plus stage-level counts.
+
+Profile ids differ by construction (reference zipWithIndex vs our
+deterministic row_number), so edges are compared after mapping back to
+original ids.
+"""
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REFERENCE_PY = "/root/reference/python"
+CORA = "/root/reference/python/datasets/dirty/cora/cora.csv"
+CORA_GT = "/root/reference/python/datasets/dirty/cora/groundtruth.csv"
+
+
+@pytest.fixture(scope="module")
+def reference(spark):
+    sys.path.insert(0, REFERENCE_PY)
+    import sparker as ref  # noqa
+
+    yield ref
+    sys.path.remove(REFERENCE_PY)
+
+
+@pytest.fixture(scope="module")
+def ref_pipeline(spark, reference):
+    """Reference pipeline: load -> blocks -> purge -> filter."""
+    ref = reference
+    profiles = ref.CSVWrapper.load_profiles(
+        CORA, header=True, real_id_field="id"
+    )
+    max_profile_id = profiles.map(lambda p: p.profile_id).max()
+    blocks = ref.Blocking.create_blocks(profiles)
+    blocks_purged = ref.BlockPurging.block_purging(blocks, 1.005)
+    (
+        profile_blocks,
+        profile_blocks_filtered,
+        blocks_after_filtering,
+    ) = ref.BlockFiltering.block_filtering_quick(blocks_purged, 0.8)
+    return {
+        "profiles": profiles,
+        "max_profile_id": max_profile_id,
+        "blocks": blocks,
+        "blocks_purged": blocks_purged,
+        "profile_blocks_filtered": profile_blocks_filtered,
+        "blocks_after_filtering": blocks_after_filtering,
+    }
+
+
+@pytest.fixture(scope="module")
+def our_pipeline(spark):
+    from sparker_spark.blocking.blockers import Blocking
+    from sparker_spark.filters import BlockFiltering, BlockPurging
+    from sparker_spark.wrappers import CSVWrapper
+
+    profiles = CSVWrapper.load_profiles(
+        spark, CORA, header=True, real_id_field="id"
+    ).cache()
+    blocks = Blocking.create_blocks(profiles).cache()
+    purged = BlockPurging.block_purging(blocks, 1.005)
+    pb, pb_filtered, rebuilt = BlockFiltering.block_filtering_quick(purged, 0.8)
+    pb_filtered = pb_filtered.cache()
+    rebuilt.cache()
+    return {
+        "profiles": profiles,
+        "blocks": blocks,
+        "purged": purged,
+        "pb_filtered": pb_filtered,
+        "rebuilt": rebuilt,
+    }
+
+
+def _ref_id_map(ref_pipeline):
+    return dict(
+        ref_pipeline["profiles"].map(lambda p: (p.profile_id, p.original_id)).collect()
+    )
+
+
+def _our_id_map(our_pipeline):
+    return {
+        r["profile_id"]: r["original_id"]
+        for r in our_pipeline["profiles"]
+        .select("profile_id", "original_id")
+        .distinct()
+        .collect()
+    }
+
+
+def test_block_counts_match(ref_pipeline, our_pipeline):
+    assert ref_pipeline["blocks"].count() == our_pipeline["blocks"].meta.count()
+    # block comparison-size histograms identical
+    ref_hist = sorted(
+        ref_pipeline["blocks"].map(lambda b: b.get_comparison_size()).collect()
+    )
+    our_hist = sorted(
+        r["comparisons"] for r in our_pipeline["blocks"].meta.collect()
+    )
+    assert ref_hist == our_hist
+
+
+def test_purging_matches(ref_pipeline, our_pipeline):
+    assert (
+        ref_pipeline["blocks_purged"].count()
+        == our_pipeline["purged"].meta.count()
+    )
+
+
+def test_filtering_matches(ref_pipeline, our_pipeline):
+    # compare per-profile kept-block multisets via comparison sizes
+    ref_kept = sorted(
+        ref_pipeline["profile_blocks_filtered"]
+        .map(lambda pb: (pb.profile_id, tuple(sorted(b.comparisons for b in pb.blocks))))
+        .collect()
+    )
+    from collections import defaultdict
+
+    ours = defaultdict(list)
+    for r in our_pipeline["pb_filtered"].collect():
+        ours[r["profile_id"]].append(r["comparisons"])
+    ref_map = {}
+    rid = _ref_id_map(ref_pipeline)
+    for pid, comps in ref_kept:
+        ref_map[rid[pid]] = tuple(comps)
+    oid = _our_id_map(our_pipeline)
+    our_map = {oid[pid]: tuple(sorted(v)) for pid, v in ours.items()}
+    assert ref_map == our_map
+
+
+def test_wnp_cbs_exact_edge_parity(spark, reference, ref_pipeline, our_pipeline):
+    """Full-pipeline WNP (CBS, AVG, OR): exact retained-edge set parity."""
+    ref = reference
+    sc = spark.sparkContext
+    block_index_map = (
+        ref_pipeline["blocks_after_filtering"]
+        .map(lambda b: (b.block_id, b.profiles))
+        .collectAsMap()
+    )
+    block_index = sc.broadcast(block_index_map)
+    profile_blocks_size_index = sc.broadcast(
+        ref_pipeline["profile_blocks_filtered"]
+        .map(lambda pb: (pb.profile_id, len(pb.blocks)))
+        .collectAsMap()
+    )
+    results = ref.WNP.wnp(
+        ref_pipeline["profile_blocks_filtered"],
+        block_index,
+        ref_pipeline["max_profile_id"],
+        weight_type=ref.WeightTypes.CBS,
+        threshold_type=ref.ThresholdTypes.AVG,
+        comparison_type=ref.ComparisonTypes.OR,
+        profile_blocks_size_index=profile_blocks_size_index,
+    )
+    ref_edges = results.flatMap(lambda x: x[2]).collect()
+    rid = _ref_id_map(ref_pipeline)
+    ref_pairs = {tuple(sorted((rid[p1], rid[p2]))) for p1, p2, _ in ref_edges}
+
+    from sparker_spark.metablocking.pruning_utils import (
+        ComparisonTypes,
+        ThresholdTypes,
+        WeightTypes,
+    )
+    from sparker_spark.metablocking.wnp import WNP
+
+    ours = WNP.wnp(
+        our_pipeline["rebuilt"],
+        our_pipeline["pb_filtered"],
+        threshold_type=ThresholdTypes.AVG,
+        weight_type=WeightTypes.CBS,
+        comparison_type=ComparisonTypes.OR,
+    )
+    oid = _our_id_map(our_pipeline)
+    our_pairs = {
+        tuple(sorted((oid[r["p1"]], oid[r["p2"]])))
+        for r in ours.collect()
+    }
+    assert len(ref_pairs) == len(our_pairs)
+    assert ref_pairs == our_pairs
+
+
+def test_wnp_js_exact_edge_parity(spark, reference, ref_pipeline, our_pipeline):
+    """WNP with JS weights + AND: exact parity (exercises
+    profile_blocks_size_index semantics)."""
+    ref = reference
+    sc = spark.sparkContext
+    block_index = sc.broadcast(
+        ref_pipeline["blocks_after_filtering"]
+        .map(lambda b: (b.block_id, b.profiles))
+        .collectAsMap()
+    )
+    profile_blocks_size_index = sc.broadcast(
+        ref_pipeline["profile_blocks_filtered"]
+        .map(lambda pb: (pb.profile_id, len(pb.blocks)))
+        .collectAsMap()
+    )
+    results = ref.WNP.wnp(
+        ref_pipeline["profile_blocks_filtered"],
+        block_index,
+        ref_pipeline["max_profile_id"],
+        weight_type=ref.WeightTypes.JS,
+        threshold_type=ref.ThresholdTypes.AVG,
+        comparison_type=ref.ComparisonTypes.AND,
+        profile_blocks_size_index=profile_blocks_size_index,
+    )
+    rid = _ref_id_map(ref_pipeline)
+    ref_pairs = {
+        tuple(sorted((rid[p1], rid[p2])))
+        for p1, p2, _ in results.flatMap(lambda x: x[2]).collect()
+    }
+
+    from sparker_spark.metablocking.pruning_utils import (
+        ComparisonTypes,
+        ThresholdTypes,
+        WeightTypes,
+    )
+    from sparker_spark.metablocking.wnp import WNP
+
+    ours = WNP.wnp(
+        our_pipeline["rebuilt"],
+        our_pipeline["pb_filtered"],
+        threshold_type=ThresholdTypes.AVG,
+        weight_type=WeightTypes.JS,
+        comparison_type=ComparisonTypes.AND,
+    )
+    oid = _our_id_map(our_pipeline)
+    our_pairs = {
+        tuple(sorted((oid[r["p1"]], oid[r["p2"]]))) for r in ours.collect()
+    }
+    assert ref_pairs == our_pairs
