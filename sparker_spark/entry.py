@@ -1,0 +1,976 @@
+"""Driver-facing query surface: every implemented operator from
+SURVEY §2 (+ the M8 LLM-pipeline extensions) expressed twice —
+
+  * ``QUERIES[name](spark, sf_dir) -> DataFrame``  (this engine)
+  * ``ORACLES[name] -> str``                       (DuckDB ANSI SQL)
+
+The oracle SQL is generated from the same constants (regexes, seeds,
+MinHash coefficients, thresholds, rounding) as the Spark plans so the
+driver's side-by-side comparison at sf=0.01 is bit-exact. Floating
+aggregates are rounded at output (6 dp unit-scale, 4 dp large sums) in
+BOTH engines; ranking always happens on *rounded* values with an id
+tiebreak so ULP-level cross-engine differences cannot flip row sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparker_spark.rounding import rewrite_rounds, rnd
+
+from sparker_spark.blocking.blockers import BlockCollection, Blocking
+from sparker_spark.blocking.converters import Converters
+from sparker_spark.filters import ROUND_HALF_EVEN_SQL, BlockFiltering, BlockPurging
+from sparker_spark.llm.dedup import Dedup
+from sparker_spark.llm.hashing import DUCK_HASH60, MERSENNE_31, minhash_coefficients, minhash_expr
+from sparker_spark.llm.shingles import shingle_hashes, shingles
+from sparker_spark.llm.similarity import SimilaritySearch
+from sparker_spark.llm.text import LANG_STOPWORDS, BPE_ISH_REGEX, TOKEN_REGEX, TextAnalysis
+from sparker_spark.metablocking.cep import CEP
+from sparker_spark.metablocking.cnp import CNP
+from sparker_spark.metablocking.pruning_utils import ComparisonTypes, ThresholdTypes, WeightTypes
+from sparker_spark.metablocking.weights import EdgeWeighting
+from sparker_spark.metablocking.wep import WEP
+from sparker_spark.metablocking.wnp import WNP
+
+# ---------------------------------------------------------------- params
+SMOOTH_FACTOR = 1.005  # notebook default, BLAST.ipynb
+FILTER_R = 0.8  # notebook default
+SHINGLE = 3
+JACCARD_T = 0.2
+MINHASH_K = 32
+MINHASH_BANDS = 8
+SIMHASH_BITS = 32
+SIMHASH_MAXD = 3
+COSINE_T = 0.8
+ANN_K = 10
+ANN_QUERY_MOD = 100
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ============================================================ ER helpers
+def _doc_keys_unigram(spark, sf_dir) -> DataFrame:
+    """documents -> (profile_id, source_id, key) unigram token keys."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("doc_id").alias("profile_id"),
+            F.lit(0).alias("source_id"),
+            F.explode(F.split(F.lower("text"), "[^0-9a-z_]+")).alias("key"),
+        )
+        .where(F.length("key") > 0)
+        .distinct()
+    )
+
+
+def _doc_keys_shingle(spark, sf_dir, clean: bool = False) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    source = (
+        F.regexp_extract("source", "([0-9]+)$", 1).cast("int")
+        if clean
+        else F.lit(0)
+    )
+    sh = shingles(docs.select("doc_id", "text"), SHINGLE)
+    src = docs.select("doc_id", source.alias("source_id"))
+    return sh.join(src, "doc_id").select(
+        F.col("doc_id").alias("profile_id"), "source_id", F.col("shingle").alias("key")
+    )
+
+
+def _shingle_blocks(spark, sf_dir, clean: bool = False):
+    keys = _doc_keys_shingle(spark, sf_dir, clean)
+    blocks = Blocking.blocks_from_keys(keys, clean=clean, assign_ids=False)
+    profile_blocks = Converters.blocks_to_profile_blocks(blocks)
+    return blocks, profile_blocks
+
+
+def _edges(spark, sf_dir, weight_type, clean=False, rounded=True):
+    blocks, pb = _shingle_blocks(spark, sf_dir, clean)
+    ctx = EdgeWeighting.weighted_edges(blocks, pb, weight_type)
+    half = ctx.half()
+    w = rnd("weight", 6) if rounded else F.col("weight")
+    return ctx, half.select("p1", "p2", w.alias("weight"))
+
+
+# DuckDB CTE fragments -------------------------------------------------
+DUCK_UNIGRAM_KEYS = """
+keys AS (
+  SELECT DISTINCT doc_id AS profile_id, tok AS key
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+)"""
+
+DUCK_SHINGLE_KEYS = f"""
+toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+keys AS (
+  SELECT DISTINCT doc_id AS profile_id, s AS key
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(t) >= {SHINGLE}
+                      THEN list_transform(range(1, len(t) - {SHINGLE - 2}),
+                                          i -> array_to_string(t[i:i+{SHINGLE - 1}], ' '))
+                      ELSE []::VARCHAR[] END) AS s
+        FROM toks)
+)"""
+
+DUCK_DIRTY_BLOCKS = """
+blocks AS (
+  SELECT key, count(*) AS block_size,
+         count(*) * (count(*) - 1) AS comparisons
+  FROM keys GROUP BY key HAVING count(*) > 1
+)"""
+
+# directed co-occurrence INCLUDING the dirty self-loop (see
+# sparker_spark/metablocking/weights.py for why), plus per-profile
+# block counts for the weight formulas
+DUCK_DIRTY_GRAPH = """
+pb AS (SELECT k.profile_id, k.key FROM keys k JOIN blocks b USING (key)),
+nb AS (SELECT profile_id, count(*) AS num_blocks FROM pb GROUP BY profile_id),
+co AS (
+  SELECT a.profile_id AS src, b2.profile_id AS dst, CAST(count(*) AS DOUBLE) AS cbs,
+         sum(1.0 / bl.comparisons) AS arcs_sum
+  FROM pb a JOIN pb b2 USING (key) JOIN blocks bl USING (key)
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT co.src, co.dst, co.cbs, co.arcs_sum,
+         n1.num_blocks AS src_blocks, n2.num_blocks AS dst_blocks
+  FROM co JOIN nb n1 ON co.src = n1.profile_id
+          JOIN nb n2 ON co.dst = n2.profile_id
+)"""
+
+
+def _duck_weight_expr(weight_type: str) -> str:
+    """DuckDB scalar expr for the directed weight over table ``g``
+    (needs scalar CTEs: nblocks(b), and for EJS: estats)."""
+    if weight_type == WeightTypes.CBS:
+        return "cbs"
+    if weight_type == WeightTypes.JS:
+        return "cbs / (src_blocks + dst_blocks - cbs)"
+    if weight_type == WeightTypes.ECBS:
+        return (
+            "cbs * log10(CAST((SELECT b FROM nblocks) AS DOUBLE) / src_blocks)"
+            " * log10(CAST((SELECT b FROM nblocks) AS DOUBLE) / dst_blocks)"
+        )
+    if weight_type == WeightTypes.ARCS:
+        return "arcs_sum"
+    if weight_type == WeightTypes.CHI_SQUARE:
+        return """(
+  pow(cbs - (dst_blocks * src_blocks / B), 2) / (dst_blocks * src_blocks / B)
++ pow((dst_blocks - cbs) - (dst_blocks * (B - src_blocks) / B), 2) / (dst_blocks * (B - src_blocks) / B)
++ pow((src_blocks - cbs) - ((B - dst_blocks) * src_blocks / B), 2) / ((B - dst_blocks) * src_blocks / B)
++ pow((B - (dst_blocks + src_blocks - cbs)) - ((B - dst_blocks) * (B - src_blocks) / B), 2) / ((B - dst_blocks) * (B - src_blocks) / B)
+)""".replace("B", "CAST((SELECT b FROM nblocks) AS DOUBLE)")
+    raise ValueError(weight_type)
+
+
+def _duck_dirty_weighted(weight_type: str) -> str:
+    """CTE chain ending in ``weighted(src, dst, w)`` (directed)."""
+    pieces = [DUCK_SHINGLE_KEYS, DUCK_DIRTY_BLOCKS, DUCK_DIRTY_GRAPH]
+    extra = ",\nnblocks AS (SELECT count(*) AS b FROM blocks)"
+    if weight_type == WeightTypes.EJS:
+        eps = "0.00000000001"
+        extra += """,
+estats AS (SELECT src AS pid, CAST(count(*) AS DOUBLE) AS e_cnt FROM co GROUP BY src),
+etotal AS (SELECT CAST(count(*) AS DOUBLE) AS E FROM co WHERE src < dst)"""
+        wexpr = f"""CASE WHEN (e2.e_cnt * log10((SELECT E FROM etotal) / (e1.e_cnt + {eps}))) > 0
+       THEN (cbs / (src_blocks + dst_blocks - cbs))
+            * log10((SELECT E FROM etotal) /
+                    (e2.e_cnt * log10((SELECT E FROM etotal) / (e1.e_cnt + {eps}))))
+       ELSE 0.0 END"""
+        weighted = f""",
+weighted AS (
+  SELECT g.src, g.dst, {wexpr} AS w
+  FROM g JOIN estats e1 ON g.src = e1.pid JOIN estats e2 ON g.dst = e2.pid
+)"""
+    else:
+        weighted = f""",
+weighted AS (SELECT src, dst, {_duck_weight_expr(weight_type)} AS w FROM g)"""
+    return "WITH " + ",".join(pieces) + extra + weighted
+
+
+def _duck_edges_sql(weight_type: str) -> str:
+    return (
+        _duck_dirty_weighted(weight_type)
+        + """
+SELECT src AS p1, dst AS p2, round(w, 6) AS weight
+FROM weighted WHERE src < dst"""
+    )
+
+
+# ======================================================== query functions
+# --- ER: blocking / purging / filtering ---
+def q_er_token_blocks(spark, sf_dir):
+    keys = _doc_keys_unigram(spark, sf_dir)
+    blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=False)
+    return blocks.meta.select(
+        "key",
+        F.col("block_size").cast("long").alias("block_size"),
+        F.col("comparisons").cast("long").alias("comparisons"),
+    )
+
+
+O_ER_TOKEN_BLOCKS = f"""WITH {DUCK_UNIGRAM_KEYS.strip()}, {DUCK_DIRTY_BLOCKS.strip()}
+SELECT key, block_size, comparisons FROM blocks"""
+
+
+def q_er_block_purging(spark, sf_dir):
+    keys = _doc_keys_unigram(spark, sf_dir)
+    blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=False)
+    purged = BlockPurging.block_purging(blocks, SMOOTH_FACTOR)
+    return purged.meta.select(
+        "key",
+        F.col("block_size").cast("long").alias("block_size"),
+        F.col("comparisons").cast("long").alias("comparisons"),
+    )
+
+
+_DUCK_PURGE_PREFIX = f"""WITH {DUCK_UNIGRAM_KEYS.strip()}, {DUCK_DIRTY_BLOCKS.strip()},
+levels AS (SELECT comparisons AS level, sum(comparisons) AS cc, sum(block_size) AS bc
+           FROM blocks GROUP BY 1),
+cum AS (SELECT level,
+               sum(cc) OVER (ORDER BY level) AS cum_cc,
+               sum(bc) OVER (ORDER BY level) AS cum_bc
+        FROM levels),
+cand AS (SELECT level, cum_cc, cum_bc,
+                lead(level) OVER (ORDER BY level) AS nl,
+                lead(cum_cc) OVER (ORDER BY level) AS ncc,
+                lead(cum_bc) OVER (ORDER BY level) AS nbc
+         FROM cum),
+thr AS (SELECT coalesce(
+          max(CASE WHEN cum_bc * ncc < {SMOOTH_FACTOR} * cum_cc * nbc THEN nl END),
+          min(nl), max(level)) AS t
+        FROM cand)"""
+
+O_ER_BLOCK_PURGING = (
+    _DUCK_PURGE_PREFIX
+    + """
+SELECT b.key, b.block_size, b.comparisons
+FROM blocks b, thr WHERE b.comparisons <= thr.t"""
+)
+
+
+def q_er_block_filtering(spark, sf_dir):
+    keys = _doc_keys_unigram(spark, sf_dir)
+    blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=True)
+    purged = BlockPurging.block_purging(blocks, SMOOTH_FACTOR)
+    pb = Converters.blocks_to_profile_blocks(purged)
+    filtered = BlockFiltering.block_filtering(pb, FILTER_R)
+    return (
+        filtered.join(purged.meta.select("block_id", "key"), "block_id")
+        .select(
+            "profile_id",
+            "key",
+            F.col("comparisons").cast("long").alias("comparisons"),
+        )
+    )
+
+
+_RHE = ROUND_HALF_EVEN_SQL.format(x=f"(n * CAST({FILTER_R} AS DOUBLE))")
+O_ER_BLOCK_FILTERING = (
+    _DUCK_PURGE_PREFIX
+    + f""",
+purged AS (SELECT b.key, b.comparisons FROM blocks b, thr WHERE b.comparisons <= thr.t),
+pb AS (SELECT k.profile_id, p.key, p.comparisons FROM keys k JOIN purged p USING (key)),
+ranked AS (SELECT profile_id, key, comparisons,
+                  row_number() OVER (PARTITION BY profile_id ORDER BY comparisons, key) AS rn,
+                  count(*) OVER (PARTITION BY profile_id) AS n
+           FROM pb),
+cut AS (SELECT profile_id, comparisons AS cutoff FROM ranked
+        WHERE rn = least(greatest(({_RHE}) - 1, 0), n - 1) + 1)
+SELECT p.profile_id, p.key, p.comparisons
+FROM pb p JOIN cut c USING (profile_id) WHERE p.comparisons <= c.cutoff"""
+)
+
+
+# --- ER: edge weighting (shingle blocks, dirty) ---
+def _mk_edges_query(weight_type):
+    def q(spark, sf_dir):
+        _, half = _edges(spark, sf_dir, weight_type)
+        return half
+
+    return q
+
+
+# --- ER: pruners ---
+def q_er_wnp_cbs_avg_or(spark, sf_dir):
+    ctx, _ = _edges(spark, sf_dir, WeightTypes.CBS, rounded=False)
+    kept = WNP.prune(ctx, ThresholdTypes.AVG, ComparisonTypes.OR)
+    return kept.select("p1", "p2", rnd("weight", 6).alias("weight"))
+
+
+def _duck_wnp(weight_type: str, threshold_type: str, comparison_type: str) -> str:
+    agg = "avg(w)" if threshold_type == ThresholdTypes.AVG else "max(w) / 2.0"
+    op = "OR" if comparison_type == ComparisonTypes.OR else "AND"
+    return (
+        _duck_dirty_weighted(weight_type)
+        + f""",
+thr AS (SELECT src AS pid, {agg} AS t FROM weighted GROUP BY src)
+SELECT w.src AS p1, w.dst AS p2, round(w.w, 6) AS weight
+FROM weighted w JOIN thr t1 ON w.src = t1.pid JOIN thr t2 ON w.dst = t2.pid
+WHERE w.src < w.dst AND (w.w >= t1.t {op} w.w >= t2.t)"""
+    )
+
+
+def q_er_wnp_js_maxdiv2_and(spark, sf_dir):
+    ctx, _ = _edges(spark, sf_dir, WeightTypes.JS, rounded=False)
+    kept = WNP.prune(ctx, ThresholdTypes.MAX_FRACT_2, ComparisonTypes.AND)
+    return kept.select("p1", "p2", rnd("weight", 6).alias("weight"))
+
+
+def q_er_wep_cbs(spark, sf_dir):
+    ctx, _ = _edges(spark, sf_dir, WeightTypes.CBS, rounded=False)
+    kept = WEP.prune(ctx)
+    return kept.select("p1", "p2", rnd("weight", 6).alias("weight"))
+
+
+O_ER_WEP_CBS = (
+    _duck_dirty_weighted(WeightTypes.CBS)
+    + """,
+thr AS (SELECT avg(w) AS t FROM weighted)
+SELECT src AS p1, dst AS p2, round(w, 6) AS weight
+FROM weighted, thr WHERE src < dst AND w >= thr.t"""
+)
+
+
+def q_er_cep_cbs(spark, sf_dir):
+    blocks, pb = _shingle_blocks(spark, sf_dir)
+    ctx = EdgeWeighting.weighted_edges(blocks, pb, WeightTypes.CBS)
+    kept = CEP.prune(ctx, CEP.num_edges_to_keep(blocks))
+    return kept.select("p1", "p2", rnd("weight", 6).alias("weight"))
+
+
+O_ER_CEP_CBS = (
+    _duck_dirty_weighted(WeightTypes.CBS)
+    + """,
+k AS (SELECT CAST(floor(sum(block_size) / 2) AS BIGINT) AS k FROM blocks),
+half AS (SELECT src AS p1, dst AS p2, w FROM weighted WHERE src < dst),
+ranked AS (SELECT p1, p2, w,
+                  row_number() OVER (ORDER BY w DESC, p1, p2) AS rn
+           FROM half)
+SELECT p1, p2, round(w, 6) AS weight FROM ranked, k WHERE rn <= k.k"""
+)
+
+
+def q_er_cnp_cbs_or(spark, sf_dir):
+    blocks, pb = _shingle_blocks(spark, sf_dir)
+    ctx = EdgeWeighting.weighted_edges(blocks, pb, WeightTypes.CBS)
+    n_profiles = load(spark, sf_dir, "documents").count()
+    k = CNP.compute_cnp_threshold(blocks, n_profiles)
+    kept = CNP.prune(ctx, k, ComparisonTypes.OR)
+    return kept.select("p1", "p2", rnd("weight", 6).alias("weight"))
+
+
+O_ER_CNP_CBS_OR = (
+    _duck_dirty_weighted(WeightTypes.CBS)
+    + """,
+kv AS (SELECT CAST(floor(sum(block_size) / (SELECT count(*) FROM documents)) AS BIGINT) - 1 AS k
+       FROM blocks),
+retained AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rn
+    FROM weighted) r, kv
+  WHERE r.rn <= kv.k)
+SELECT w.src AS p1, w.dst AS p2, round(w.w, 6) AS weight
+FROM weighted w
+WHERE w.src < w.dst
+  AND (EXISTS (SELECT 1 FROM retained r WHERE r.src = w.src AND r.dst = w.dst)
+    OR EXISTS (SELECT 1 FROM retained r WHERE r.src = w.dst AND r.dst = w.src))"""
+)
+
+
+# --- ER: clean-clean (cross-source) ---
+def q_er_clean_cbs_edges(spark, sf_dir):
+    blocks, pb = _shingle_blocks(spark, sf_dir, clean=True)
+    ctx = EdgeWeighting.weighted_edges(blocks, pb, WeightTypes.CBS)
+    return ctx.half().select("p1", "p2", F.col("weight").alias("weight"))
+
+
+O_ER_CLEAN_CBS_EDGES = f"""WITH
+toks AS (SELECT doc_id, CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS source_id,
+                regexp_split_to_array(lower(text), '\\s+') AS t
+         FROM documents),
+keys AS (
+  SELECT DISTINCT doc_id AS profile_id, source_id, s AS key
+  FROM (SELECT doc_id, source_id,
+               unnest(CASE WHEN len(t) >= {SHINGLE}
+                      THEN list_transform(range(1, len(t) - {SHINGLE - 2}),
+                                          i -> array_to_string(t[i:i+{SHINGLE - 1}], ' '))
+                      ELSE []::VARCHAR[] END) AS s
+        FROM toks)
+),
+per_source AS (SELECT key, source_id, count(*) AS n FROM keys GROUP BY key, source_id),
+blocks AS (
+  SELECT key, sum(n) AS block_size,
+         CAST((sum(n) * sum(n) - sum(n * n)) / 2 AS BIGINT) AS comparisons
+  FROM per_source GROUP BY key
+  HAVING sum(n) > 1 AND count(*) > 1
+),
+pb AS (SELECT k.profile_id, k.source_id, k.key FROM keys k JOIN blocks b USING (key))
+SELECT a.profile_id AS p1, b2.profile_id AS p2, CAST(count(*) AS DOUBLE) AS weight
+FROM pb a JOIN pb b2 USING (key)
+WHERE a.source_id <> b2.source_id AND a.profile_id < b2.profile_id
+GROUP BY 1, 2"""
+
+
+# --- dedup ---
+def q_dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return Dedup.exact_groups(docs).select(
+        "doc_id",
+        "text_hash",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("is_canonical").cast("boolean").alias("is_canonical"),
+    )
+
+
+O_DEDUP_EXACT = """
+WITH h AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash
+           FROM documents)
+SELECT doc_id, text_hash,
+       count(*) OVER (PARTITION BY text_hash) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS is_canonical
+FROM h"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return Dedup.ngram_jaccard_pairs(docs, SHINGLE, JACCARD_T)
+
+
+DUCK_SHINGLE_HASHES = (
+    DUCK_SHINGLE_KEYS
+    + f""",
+sh AS (SELECT profile_id AS doc_id, {DUCK_HASH60.format(x='key')} AS h FROM keys)"""
+)
+
+O_DEDUP_NGRAM_JACCARD = f"""WITH {DUCK_SHINGLE_HASHES.strip()},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS p1, b.doc_id AS p2, count(*) AS c
+  FROM sh a JOIN sh b USING (h)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p1, p2,
+       round(CAST(c AS DOUBLE) / (n1.n_sh + n2.n_sh - c), 6) AS jaccard
+FROM common
+JOIN counts n1 ON p1 = n1.doc_id
+JOIN counts n2 ON p2 = n2.doc_id
+WHERE round(CAST(c AS DOUBLE) / (n1.n_sh + n2.n_sh - c), 6) >= {JACCARD_T}"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return Dedup.minhash_lsh_pairs(
+        docs, MINHASH_K, MINHASH_BANDS, SHINGLE, JACCARD_T
+    )
+
+
+def _o_dedup_minhash() -> str:
+    coeffs = minhash_coefficients(MINHASH_K)
+    rows = MINHASH_K // MINHASH_BANDS
+    mh_cols = ",\n         ".join(
+        f"min({minhash_expr(a, b)}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_exprs = ",\n".join(
+        "concat_ws('_', %d, %s) AS band_%d"
+        % (bi, ", ".join(f"mh_{bi * rows + r}" for r in range(rows)), bi)
+        for bi in range(MINHASH_BANDS)
+    )
+    bucket_union = " UNION ALL ".join(
+        f"SELECT doc_id, band_{bi} AS bucket FROM banded" for bi in range(MINHASH_BANDS)
+    )
+    return f"""WITH {DUCK_SHINGLE_HASHES.strip()},
+sh31 AS (SELECT doc_id, h % {MERSENNE_31} AS h31 FROM sh),
+sigs AS (SELECT doc_id, {mh_cols} FROM sh31 GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_exprs} FROM sigs),
+buckets AS ({bucket_union}),
+cand AS (SELECT DISTINCT a.doc_id AS p1, b.doc_id AS p2
+         FROM buckets a JOIN buckets b USING (bucket)
+         WHERE a.doc_id < b.doc_id),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS p1, b.doc_id AS p2, count(*) AS c
+  FROM sh a JOIN sh b USING (h) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT cand.p1, cand.p2,
+       round(CAST(c AS DOUBLE) / (n1.n_sh + n2.n_sh - c), 6) AS jaccard
+FROM cand
+JOIN common ON cand.p1 = common.p1 AND cand.p2 = common.p2
+JOIN counts n1 ON cand.p1 = n1.doc_id
+JOIN counts n2 ON cand.p2 = n2.doc_id
+WHERE round(CAST(c AS DOUBLE) / (n1.n_sh + n2.n_sh - c), 6) >= {JACCARD_T}"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return Dedup.simhash_pairs(docs, SIMHASH_BITS, SIMHASH_MAXD)
+
+
+def _o_dedup_simhash() -> str:
+    nbands = SIMHASH_MAXD + 1
+    band_bits = SIMHASH_BITS // nbands
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s_{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    bucket_union = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, concat_ws('_', {bi},"
+        f" (simhash >> {bi * band_bits}) & {(1 << band_bits) - 1}) AS bucket FROM fps"
+        for bi in range(nbands)
+    )
+    return f"""WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents),
+h AS (SELECT doc_id, {DUCK_HASH60.format(x='tok')} AS h FROM t WHERE tok <> ''),
+sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+fps AS (SELECT doc_id, ({fp}) AS simhash FROM sums),
+buckets AS ({bucket_union}),
+cand AS (SELECT DISTINCT a.doc_id AS p1, b.doc_id AS p2,
+                a.simhash AS f1, b.simhash AS f2
+         FROM buckets a JOIN buckets b USING (bucket)
+         WHERE a.doc_id < b.doc_id)
+SELECT p1, p2, CAST(bit_count(xor(f1, f2)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(f1, f2)) <= {SIMHASH_MAXD}"""
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return Dedup.embedding_cosine_pairs(emb, COSINE_T)
+
+
+O_DEDUP_EMBEDDING = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+  FROM embeddings)
+SELECT a.vec_id AS p1, b.vec_id AS p2,
+       round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) AS cosine
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) >= {COSINE_T}"""
+
+
+# --- similarity search ---
+def q_ann_topk_cosine(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return SimilaritySearch.topk_cosine(
+        emb, k=ANN_K, query_filter=f"vec_id % {ANN_QUERY_MOD} = 0"
+    )
+
+
+O_ANN_TOPK = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+  FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id % {ANN_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round(list_dot_product(q.emb, v.emb) / (q.norm * v.norm), 6) AS cosine
+  FROM q, v WHERE q.vec_id <> v.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}"""
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return SimilaritySearch.topk_cosine_ivf(
+        emb, k=ANN_K, query_filter=f"vec_id % {ANN_QUERY_MOD} = 0"
+    )
+
+
+# --- text analysis ---
+def q_text_token_stats(spark, sf_dir):
+    return TextAnalysis.token_stats(load(spark, sf_dir, "documents"))
+
+
+O_TEXT_TOKEN_STATS = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens_ws,
+       len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS n_tokens_word,
+       len(regexp_extract_all(text, '{BPE_ISH_REGEX}')) AS n_tokens_bpe,
+       len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS n_distinct_tokens,
+       round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(lower(text), '\\s+')), 6) AS mean_token_len
+FROM documents"""
+
+
+def q_text_quality(spark, sf_dir):
+    return TextAnalysis.quality_score(load(spark, sf_dir, "documents"))
+
+
+def _o_text_quality() -> str:
+    stop_list = ",".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(text), '\\s+') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_filter(toks, x -> list_contains([{stop_list}], x))) AS DOUBLE) AS n_stop,
+         CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) AS n_alpha,
+         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct
+  FROM t)
+SELECT doc_id,
+       round(n_stop / n, 6) AS stopword_ratio,
+       round(n_alpha / n, 6) AS alpha_ratio,
+       round(n_punct / length(text), 6) AS punct_ratio,
+       round(0.3 * (n_alpha / n)
+           + 0.3 * least(length(text) / 500.0, 1.0)
+           + 0.2 * (n_stop / n)
+           + 0.2 * (1.0 - least(n_punct / length(text) * 5.0, 1.0)), 6) AS quality_score
+FROM m"""
+
+
+def q_text_lang_id(spark, sf_dir):
+    return TextAnalysis.lang_id(load(spark, sf_dir, "documents"))
+
+
+def _o_text_lang_id() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    hits = ",\n         ".join(
+        "CAST(len(list_filter(toks, x -> list_contains([%s], x))) AS BIGINT) AS hits_%s"
+        % (",".join(f"'{w}'" for w in LANG_STOPWORDS[lang]), lang)
+        for lang in langs
+    )
+    best = "greatest(%s)" % ", ".join(f"hits_{lang}" for lang in langs)
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN hits_{lang} = best AND best > 0 THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS toks
+           FROM documents),
+scored AS (SELECT doc_id, lang, {hits} FROM t),
+withbest AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, lang AS declared_lang, {pred} AS predicted_lang,
+       {", ".join(f"hits_{lang}" for lang in langs)}
+FROM withbest"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return TextAnalysis.fingerprint(load(spark, sf_dir, "documents"), SHINGLE)
+
+
+O_TEXT_FINGERPRINT = f"""WITH {DUCK_SHINGLE_HASHES.strip()}
+SELECT doc_id, min(h) AS min_shingle_hash, max(h) AS max_shingle_hash,
+       count(DISTINCT h) AS n_shingles
+FROM sh GROUP BY doc_id"""
+
+
+# --- events (stream-shaped, batch semantics) ---
+def _load_events(spark, sf_dir) -> DataFrame:
+    """The events parquet stores TIMESTAMP(NANOS) which Spark's reader
+    rejects; read nanos as long and truncate to microseconds — exactly
+    what DuckDB's TIMESTAMP_NS->TIMESTAMP coercion does, so both
+    engines see identical microsecond timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def q_events_sessionize(spark, sf_dir):
+    ev = _load_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "new_session",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > F.lit(SESSION_GAP_US)
+        ).cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum(F.coalesce("new_session", F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # value is 2-dp fixed-point: aggregate as exact DECIMAL so both
+    # engines produce bit-identical doubles (ULP-safe), round at output
+    return with_gap.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").cast("long").alias("n_events"),
+        rnd(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+
+
+O_EVENTS_SESSIONIZE = f"""
+WITH w AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM w)
+SELECT user_id, session_id, min(ts) AS session_start,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+FROM s GROUP BY user_id, session_id"""
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _load_events(spark, sf_dir)
+    dec_sum = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        rnd(dec_sum, 4).alias("sum_value"),
+        rnd(dec_sum / F.count("*"), 4).alias("avg_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+O_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2"""
+
+
+# --- TPC-H-ish relational queries ---
+
+# exact DECIMAL aggregation fragments — valid in BOTH Spark SQL and
+# DuckDB; sums of fixed-point columns stay exact, cast to double only
+# at output so both engines emit bit-identical values
+_QTY = "CAST(l_quantity AS DECIMAL(8,2))"
+_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+_TAX = "CAST(l_tax AS DECIMAL(4,2))"
+_SUM_QTY = f"CAST(sum({_QTY}) AS DOUBLE)"
+_SUM_PRICE = f"CAST(sum({_PRICE}) AS DOUBLE)"
+_SUM_DISC_PRICE = f"CAST(sum({_PRICE} * (1 - {_DISC})) AS DOUBLE)"
+_SUM_CHARGE = f"CAST(sum({_PRICE} * (1 - {_DISC}) * (1 + {_TAX})) AS DOUBLE)"
+_SUM_DISC = f"CAST(sum({_DISC}) AS DOUBLE)"
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.expr(_SUM_QTY), 4).alias("sum_qty"),
+            rnd(F.expr(_SUM_PRICE), 4).alias("sum_base_price"),
+            rnd(F.expr(_SUM_DISC_PRICE), 4).alias("sum_disc_price"),
+            rnd(F.expr(_SUM_CHARGE), 4).alias("sum_charge"),
+            rnd(F.expr(_SUM_QTY) / F.count("*"), 4).alias("avg_qty"),
+            rnd(F.expr(_SUM_PRICE) / F.count("*"), 4).alias("avg_price"),
+            rnd(F.expr(_SUM_DISC) / F.count("*"), 4).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+O_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       round({_SUM_QTY}, 4) AS sum_qty,
+       round({_SUM_PRICE}, 4) AS sum_base_price,
+       round({_SUM_DISC_PRICE}, 4) AS sum_disc_price,
+       round({_SUM_CHARGE}, 4) AS sum_charge,
+       round({_SUM_QTY} / count(*), 4) AS avg_qty,
+       round({_SUM_PRICE} / count(*), 4) AS avg_price,
+       round({_SUM_DISC} / count(*), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rnd(F.expr(_SUM_DISC_PRICE), 4).alias("revenue"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+    )
+
+
+O_TPCH_Q3 = """
+WITH j AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+         round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+  GROUP BY 1, 2, 3)
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue
+FROM j
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10"""
+
+
+def q_tpch_q5ish(spark, sf_dir):
+    """Regional revenue rollup: region ⋈ nation ⋈ customer ⋈ orders ⋈
+    lineitem ⋈ supplier with the TPC-H Q5 co-nation condition."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        region.where(F.col("r_name") == "ASIA")
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            rnd(F.expr(_SUM_DISC_PRICE), 4).alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+O_TPCH_Q5ISH = """
+SELECT n.n_name,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name"""
+
+
+# ====================================================== public registry
+QUERIES = {
+    # ER pipeline (SURVEY §2.2-2.6)
+    "er_token_blocks": q_er_token_blocks,
+    "er_block_purging": q_er_block_purging,
+    "er_block_filtering": q_er_block_filtering,
+    "er_cbs_edges": _mk_edges_query(WeightTypes.CBS),
+    "er_js_edges": _mk_edges_query(WeightTypes.JS),
+    "er_ecbs_edges": _mk_edges_query(WeightTypes.ECBS),
+    "er_arcs_edges": _mk_edges_query(WeightTypes.ARCS),
+    "er_chi2_edges": _mk_edges_query(WeightTypes.CHI_SQUARE),
+    "er_ejs_edges": _mk_edges_query(WeightTypes.EJS),
+    "er_wnp_cbs_avg_or": q_er_wnp_cbs_avg_or,
+    "er_wnp_js_maxdiv2_and": q_er_wnp_js_maxdiv2_and,
+    "er_wep_cbs": q_er_wep_cbs,
+    "er_cep_cbs": q_er_cep_cbs,
+    "er_cnp_cbs_or": q_er_cnp_cbs_or,
+    "er_clean_cbs_edges": q_er_clean_cbs_edges,
+    # dedup (M8)
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    # similarity search (M8)
+    "ann_topk_cosine": q_ann_topk_cosine,
+    "ann_topk_ivf": q_ann_topk_ivf,  # approximate: rows-only check
+    # text analysis (M8)
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    # events
+    "events_sessionize": q_events_sessionize,
+    "events_hourly": q_events_hourly,
+    # relational spine
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5ish": q_tpch_q5ish,
+}
+
+
+def build_oracles() -> dict[str, str]:
+    oracles = {
+        "er_token_blocks": O_ER_TOKEN_BLOCKS,
+        "er_block_purging": O_ER_BLOCK_PURGING,
+        "er_block_filtering": O_ER_BLOCK_FILTERING,
+        "er_cbs_edges": _duck_edges_sql(WeightTypes.CBS),
+        "er_js_edges": _duck_edges_sql(WeightTypes.JS),
+        "er_ecbs_edges": _duck_edges_sql(WeightTypes.ECBS),
+        "er_arcs_edges": _duck_edges_sql(WeightTypes.ARCS),
+        "er_chi2_edges": _duck_edges_sql(WeightTypes.CHI_SQUARE),
+        "er_ejs_edges": _duck_edges_sql(WeightTypes.EJS),
+        "er_wnp_cbs_avg_or": _duck_wnp(
+            WeightTypes.CBS, ThresholdTypes.AVG, ComparisonTypes.OR
+        ),
+        "er_wnp_js_maxdiv2_and": _duck_wnp(
+            WeightTypes.JS, ThresholdTypes.MAX_FRACT_2, ComparisonTypes.AND
+        ),
+        "er_wep_cbs": O_ER_WEP_CBS,
+        "er_cep_cbs": O_ER_CEP_CBS,
+        "er_cnp_cbs_or": O_ER_CNP_CBS_OR,
+        "er_clean_cbs_edges": O_ER_CLEAN_CBS_EDGES,
+        "dedup_exact": O_DEDUP_EXACT,
+        "dedup_ngram_jaccard": O_DEDUP_NGRAM_JACCARD,
+        "dedup_minhash_lsh": _o_dedup_minhash(),
+        "dedup_simhash": _o_dedup_simhash(),
+        "dedup_embedding_cosine": O_DEDUP_EMBEDDING,
+        "ann_topk_cosine": O_ANN_TOPK,
+        # ann_topk_ivf intentionally omitted (approximate operator)
+        "text_token_stats": O_TEXT_TOKEN_STATS,
+        "text_quality": _o_text_quality(),
+        "text_lang_id": _o_text_lang_id(),
+        "text_fingerprint": O_TEXT_FINGERPRINT,
+        "events_sessionize": O_EVENTS_SESSIONIZE,
+        "events_hourly": O_EVENTS_HOURLY,
+        "tpch_q1": O_TPCH_Q1,
+        "tpch_q3": O_TPCH_Q3,
+        "tpch_q5ish": O_TPCH_Q5ISH,
+    }
+    # native round() differs between engines at exact .5 boundaries —
+    # rewrite every round() into the deterministic floor formula that
+    # the Spark side (sparker_spark.rounding.rnd) uses
+    return {k: rewrite_rounds(v) for k, v in oracles.items()}

@@ -1,0 +1,155 @@
+"""Feature generation for Generalized Supervised Meta-Blocking.
+
+Reference parity: python/sparker/feature_generator.py:13-249. The
+reference builds five driver-collected broadcast indexes plus a
+per-partition dense-array pass; every one of them is a per-profile
+aggregate here, joined into the pair relation — no driver state.
+
+Features per co-occurring pair (p1 < p2), matching
+feature_generator.py:155-176 exactly (natural log):
+
+  cfibf      = cbs · ln(B/|B(p1)|) · ln(B/|B(p2)|)
+  raccb      = max(Σ_{b shared} 1/comparisons(b), 1e-6)
+  js         = cbs / (redundant(p1) + redundant(p2) − cbs)
+  numCompP1/2= non-redundant comparisons (distinct neighbors; for
+               dirty ER this includes the reference's self-neighbor,
+               calc_profiles_stats:42-48 has no self-exclusion)
+  rs         = Σ_{b shared} 1/size(b)
+  aejs       = js₁ · ln(T/comp(p1)) · ln(T/comp(p2)),
+               js₁ = cbs/(|B(p1)|+|B(p2)|−cbs), T = Σ comparisons
+  nrs        = rs / (invsize(p1) + invsize(p2) − rs)
+  wjs        = raccb / (invcomp(p1) + invcomp(p2) − raccb)
+  is_match   = groundtruth label (optional)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparker_spark.blocking.blockers import BlockCollection
+from sparker_spark.metablocking.weights import EdgeWeighting
+
+
+class FeatureGenerator:
+    @staticmethod
+    def generate_features(
+        blocks: BlockCollection,
+        groundtruth: DataFrame | None = None,
+        id_map: DataFrame | None = None,
+    ) -> DataFrame:
+        """blocks: the (filtered) block collection. groundtruth:
+        optional (p1, p2) engine-id pairs. id_map: optional
+        (profile_id, original_id) to emit original ids like the
+        reference's convert_ids=True."""
+        meta = blocks.meta.select("block_id", "block_size", "comparisons")
+        asg = blocks.assignments.select("block_id", "profile_id", "source_id")
+
+        # ---- per-profile indexes (feature_generator.py:96-118) ----
+        pb = asg.join(meta, "block_id")
+        per_profile = pb.groupBy("profile_id").agg(
+            F.count("*").alias("num_blocks"),
+            F.sum(1.0 / F.col("block_size")).alias("inv_size_sum"),
+            F.sum(F.col("comparisons").cast("double")).alias("comp_sum"),
+            F.sum(1.0 / F.col("comparisons")).alias("inv_comp_sum"),
+        )
+
+        num_blocks_total = blocks.meta.count()
+        total_comparisons = (
+            blocks.meta.agg(F.sum("comparisons").alias("t")).first()["t"] or 0
+        )
+
+        # redundant/non-redundant comparison stats
+        # (calc_profiles_stats :13-57; self-inclusive for dirty)
+        co = EdgeWeighting.co_occurrence(blocks)
+        stats = co.groupBy("src").agg(
+            F.sum("cbs").alias("redundant"),
+            F.count("*").alias("non_redundant"),
+        )
+
+        # ---- pair relation with shared-block aggregates ----
+        a = asg.select(F.col("block_id").alias("bid"), F.col("profile_id").alias("p1"),
+                       F.col("source_id").alias("s1"))
+        b = asg.select(F.col("block_id").alias("bid"), F.col("profile_id").alias("p2"),
+                       F.col("source_id").alias("s2"))
+        if blocks.clean:
+            cond = (F.col("s1") != F.col("s2")) & (F.col("p1") < F.col("p2"))
+        else:
+            cond = F.col("p1") < F.col("p2")
+        m = meta.select(F.col("block_id").alias("bid"), "block_size", "comparisons")
+        pairs = (
+            a.join(b, "bid")
+            .where(cond)
+            .join(m, "bid")
+            .groupBy("p1", "p2")
+            .agg(
+                F.count("*").cast("double").alias("cbs"),
+                F.sum(1.0 / F.col("comparisons")).alias("raccb_raw"),
+                F.sum(1.0 / F.col("block_size")).alias("rs"),
+            )
+        )
+
+        def side(name):
+            return (
+                per_profile.join(stats, per_profile.profile_id == stats.src, "left")
+                .select(
+                    F.col("profile_id").alias(name),
+                    F.col("num_blocks").alias(f"nb_{name}"),
+                    F.col("inv_size_sum").alias(f"invsize_{name}"),
+                    F.col("comp_sum").alias(f"comp_{name}"),
+                    F.col("inv_comp_sum").alias(f"invcomp_{name}"),
+                    F.coalesce("redundant", F.lit(0.0)).alias(f"red_{name}"),
+                    F.coalesce("non_redundant", F.lit(0)).alias(f"nonred_{name}"),
+                )
+            )
+
+        e = pairs.join(side("p1"), "p1").join(side("p2"), "p2")
+
+        B = F.lit(float(num_blocks_total))
+        T = F.lit(float(total_comparisons))
+        cbs = F.col("cbs")
+        raccb = F.greatest(F.col("raccb_raw"), F.lit(1.0e-6))
+        js = cbs / (F.col("red_p1") + F.col("red_p2") - cbs)
+        cfibf = cbs * F.log(B / F.col("nb_p1")) * F.log(B / F.col("nb_p2"))
+        js1 = cbs / (F.col("nb_p1") + F.col("nb_p2") - cbs)
+        aejs = js1 * F.log(T / F.col("comp_p1")) * F.log(T / F.col("comp_p2"))
+        nrs = F.col("rs") / (
+            F.col("invsize_p1") + F.col("invsize_p2") - F.col("rs")
+        )
+        wjs = raccb / (F.col("invcomp_p1") + F.col("invcomp_p2") - raccb)
+
+        out = e.select(
+            "p1",
+            "p2",
+            cfibf.cast("float").alias("cfibf"),
+            raccb.cast("float").alias("raccb"),
+            js.cast("float").alias("js"),
+            F.col("nonred_p1").cast("long").alias("numCompP1"),
+            F.col("nonred_p2").cast("long").alias("numCompP2"),
+            F.col("rs").cast("float").alias("rs"),
+            aejs.cast("float").alias("aejs"),
+            nrs.cast("float").alias("nrs"),
+            wjs.cast("float").alias("wjs"),
+        )
+
+        if groundtruth is not None:
+            gt = groundtruth.select("p1", "p2").withColumn("is_match", F.lit(1))
+            out = out.join(gt, ["p1", "p2"], "left").fillna({"is_match": 0})
+        else:
+            out = out.withColumn("is_match", F.lit(None).cast("int"))
+
+        if id_map is not None:
+            m1 = id_map.select(
+                F.col("profile_id").alias("p1"), F.col("original_id").alias("o1")
+            )
+            m2 = id_map.select(
+                F.col("profile_id").alias("p2"), F.col("original_id").alias("o2")
+            )
+            out = (
+                out.join(m1, "p1")
+                .join(m2, "p2")
+                .drop("p1", "p2")
+                .withColumnRenamed("o1", "p1")
+                .withColumnRenamed("o2", "p2")
+            )
+        return out

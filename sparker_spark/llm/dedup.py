@@ -1,0 +1,238 @@
+"""Deduplication operators for training-data pipelines (SURVEY §7.1 M8).
+
+All candidate generation is block-local (hash buckets / LSH bands /
+shared shingles) — never an unbounded cross join — so each operator's
+shuffle volume is proportional to true candidate count, the property
+that keeps them viable at 100 TB. Exact semantics are mirrored in
+DuckDB SQL by the oracle generator (sparker_spark/oracle.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparker_spark.rounding import rnd
+
+from sparker_spark.llm.hashing import (
+    MERSENNE_31,
+    minhash_coefficients,
+    minhash_expr,
+)
+from sparker_spark.llm.shingles import shingle_hashes, shingles
+
+
+class Dedup:
+    @staticmethod
+    def exact_groups(documents: DataFrame, normalize: bool = True) -> DataFrame:
+        """Exact dedup via content hash: (doc_id, text_hash, group_size,
+        is_canonical). Canonical = smallest doc_id in the group."""
+        text = F.col("text")
+        if normalize:
+            text = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+        w = Window.partitionBy("text_hash")
+        return (
+            documents.select("doc_id", F.md5(text).alias("text_hash"))
+            .withColumn("group_size", F.count("*").over(w))
+            .withColumn(
+                "is_canonical", (F.col("doc_id") == F.min("doc_id").over(w))
+            )
+        )
+
+    @staticmethod
+    def ngram_jaccard_pairs(
+        documents: DataFrame, shingle_size: int = 3, threshold: float = 0.2
+    ) -> DataFrame:
+        """Exact n-gram Jaccard near-dup pairs: candidates = pairs
+        sharing >=1 shingle; jaccard = |∩| / (n1 + n2 − |∩|)."""
+        sh = shingle_hashes(documents, shingle_size).select("doc_id", "h")
+        counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        a = sh.select(F.col("doc_id").alias("p1"), "h")
+        b = sh.select(F.col("doc_id").alias("p2"), "h")
+        common = (
+            a.join(b, "h")
+            .where(F.col("p1") < F.col("p2"))
+            .groupBy("p1", "p2")
+            .agg(F.count("*").alias("c"))
+        )
+        j = (
+            common.join(
+                counts.select(F.col("doc_id").alias("p1"), F.col("n_sh").alias("n1")),
+                "p1",
+            )
+            .join(
+                counts.select(F.col("doc_id").alias("p2"), F.col("n_sh").alias("n2")),
+                "p2",
+            )
+            .withColumn(
+                "jaccard",
+                rnd(
+                    F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")), 6
+                ),
+            )
+        )
+        return j.where(F.col("jaccard") >= F.lit(float(threshold))).select(
+            "p1", "p2", "jaccard"
+        )
+
+    @staticmethod
+    def minhash_signatures(
+        documents: DataFrame, num_hashes: int = 32, shingle_size: int = 3,
+        seed: int = 1234,
+    ) -> DataFrame:
+        """(doc_id, mh_0..mh_{k-1}): classic MinHash over word shingles
+        using seeded affine permutations mod 2^31−1 (portable to the
+        DuckDB oracle; construction mirrors the reference LSH,
+        attribute_clustering.py:11-32 / LSH.scala:44-52)."""
+        coeffs = minhash_coefficients(num_hashes, seed)
+        sh = shingle_hashes(documents, shingle_size)
+        aggs = [
+            F.min(F.expr(minhash_expr(a, b))).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+        return sh.groupBy("doc_id").agg(*aggs)
+
+    @staticmethod
+    def minhash_lsh_pairs(
+        documents: DataFrame,
+        num_hashes: int = 32,
+        bands: int = 8,
+        shingle_size: int = 3,
+        threshold: float = 0.2,
+        seed: int = 1234,
+    ) -> DataFrame:
+        """MinHash + LSH banding near-dup pairs: signature -> band
+        buckets -> bucket-local candidate pairs -> exact Jaccard
+        verification >= threshold. The band join is the scale path: at
+        any data size candidates are only same-bucket pairs."""
+        assert num_hashes % bands == 0
+        rows = num_hashes // bands
+        sigs = Dedup.minhash_signatures(documents, num_hashes, shingle_size, seed)
+        band_cols = [
+            F.concat_ws(
+                "_",
+                F.lit(bi),
+                *[F.col(f"mh_{bi * rows + r}") for r in range(rows)],
+            ).alias(f"band_{bi}")
+            for bi in range(bands)
+        ]
+        banded = sigs.select("doc_id", *band_cols)
+        buckets = banded.select(
+            "doc_id",
+            F.explode(F.array(*[F.col(f"band_{bi}") for bi in range(bands)])).alias(
+                "bucket"
+            ),
+        )
+        a = buckets.select(F.col("doc_id").alias("p1"), "bucket")
+        b = buckets.select(F.col("doc_id").alias("p2"), "bucket")
+        cand = (
+            a.join(b, "bucket").where(F.col("p1") < F.col("p2")).select("p1", "p2")
+        ).distinct()
+        # verify with exact jaccard on the candidates only
+        exact = Dedup.ngram_jaccard_pairs(documents, shingle_size, threshold=0.0)
+        return (
+            cand.join(exact, ["p1", "p2"])
+            .where(F.col("jaccard") >= F.lit(float(threshold)))
+            .select("p1", "p2", "jaccard")
+        )
+
+    @staticmethod
+    def simhash_fingerprints(documents: DataFrame, bits: int = 32) -> DataFrame:
+        """(doc_id, simhash): tf-weighted SimHash over word tokens.
+        One groupBy with ``bits`` conditional sums — a single shuffle,
+        no explode by bit position."""
+        toks = documents.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("tok"),
+        ).where(F.length("tok") > 0)
+        from sparker_spark.llm.hashing import SPARK_HASH60
+
+        h = toks.withColumn("h", F.expr(SPARK_HASH60.format(x="tok")))
+        aggs = [
+            F.sum(
+                F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s_{j}")
+            for j in range(bits)
+        ]
+        sums = h.groupBy("doc_id").agg(*aggs)
+        fp = None
+        for j in range(bits):
+            bit = F.when(F.col(f"s_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+            fp = bit if fp is None else fp + bit
+        return sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+    @staticmethod
+    def simhash_pairs(
+        documents: DataFrame, bits: int = 32, max_hamming: int = 3
+    ) -> DataFrame:
+        """SimHash near-dup pairs with Hamming distance <= max_hamming.
+        Candidates via pigeonhole banding: split the fingerprint into
+        max_hamming+1 bands — any pair within distance d shares >=1
+        exact band — then verify with bit_count(xor)."""
+        nbands = max_hamming + 1
+        band_bits = bits // nbands
+        fps = Dedup.simhash_fingerprints(documents, bits)
+        band_cols = [
+            F.concat_ws(
+                "_",
+                F.lit(bi),
+                F.expr(
+                    f"(simhash >> {bi * band_bits}) & {(1 << band_bits) - 1}"
+                ),
+            ).alias("band")
+            for bi in range(nbands)
+        ]
+        buckets = fps.select(
+            "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bucket")
+        )
+        a = buckets.select(
+            F.col("doc_id").alias("p1"), F.col("simhash").alias("f1"), "bucket"
+        )
+        b = buckets.select(
+            F.col("doc_id").alias("p2"), F.col("simhash").alias("f2"), "bucket"
+        )
+        cand = (
+            a.join(b, "bucket")
+            .where(F.col("p1") < F.col("p2"))
+            .select("p1", "p2", "f1", "f2")
+            .distinct()
+        )
+        return (
+            cand.withColumn(
+                "hamming", F.expr("bit_count(f1 ^ f2)").cast("int")
+            )
+            .where(F.col("hamming") <= F.lit(int(max_hamming)))
+            .select("p1", "p2", "hamming")
+        )
+
+    @staticmethod
+    def embedding_cosine_pairs(
+        embeddings: DataFrame, threshold: float = 0.9
+    ) -> DataFrame:
+        """Embedding near-dup pairs: brute-force cosine >= threshold.
+        Exact baseline — O(n²); use ANN (similarity.py) as the scale
+        path. Dot product via zip_with/aggregate — JVM-side."""
+        v = embeddings.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            F.expr(
+                "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+            ).alias("norm"),
+        )
+        a = v.select(
+            F.col("vec_id").alias("p1"), F.col("emb").alias("e1"), F.col("norm").alias("n1")
+        )
+        b = v.select(
+            F.col("vec_id").alias("p2"), F.col("emb").alias("e2"), F.col("norm").alias("n2")
+        )
+        pairs = a.crossJoin(b).where(F.col("p1") < F.col("p2"))
+        dot = F.expr(
+            "aggregate(zip_with(e1, e2, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        )
+        return (
+            pairs.withColumn("cosine", rnd(dot / (F.col("n1") * F.col("n2")), 6))
+            .where(F.col("cosine") >= F.lit(float(threshold)))
+            .select("p1", "p2", "cosine")
+        )

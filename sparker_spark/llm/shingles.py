@@ -1,0 +1,44 @@
+"""Word-shingle extraction + portable hashing, shared by dedup and
+fingerprinting. Pure higher-order-function expressions (sequence +
+transform + explode) — no UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparker_spark.llm.hashing import MERSENNE_31, SPARK_HASH60
+
+
+def shingles(documents: DataFrame, shingle_size: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams of lowercased text."""
+    n = int(shingle_size)
+    return (
+        documents.select(
+            "doc_id",
+            F.split(F.lower(F.col("text")), "\\s+").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            # guard: sequence(1, 0) would generate a DESCENDING [1, 0]
+            # in Spark, so short documents get an explicit empty array
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {n} THEN "
+                    f"transform(sequence(1, size(toks) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {n}))) "
+                    f"ELSE array() END"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def shingle_hashes(documents: DataFrame, shingle_size: int = 3) -> DataFrame:
+    """(doc_id, h, h31): 60-bit md5 hash per distinct shingle, plus the
+    31-bit reduction used by MinHash permutations."""
+    return shingles(documents, shingle_size).select(
+        "doc_id",
+        F.expr(SPARK_HASH60.format(x="shingle")).alias("h"),
+    ).withColumn("h31", F.col("h") % MERSENNE_31)

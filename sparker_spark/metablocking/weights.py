@@ -190,12 +190,18 @@ class EdgeWeighting:
             js = cbs / (F.col("src_blocks") + F.col("dst_blocks") - cbs)
             e_src = F.coalesce(F.col("src_edges").cast("double"), F.lit(0.0)) + EPS
             e_dst = F.coalesce(F.col("dst_edges").cast("double"), F.lit(EPS))
+            # the reference swallows math errors (log of non-positive,
+            # zero division) into weight 0 via try/except
+            # (common_node_pruning.py:233-246); the denominator guard
+            # reproduces that without relying on engine NaN semantics
             if use_entropy:
                 # parity with the reference's (quirky) entropy
                 # bracketing, common_node_pruning.py:232-239
-                weight = (js * ent) * F.log10(E / e_dst * F.log10(E / e_src))
+                arg = E / e_dst * F.log10(E / e_src)
+                weight = F.when(arg > 0, (js * ent) * F.log10(arg)).otherwise(0.0)
             else:
-                weight = js * F.log10(E / (e_dst * F.log10(E / e_src)))
+                den = e_dst * F.log10(E / e_src)
+                weight = F.when(den > 0, js * F.log10(E / den)).otherwise(0.0)
             weight = F.coalesce(weight, F.lit(0.0))
 
         edges = e.select("src", "dst", "cbs", weight.cast("double").alias("weight"))

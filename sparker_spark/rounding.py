@@ -1,0 +1,62 @@
+"""Bit-deterministic cross-engine rounding.
+
+Native round() differs between engines at exact .5 boundaries (Spark:
+HALF_UP on the BigDecimal expansion of the double; DuckDB: C-library
+behaviour on the scaled double). ``floor(x·10ⁿ + 0.5)/10ⁿ`` uses only
+IEEE multiply/add/floor, so two engines holding the identical double
+produce identical output — which is what the driver's value-hash
+comparison needs. Used for every floating-point OUTPUT column in the
+oracle-checked query surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def rnd(col: Column | str, n: int = 6) -> Column:
+    """Spark-side deterministic round-half-up."""
+    if isinstance(col, str):
+        col = F.col(col)
+    scale = float(10**n)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def rewrite_rounds(sql: str) -> str:
+    """Rewrite every ``round(expr, n)`` call in a SQL string into the
+    deterministic floor formula (paren-matching, handles nesting of the
+    inner expr)."""
+    import re
+
+    while True:
+        m = re.search(r"\bround\(", sql)
+        if not m:
+            return sql
+        start = m.start()
+        i = m.end()
+        depth = 1
+        last_comma = None
+        while depth > 0:
+            ch = sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                last_comma = i
+            i += 1
+        end = i  # position after closing paren
+        inner = sql[m.end() : end - 1]
+        if last_comma is None:
+            expr, n = inner, 0
+        else:
+            expr = sql[m.end() : last_comma]
+            n = int(sql[last_comma + 1 : end - 1].strip())
+        sql = sql[:start] + sql_rnd(expr, n) + sql[end:]
+
+
+def sql_rnd(expr: str, n: int = 6) -> str:
+    """Dialect-neutral SQL fragment of the same formula."""
+    scale = float(10**n)
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"

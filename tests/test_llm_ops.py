@@ -1,0 +1,162 @@
+"""Tests for the LLM-pipeline extension operators (dedup, similarity,
+text analysis) on hand-checkable micro-fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparker_spark.llm.dedup import Dedup
+from sparker_spark.llm.similarity import SimilaritySearch
+from sparker_spark.llm.text import TextAnalysis
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different text about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "one two"),  # shorter than a shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_groups(docs):
+    out = {r["doc_id"]: r for r in Dedup.exact_groups(docs).collect()}
+    assert out[0]["group_size"] == 2
+    assert out[3]["group_size"] == 2
+    assert out[0]["text_hash"] == out[3]["text_hash"]
+    assert out[0]["is_canonical"] and not out[3]["is_canonical"]
+    assert out[2]["group_size"] == 1
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["p1"], r["p2"]): r["jaccard"]
+        for r in Dedup.ngram_jaccard_pairs(docs, 3, 0.2).collect()
+    }
+    # doc0 vs doc3 identical -> jaccard 1.0
+    assert pairs[(0, 3)] == pytest.approx(1.0)
+    # doc0 vs doc1: 7 shingles each, 6 shared -> 6/8 = 0.75
+    assert pairs[(0, 1)] == pytest.approx(0.75)
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    # bands=16 (rows=2): detection probability for jaccard 0.75 is
+    # 1 - (1 - 0.75^2)^16 ~ 1 - 2e-6 — deterministic with the fixed seed
+    pairs = {
+        (r["p1"], r["p2"]): r["jaccard"]
+        for r in Dedup.minhash_lsh_pairs(docs, 32, 16, 3, 0.2).collect()
+    }
+    assert (0, 3) in pairs  # identical docs always collide
+    assert pairs[(0, 3)] == pytest.approx(1.0)
+    assert (0, 1) in pairs
+
+
+def test_minhash_lsh_subset_of_exact(docs):
+    lsh = {
+        (r["p1"], r["p2"])
+        for r in Dedup.minhash_lsh_pairs(docs, 32, 8, 3, 0.2).collect()
+    }
+    exact = {
+        (r["p1"], r["p2"])
+        for r in Dedup.ngram_jaccard_pairs(docs, 3, 0.2).collect()
+    }
+    assert lsh <= exact
+
+
+def test_simhash(docs):
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in Dedup.simhash_fingerprints(docs).collect()
+    }
+    assert fps[0] == fps[3]  # identical text, identical fingerprint
+    pairs = {
+        (r["p1"], r["p2"]): r["hamming"]
+        for r in Dedup.simhash_pairs(docs, 32, 3).collect()
+    }
+    assert pairs[(0, 3)] == 0
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    pairs = {
+        (r["p1"], r["p2"]): r["cosine"]
+        for r in Dedup.embedding_cosine_pairs(emb, 0.9).collect()
+    }
+    assert pairs[(0, 3)] == pytest.approx(1.0)
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_ann_topk(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (100, [0.95, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = SimilaritySearch.topk_cosine(
+        emb, k=2, query_filter="vec_id % 100 = 0"
+    ).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+    # query 0: nearest is 100 then 1
+    assert sorted(by_query[0]) == [(1, 100), (2, 1)]
+    assert len(by_query[100]) == 2
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = SimilaritySearch.topk_cosine(
+        emb, k=5, query_filter="vec_id % 100 = 0"
+    )
+    approx = SimilaritySearch.topk_cosine_ivf(
+        emb, k=5, num_cells=8, n_probe=4, query_filter="vec_id % 100 = 0"
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_text_stats(docs):
+    out = {r["doc_id"]: r for r in TextAnalysis.token_stats(docs).collect()}
+    assert out[4]["n_tokens_ws"] == 2
+    assert out[0]["n_tokens_ws"] == 9
+    assert out[0]["n_distinct_tokens"] == 8  # 'the' twice
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat is in the house and it is big", "en"),
+        (1, "der hund ist nicht mit der katze auf dem dach", "de"),
+        (2, "xyzzy plugh qwerty", "zz"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r["predicted_lang"] for r in TextAnalysis.lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "und"
+
+
+def test_quality_monotone(docs):
+    out = {r["doc_id"]: r for r in TextAnalysis.quality_score(docs).collect()}
+    for r in out.values():
+        assert 0.0 <= r["quality_score"] <= 1.0
+    # doc with stopwords + alpha tokens scores above the 2-word fragment
+    assert out[0]["quality_score"] > out[4]["quality_score"]
