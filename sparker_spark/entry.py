@@ -83,9 +83,15 @@ def _doc_keys_shingle(spark, sf_dir, clean: bool = False) -> DataFrame:
 
 
 def _shingle_blocks(spark, sf_dir, clean: bool = False):
+    # cache the block collection: the downstream weighting/pruning plan
+    # references assignments/meta several times, and Spark has no
+    # automatic subplan reuse — without this the keys aggregation is
+    # recomputed per reference (visible as N identical scan subtrees in
+    # .explain). Stage-boundary caching is the same policy the
+    # reference applies manually (SURVEY §4 persist/unpersist row).
     keys = _doc_keys_shingle(spark, sf_dir, clean)
-    blocks = Blocking.blocks_from_keys(keys, clean=clean, assign_ids=False)
-    profile_blocks = Converters.blocks_to_profile_blocks(blocks)
+    blocks = Blocking.blocks_from_keys(keys, clean=clean, assign_ids=False).cache()
+    profile_blocks = Converters.blocks_to_profile_blocks(blocks).cache()
     return blocks, profile_blocks
 
 
@@ -257,7 +263,10 @@ FROM blocks b, thr WHERE b.comparisons <= thr.t"""
 
 def q_er_block_filtering(spark, sf_dir):
     keys = _doc_keys_unigram(spark, sf_dir)
-    blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=True)
+    # assign_ids=False: xxhash64 block ids avoid the global-sort window
+    # of dense id assignment (a single-partition stage at scale); the
+    # filtering cutoff is tie-order independent so results are identical
+    blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=False)
     purged = BlockPurging.block_purging(blocks, SMOOTH_FACTOR)
     pb = Converters.blocks_to_profile_blocks(purged)
     filtered = BlockFiltering.block_filtering(pb, FILTER_R)

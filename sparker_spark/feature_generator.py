@@ -10,6 +10,10 @@ feature_generator.py:155-176 exactly (natural log):
 
   cfibf      = cbs · ln(B/|B(p1)|) · ln(B/|B(p2)|)
   raccb      = max(Σ_{b shared} 1/comparisons(b), 1e-6)
+               — per the GSMB paper. Documented deviation: the
+               reference adds only the FIRST shared block (the +=
+               guards on cbs==1, feature_generator.py:148-151) in
+               nondeterministic set order; same for rs.
   js         = cbs / (redundant(p1) + redundant(p2) − cbs)
   numCompP1/2= non-redundant comparisons (distinct neighbors; for
                dirty ER this includes the reference's self-neighbor,

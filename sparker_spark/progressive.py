@@ -1,0 +1,207 @@
+"""Progressive ER: PPS and GSPSN (SURVEY §2.9).
+
+Reference parity: python/sparker/progressive.py:7-281 (PPS), :283-400
+(GSPSN) — Simonini et al., "Schema-agnostic Progressive Entity
+Resolution" (arXiv:1905.06385).
+
+Progressive emission is inherently a driver-pull iterator (SURVEY §4);
+the reference keeps driver PriorityQueues fed from broadcast-index
+mapPartitions jobs. Here the weighted edge relation is a cached
+DataFrame and every refill is a distributed window top-k over a
+mini-batch of profiles — no O(max_id) arrays, no broadcast block index.
+"""
+
+from __future__ import annotations
+
+from queue import PriorityQueue
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparker_spark.blocking.blockers import BlockCollection
+from sparker_spark.metablocking.pruning_utils import WeightTypes
+from sparker_spark.metablocking.weights import EdgeWeighting
+
+
+class PPS:
+    """Progressive Profile Scheduling (progressive.py:7-281).
+
+    Protocol-compatible with the reference: ``initialize()`` then
+    repeated ``get_next()`` returning (-weight, p1, p2)-ordered best
+    comparisons, (-1, -1, -1) when exhausted. Defaults k=20,
+    mini_batch=40 (progressive.py:72-73).
+    """
+
+    def __init__(
+        self,
+        blocks: BlockCollection,
+        profile_blocks_filtered: DataFrame,
+        weight_type: str = WeightTypes.CBS,
+        use_entropy: bool = False,
+        k: int = 20,
+        mini_batch: int = 40,
+    ):
+        self.blocks = blocks
+        self.pbf = profile_blocks_filtered
+        self.weight_type = weight_type
+        self.use_entropy = use_entropy
+        self.k = k + 1  # reference keeps k+1 (progressive.py:103)
+        self.mini_batch = mini_batch
+        self.comparison_queue: PriorityQueue = PriorityQueue()
+        self.profile_queue: PriorityQueue = PriorityQueue()
+        self.visited: set = set()
+        self.emitted: set = set()
+        self._edges = None
+
+    def initialize(self):
+        """First pass (progressive.py:12-70 + initialize :214-232):
+        per profile, its top-1 comparison (among larger-id neighbors)
+        and its duplication likelihood (mean neighbor weight)."""
+        ctx = EdgeWeighting.weighted_edges(
+            self.blocks, self.pbf, self.weight_type, self.use_entropy
+        )
+        # first_step=False enumeration: only dst > src (no self-loops)
+        self._edges = (
+            ctx.edges.where(F.col("src") < F.col("dst"))
+            .select("src", "dst", "weight")
+            .cache()
+        )
+        per_profile = self._edges.groupBy("src").agg(
+            F.avg("weight").alias("likelihood"),
+            F.max(F.struct(F.col("weight"), (-F.col("dst")).alias("nd"))).alias(
+                "top"
+            ),
+        )
+        rows = per_profile.collect()
+        for r in rows:
+            top_w = r["top"]["weight"]
+            top_n = -r["top"]["nd"]
+            if top_w > 0:
+                self.comparison_queue.put((-top_w, r["src"], int(top_n)))
+                self.emitted.add((r["src"], int(top_n)))
+            self.profile_queue.put((-r["likelihood"], r["src"]))
+
+    def _refill(self):
+        batch = []
+        while not self.profile_queue.empty() and len(batch) < self.mini_batch:
+            _, pid = self.profile_queue.get()
+            if pid not in self.visited:
+                self.visited.add(pid)
+                batch.append(pid)
+        if not batch:
+            return False
+        w = Window.partitionBy("src").orderBy(
+            F.col("weight").desc(), F.col("dst").asc()
+        )
+        top = (
+            self._edges.where(F.col("src").isin(batch))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= self.k)
+            .collect()
+        )
+        added = False
+        for r in top:
+            key = (r["src"], r["dst"])
+            if key not in self.emitted:
+                self.emitted.add(key)
+                self.comparison_queue.put((-r["weight"], r["src"], r["dst"]))
+                added = True
+        return added
+
+    def get_next(self):
+        """Best remaining comparison as (p1, p2, weight), or
+        (-1, -1, -1) when exhausted (progressive.py:234-280)."""
+        while self.comparison_queue.empty():
+            if not self._refill():
+                return (-1, -1, -1)
+        neg_w, p1, p2 = self.comparison_queue.get()
+        return (p1, p2, -neg_w)
+
+    def __iter__(self):
+        while True:
+            nxt = self.get_next()
+            if nxt == (-1, -1, -1):
+                return
+            yield nxt
+
+
+class GSPSN:
+    """Global Sorted-neighborhood Progressive (progressive.py:283-400).
+
+    (token, profile) pairs globally sorted by token; positions via
+    row_number; neighbors within ±max_window_size positions weighted by
+    Jaccard of window co-occurrence counts — a *range self-join* in
+    DataFrame form instead of the reference's broadcast position index.
+    Tie order within a token: profile_id ascending (the reference's
+    zipWithIndex order is partition-dependent; documented determinism
+    choice).
+    """
+
+    def __init__(self, keys: DataFrame, max_window_size: int = 3,
+                 separator_id: int = -1):
+        """keys: (profile_id, key) blocking keys (non-distinct ok);
+        separator_id >= 0 enables the clean-clean cross-source rule
+        (progressive.py:337-339)."""
+        self.keys = keys
+        self.w = max_window_size
+        self.separator_id = separator_id
+        self.queue: PriorityQueue = PriorityQueue()
+
+    def compute_comparisons(self) -> DataFrame:
+        positions = self.keys.select("profile_id", "key").withColumn(
+            "pos",
+            F.row_number().over(Window.orderBy("key", "profile_id")) - 1,
+        )
+        a = positions.select(
+            F.col("profile_id").alias("pa"), F.col("pos").alias("pos_a")
+        )
+        b = positions.select(
+            F.col("profile_id").alias("pb"), F.col("pos").alias("pos_b")
+        )
+        W_ = self.w
+        pairs = a.join(
+            b,
+            (F.col("pos_b") >= F.col("pos_a") - W_)
+            & (F.col("pos_b") <= F.col("pos_a") + W_)
+            & (F.col("pos_b") != F.col("pos_a")),
+        ).where(F.col("pb") < F.col("pa"))
+        if self.separator_id >= 0:
+            pairs = pairs.where(
+                (F.col("pb") <= self.separator_id)
+                & (F.col("pa") > self.separator_id)
+            )
+        cbs = pairs.groupBy("pa", "pb").agg(F.count("*").alias("cbs"))
+        counts = positions.groupBy("profile_id").agg(
+            F.count("*").alias("n_pos")
+        )
+        return (
+            cbs.join(
+                counts.select(
+                    F.col("profile_id").alias("pa"), F.col("n_pos").alias("na")
+                ),
+                "pa",
+            )
+            .join(
+                counts.select(
+                    F.col("profile_id").alias("pb"), F.col("n_pos").alias("nb")
+                ),
+                "pb",
+            )
+            .select(
+                F.col("pb").alias("p1"),
+                F.col("pa").alias("p2"),
+                (
+                    F.col("cbs") / (F.col("na") + F.col("nb") - F.col("cbs"))
+                ).alias("weight"),
+            )
+        )
+
+    def initialize(self):
+        for r in self.compute_comparisons().collect():
+            self.queue.put((-r["weight"], r["p1"], r["p2"]))
+
+    def get_next(self):
+        if self.queue.empty():
+            return (-1, -1, -1)
+        neg_w, p1, p2 = self.queue.get()
+        return (p1, p2, -neg_w)

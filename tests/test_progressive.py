@@ -1,0 +1,59 @@
+"""Tests for progressive ER (PPS, GSPSN)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparker_spark.blocking.blockers import Blocking
+from sparker_spark.blocking.converters import Converters
+from sparker_spark.progressive import GSPSN, PPS
+from sparker_spark.wrappers import DataFrameWrapper
+
+
+@pytest.fixture(scope="module")
+def profiles(spark):
+    rows = [
+        ("p0", "t1 t2 t5"),
+        ("p1", "t1 t2"),
+        ("p2", "t1 t3"),
+        ("p3", "t3 t4"),
+        ("p4", "t4 t5"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    return DataFrameWrapper.load_profiles(df, real_id_field="id")
+
+
+def test_pps_emits_best_first(spark, profiles):
+    blocks = Blocking.create_blocks(profiles)
+    pb = Converters.blocks_to_profile_blocks(blocks)
+    pps = PPS(blocks, pb, k=5, mini_batch=2)
+    pps.initialize()
+    emitted = list(pps)
+    # best comparison overall is (0,1) with cbs=2 — must come first
+    assert emitted[0][0] == 0 and emitted[0][1] == 1
+    assert emitted[0][2] == 2.0
+    # weights are non-increasing
+    ws = [e[2] for e in emitted]
+    assert ws == sorted(ws, reverse=True)
+    # all six true co-occurrence pairs eventually emitted, no dups
+    pairs = {(e[0], e[1]) for e in emitted}
+    assert pairs == {(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (0, 4)}
+    assert len(emitted) == len(pairs)
+
+
+def test_gspsn(spark, profiles):
+    from sparker_spark.blocking.strategies import BlockingKeysStrategies
+
+    keys = BlockingKeysStrategies.token_blocking(profiles)
+    g = GSPSN(keys, max_window_size=2)
+    g.initialize()
+    first = g.get_next()
+    assert first != (-1, -1, -1)
+    # weights non-increasing, pairs ordered p1 < p2
+    prev = first[2]
+    while True:
+        nxt = g.get_next()
+        if nxt == (-1, -1, -1):
+            break
+        assert nxt[2] <= prev + 1e-12
+        assert nxt[0] < nxt[1]
+        prev = nxt[2]

@@ -1,0 +1,139 @@
+"""Tests for the Structured Streaming extensions and multimodal
+plumbing (memory source/sink; deterministic fake decoder)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparker_spark.llm.multimodal import (
+    MEDIA_META,
+    DecodeRegistry,
+    extract_features,
+    frame_sample_plan,
+)
+from sparker_spark.streaming.incremental import (
+    incremental_blocking_keys,
+    streaming_exact_dedup,
+    windowed_event_counts,
+)
+
+
+def _run_stream(df, query_name, timeout=60):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q
+
+
+def test_incremental_blocking_keys(spark, tmp_path):
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(0, "Data Cleaning"), (1, "data systems")], ["doc_id", "text"]
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = incremental_blocking_keys(stream)
+    _run_stream(out, "inc_keys")
+    rows = {
+        (r["profile_id"], r["key"])
+        for r in spark.sql("SELECT * FROM inc_keys").collect()
+    }
+    assert rows == {(0, "data"), (0, "cleaning"), (1, "data"), (1, "systems")}
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    src = tmp_path / "stream_docs"
+    spark.createDataFrame(
+        [
+            (0, "2024-01-01 00:00:00", "hello  world"),
+            (1, "2024-01-01 00:01:00", "hello world"),  # dup after normalize
+            (2, "2024-01-01 00:02:00", "different"),
+        ],
+        ["doc_id", "ts", "text"],
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(
+        str(src)
+    )
+    out = streaming_exact_dedup(stream)
+    _run_stream(out, "dedup_stream")
+    kept = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+    assert len(kept) == 2  # one of {0,1} plus 2
+    assert 2 in kept
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    src = tmp_path / "stream_events"
+    spark.createDataFrame(
+        [
+            (0, "2024-01-01 00:10:00", "click", 1.5),
+            (1, "2024-01-01 00:20:00", "click", 2.5),
+            (2, "2024-01-01 01:10:00", "view", 3.0),
+        ],
+        ["event_id", "ts", "event_type", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(str(src))
+    out = windowed_event_counts(stream, "1 hour", "2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_events")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_events").collect()
+    }
+    assert rows[("2024-01-01 00:00:00", "click")] == (2, 4.0)
+    assert rows[("2024-01-01 01:00:00", "view")] == (1, 3.0)
+
+
+def test_multimodal_extract_features(spark):
+    rows = [
+        (0, bytearray(b"\x00\x10\x20\x30"), "image/png"),
+        (1, bytearray(b"\xff" * 8), "audio/wav"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert out[0]["n_bytes"] == 4
+    # byte histogram: bytes 0x00,0x10,0x20,0x30 -> bins 0..3 each 0.25
+    assert out[0]["feature"][0] == pytest.approx(0.25)
+    assert out[1]["feature"][15] == pytest.approx(1.0)
+    assert len(out[0]["content_hash"]) == 32
+
+
+def test_decode_registry_unregistered():
+    saved = dict(DecodeRegistry._decoders)
+    try:
+        DecodeRegistry._decoders.clear()
+        with pytest.raises(NotImplementedError):
+            DecodeRegistry.decode("video/mp4", b"xx")
+    finally:
+        DecodeRegistry._decoders.update(saved)
+
+
+def test_frame_sample_plan(spark):
+    rows = [
+        (0, ("video/mp4", 640, 480, 3500)),
+        (1, ("video/mp4", 640, 480, 500)),
+    ]
+    media = spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("meta", MEDIA_META),
+        ])
+    )
+    out = sorted(
+        (r["media_id"], r["frame_ts_ms"])
+        for r in frame_sample_plan(media, every_ms=1000).collect()
+    )
+    assert out == [(0, 0), (0, 1000), (0, 2000), (0, 3000), (1, 0)]
