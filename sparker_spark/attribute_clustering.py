@@ -94,13 +94,14 @@ class AttributeClustering:
         fraction of equal signature positions)."""
         bands = get_hashes_bands(num_hashes, target_threshold)
         rows = num_hashes // bands
+        # bucket id = the band's value string itself (engine-portable:
+        # only equality matters; hashing it, as LSH.scala:170 does,
+        # saves no shuffle bytes worth the cross-engine divergence)
         band_cols = [
-            F.hash(
-                F.concat_ws(
-                    "_",
-                    F.lit(bi),
-                    *[F.col(f"mh_{bi * rows + r}") for r in range(rows)],
-                )
+            F.concat_ws(
+                "_",
+                F.lit(bi),
+                *[F.col(f"mh_{bi * rows + r}") for r in range(rows)],
             ).alias(f"band_{bi}")
             for bi in range(bands)
         ]

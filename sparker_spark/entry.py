@@ -979,7 +979,19 @@ def build_oracles() -> dict[str, str]:
         "tpch_q3": O_TPCH_Q3,
         "tpch_q5ish": O_TPCH_Q5ISH,
     }
+    from sparker_spark.entry_ext import ext_oracles
+
+    oracles.update(ext_oracles())
     # native round() differs between engines at exact .5 boundaries —
     # rewrite every round() into the deterministic floor formula that
     # the Spark side (sparker_spark.rounding.rnd) uses
     return {k: rewrite_rounds(v) for k, v in oracles.items()}
+
+
+def _register_ext() -> None:
+    from sparker_spark.entry_ext import ext_queries
+
+    QUERIES.update(ext_queries())
+
+
+_register_ext()

@@ -128,12 +128,38 @@ class Dedup:
         cand = (
             a.join(b, "bucket").where(F.col("p1") < F.col("p2")).select("p1", "p2")
         ).distinct()
-        # verify with exact jaccard on the candidates only
-        exact = Dedup.ngram_jaccard_pairs(documents, shingle_size, threshold=0.0)
-        return (
-            cand.join(exact, ["p1", "p2"])
-            .where(F.col("jaccard") >= F.lit(float(threshold)))
-            .select("p1", "p2", "jaccard")
+        # Verify with exact jaccard computed ONLY for the candidate
+        # pairs: route each candidate's two shingle sets through an
+        # equi-join on (doc, shingle) instead of re-enumerating every
+        # co-shingle pair in the corpus (which would make the LSH
+        # banding pointless — the full shared-shingle self-join is
+        # exactly the quadratic work LSH exists to avoid).
+        sh = shingle_hashes(documents, shingle_size).select("doc_id", "h")
+        counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        s1 = sh.select(F.col("doc_id").alias("p1"), "h")
+        s2 = sh.select(F.col("doc_id").alias("p2"), "h")
+        common = (
+            cand.join(s1, "p1")
+            .join(s2, ["p2", "h"])
+            .groupBy("p1", "p2")
+            .agg(F.count("*").alias("c"))
+        )
+        j = (
+            common.join(
+                counts.select(F.col("doc_id").alias("p1"), F.col("n_sh").alias("n1")),
+                "p1",
+            )
+            .join(
+                counts.select(F.col("doc_id").alias("p2"), F.col("n_sh").alias("n2")),
+                "p2",
+            )
+            .withColumn(
+                "jaccard",
+                rnd(F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")), 6),
+            )
+        )
+        return j.where(F.col("jaccard") >= F.lit(float(threshold))).select(
+            "p1", "p2", "jaccard"
         )
 
     @staticmethod

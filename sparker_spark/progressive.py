@@ -53,6 +53,19 @@ class PPS:
         self.emitted: set = set()
         self._edges = None
 
+    @staticmethod
+    def init_frame(edges: DataFrame) -> DataFrame:
+        """Distributed first pass (progressive.py:12-70): per profile
+        its duplication likelihood (mean neighbor weight) and top-1
+        comparison (ties -> smallest neighbor id). ``edges``: the
+        src<dst half graph (src, dst, weight)."""
+        return edges.groupBy("src").agg(
+            F.avg("weight").alias("likelihood"),
+            F.max(F.struct(F.col("weight"), (-F.col("dst")).alias("nd"))).alias(
+                "top"
+            ),
+        )
+
     def initialize(self):
         """First pass (progressive.py:12-70 + initialize :214-232):
         per profile, its top-1 comparison (among larger-id neighbors)
@@ -66,13 +79,7 @@ class PPS:
             .select("src", "dst", "weight")
             .cache()
         )
-        per_profile = self._edges.groupBy("src").agg(
-            F.avg("weight").alias("likelihood"),
-            F.max(F.struct(F.col("weight"), (-F.col("dst")).alias("nd"))).alias(
-                "top"
-            ),
-        )
-        rows = per_profile.collect()
+        rows = PPS.init_frame(self._edges).collect()
         for r in rows:
             top_w = r["top"]["weight"]
             top_n = -r["top"]["nd"]
@@ -152,19 +159,40 @@ class GSPSN:
             "pos",
             F.row_number().over(Window.orderBy("key", "profile_id")) - 1,
         )
+        W_ = self.w
+        # Banded equi-join instead of a raw range predicate: a pure
+        # |pos_a − pos_b| <= w join is a nested-loop plan (O(n²) —
+        # fatal at scale). With bucket = pos div w, every in-window
+        # partner lives in an adjacent bucket, so probing 3 buckets
+        # turns it into a shuffled hash join; the range check remains
+        # as a residual filter.
+        bucket = F.floor(F.col("pos") / W_)
         a = positions.select(
             F.col("profile_id").alias("pa"), F.col("pos").alias("pos_a")
+        ).withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.floor(F.col("pos_a") / W_) - 1,
+                    F.floor(F.col("pos_a") / W_),
+                    F.floor(F.col("pos_a") / W_) + 1,
+                )
+            ),
         )
         b = positions.select(
-            F.col("profile_id").alias("pb"), F.col("pos").alias("pos_b")
+            F.col("profile_id").alias("pb"),
+            F.col("pos").alias("pos_b"),
+            bucket.alias("bucket"),
         )
-        W_ = self.w
-        pairs = a.join(
-            b,
-            (F.col("pos_b") >= F.col("pos_a") - W_)
-            & (F.col("pos_b") <= F.col("pos_a") + W_)
-            & (F.col("pos_b") != F.col("pos_a")),
-        ).where(F.col("pb") < F.col("pa"))
+        pairs = (
+            a.join(b, "bucket")
+            .where(
+                (F.col("pos_b") >= F.col("pos_a") - W_)
+                & (F.col("pos_b") <= F.col("pos_a") + W_)
+                & (F.col("pos_b") != F.col("pos_a"))
+            )
+            .where(F.col("pb") < F.col("pa"))
+        )
         if self.separator_id >= 0:
             pairs = pairs.where(
                 (F.col("pb") <= self.separator_id)

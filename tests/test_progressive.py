@@ -57,3 +57,41 @@ def test_gspsn(spark, profiles):
         assert nxt[2] <= prev + 1e-12
         assert nxt[0] < nxt[1]
         prev = nxt[2]
+
+
+def test_gspsn_banded_join_equals_naive_range_join(spark, profiles):
+    """The bucketed equi-join rewrite of the ±w positional window must
+    produce exactly the naive range-join result."""
+    from pyspark.sql import Window
+
+    from sparker_spark.blocking.strategies import BlockingKeysStrategies
+
+    keys = BlockingKeysStrategies.token_blocking(profiles)
+    for w in (1, 2, 3):
+        got = {
+            (r["p1"], r["p2"], round(r["weight"], 9))
+            for r in GSPSN(keys, max_window_size=w)
+            .compute_comparisons()
+            .collect()
+        }
+        pos = keys.select("profile_id", "key").withColumn(
+            "pos", F.row_number().over(Window.orderBy("key", "profile_id")) - 1
+        )
+        rows = pos.collect()
+        n = {}
+        from collections import Counter
+
+        cnt = Counter()
+        for r in rows:
+            n[r["pos"]] = r["profile_id"]
+            cnt[r["profile_id"]] += 1
+        naive = Counter()
+        for pa, a in n.items():
+            for pb, b in n.items():
+                if pb != pa and abs(pb - pa) <= w and b < a:
+                    naive[(b, a)] += 1
+        want = {
+            (p1, p2, round(c / (cnt[p1] + cnt[p2] - c), 9))
+            for (p1, p2), c in naive.items()
+        }
+        assert got == want
