@@ -24,6 +24,8 @@ HEADLINE = [
     "er_cbs_edges",
     "er_wnp_cbs_avg_or",
     "er_cep_cbs",
+    "er_cluster_blocks",
+    "gspsn",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk_cosine",

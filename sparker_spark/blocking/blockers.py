@@ -158,6 +158,7 @@ class Blocking:
         attributes_to_exclude=None,
         exclude_default_cluster: bool = False,
         cluster_name_separator: str = "_",
+        assign_ids: bool = True,
     ) -> BlockCollection:
         """Loose-schema (BLAST) blocking — reference blockers.py:8-79,
         TokenBlocking.scala:189-274. Tokens are suffixed with the id of
@@ -222,7 +223,7 @@ class Blocking:
                 for x in (F.lit(f"{cluster_name_separator}{cid}"), F.lit(e))
             ]
         )
-        coll = Blocking.blocks_from_keys(keys, clean=clean)
+        coll = Blocking.blocks_from_keys(keys, clean=clean, assign_ids=assign_ids)
         # block entropy = entropy of the cluster the key belongs to
         meta = coll.meta.drop("entropy", "cluster_id")
         suffix = F.regexp_extract(

@@ -73,10 +73,16 @@ def _customer_eav(spark, sf_dir) -> DataFrame:
     ]
     return (
         cust.select(
+            F.col("c_custkey").alias("profile_id"),
             (F.col("c_custkey") % 2).cast("int").alias("source_id"),
             F.explode(F.array(*structs)).alias("kv"),
         )
-        .select("source_id", F.col("kv.attr").alias("attr"), F.col("kv.value").alias("value"))
+        .select(
+            "profile_id",
+            "source_id",
+            F.col("kv.attr").alias("attr"),
+            F.col("kv.value").alias("value"),
+        )
         .where(F.col("value").isNotNull() & (F.trim("value") != ""))
         .withColumn(
             "attr_key", F.concat(F.col("source_id"), F.lit("_"), F.col("attr"))
@@ -94,8 +100,8 @@ def _attr_tokens(eav: DataFrame, distinct: bool) -> DataFrame:
 
 DUCK_CUST_EAV = """
 eav AS MATERIALIZED (
-  SELECT source_id, attr, value FROM (
-    SELECT c_custkey % 2 AS source_id, c_name,
+  SELECT pid, source_id, attr, value FROM (
+    SELECT c_custkey AS pid, c_custkey % 2 AS source_id, c_name,
            CAST(c_nationkey AS VARCHAR) AS c_nationkey,
            CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS c_acctbal,
            c_mktsegment
@@ -103,8 +109,8 @@ eav AS MATERIALIZED (
   UNPIVOT (value FOR attr IN (c_acctbal, c_mktsegment, c_name, c_nationkey))
 ),
 tok_all AS MATERIALIZED (
-  SELECT source_id || '_' || attr AS attr_key, tok AS token
-  FROM (SELECT source_id, attr,
+  SELECT pid, source_id, attr, source_id || '_' || attr AS attr_key, tok AS token
+  FROM (SELECT pid, source_id, attr,
                unnest(regexp_split_to_array(lower(value), '[^0-9a-z_]+')) AS tok
         FROM eav WHERE value IS NOT NULL AND trim(value) <> '')
   WHERE tok <> ''
@@ -201,7 +207,10 @@ SELECT a1, a2, round(sim, 6) AS sim FROM sim"""
 
 # ---------------------------------------------------------------- L6+L7+L8:
 # top edges -> connected components -> clusters with entropy
-def q_attr_clusters(spark, sf_dir):
+def _canonical_clusters(spark, sf_dir) -> list[dict]:
+    """BLAST attribute clustering over the customer EAV with
+    deterministic cluster ids: non-default clusters ordered by smallest
+    member key (0..n−1), default cluster last (id n)."""
     eav = _customer_eav(spark, sf_dir)
     toks_all = _attr_tokens(eav, distinct=False).cache()
     toks = toks_all.distinct()
@@ -211,27 +220,33 @@ def q_attr_clusters(spark, sf_dir):
     all_attrs = [r["attr_key"] for r in toks.select("attr_key").distinct().collect()]
     clusters = AttributeClustering.connected_clusters(top, all_attrs)
     clusters = AttributeClustering.cluster_entropies(toks_all, clusters)
-    # canonical ids for cross-engine comparison: non-default clusters
-    # ordered by smallest member key; default cluster last
     real = sorted(
         (c for c in clusters if "name" not in c), key=lambda c: min(c["keys"])
     )
     default = [c for c in clusters if "name" in c]
-    rows = []
+    out = []
     for cid, c in enumerate(real + default):
+        out.append({**c, "cluster_id": cid})
+    return out
+
+
+def q_attr_clusters(spark, sf_dir):
+    rows = []
+    for c in _canonical_clusters(spark, sf_dir):
         for k in c["keys"]:
-            rows.append((cid, k, _py_rnd(c["entropy"], 6)))
+            rows.append((c["cluster_id"], k, _py_rnd(c["entropy"], 6)))
     return spark.createDataFrame(
         rows, "cluster_id BIGINT, attr_key STRING, entropy DOUBLE"
     )
 
 
-def _o_attr_clusters() -> str:
-    # connected components via transitive closure (recursive CTE) over
-    # the tiny attribute graph; component label = min reachable key
-    return f"""WITH RECURSIVE {DUCK_CUST_EAV.strip()},
-{DUCK_ATTR_ENTROPY.strip()},
-{_duck_minhash_attrs().strip()},
+def _duck_cluster_chain() -> str:
+    """CTE chain (requires WITH RECURSIVE + DUCK_CUST_EAV +
+    DUCK_ATTR_ENTROPY + minhash fragments) ending in
+    ``members(attr_key, cluster_id)`` and ``cent(cluster_id, entropy)``
+    with the same canonical ids as _canonical_clusters: connected
+    components via transitive closure, labeled by min member key."""
+    return """
 directed AS (SELECT a1, a2, sim FROM sim UNION ALL SELECT a2, a1, sim FROM sim),
 topmax AS (SELECT a1, max(sim) AS m FROM directed GROUP BY a1),
 top AS (SELECT d.a1, d.a2 FROM directed d JOIN topmax t ON d.a1 = t.a1
@@ -248,16 +263,203 @@ ids AS (SELECT root, dense_rank() OVER (ORDER BY root) - 1 AS cluster_id
 clustered AS (SELECT c.attr_key, i.cluster_id FROM comp c JOIN ids i USING (root)),
 n_real AS (SELECT count(*) AS n FROM ids),
 allattrs AS (SELECT DISTINCT attr_key FROM tok),
-members AS (
+members AS MATERIALIZED (
   SELECT attr_key, cluster_id FROM clustered
   UNION ALL
   SELECT a.attr_key, (SELECT n FROM n_real) AS cluster_id
   FROM allattrs a WHERE a.attr_key NOT IN (SELECT attr_key FROM clustered)),
-cent AS (
+cent AS MATERIALIZED (
   SELECT m.cluster_id, avg(coalesce(h.entropy, 0.0)) AS entropy
-  FROM members m LEFT JOIN attr_h h USING (attr_key) GROUP BY m.cluster_id)
+  FROM members m LEFT JOIN attr_h h USING (attr_key) GROUP BY m.cluster_id)"""
+
+
+def _o_attr_clusters() -> str:
+    return f"""WITH RECURSIVE {DUCK_CUST_EAV.strip()},
+{DUCK_ATTR_ENTROPY.strip()},
+{_duck_minhash_attrs().strip()},
+{_duck_cluster_chain().strip()}
 SELECT m.cluster_id, m.attr_key, round(c.entropy, 6) AS entropy
 FROM members m JOIN cent c USING (cluster_id)"""
+
+
+# ====================================================================
+# B7 + W7: BLAST cluster blocking on the customer EAV (clean-clean)
+# and entropy-boosted chi² edge weighting over those blocks
+# ====================================================================
+def _cluster_blocks(spark, sf_dir):
+    eav = _customer_eav(spark, sf_dir)
+    clusters = _canonical_clusters(spark, sf_dir)
+    # xxhash64 block ids: nothing downstream needs dense ids, and the
+    # dense path is a global row_number window (single-partition sort)
+    return Blocking.create_blocks_clusters(
+        eav, clusters, clean=True, assign_ids=False
+    )
+
+
+def q_er_cluster_blocks(spark, sf_dir):
+    blocks = _cluster_blocks(spark, sf_dir)
+    return blocks.meta.select(
+        "key",
+        F.col("block_size").cast("long").alias("block_size"),
+        F.col("comparisons").cast("long").alias("comparisons"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        rnd("entropy", 6).alias("entropy"),
+    )
+
+
+# qualified keys + clean-clean blocks over the cluster-suffixed tokens
+DUCK_CLUSTER_BLOCKS = """
+qual AS (
+  SELECT t.pid, t.source_id,
+         t.token || '_' || coalesce(m.cluster_id, (SELECT n FROM n_real)) AS key,
+         coalesce(m.cluster_id, (SELECT n FROM n_real)) AS cid
+  FROM tok_all t LEFT JOIN members m USING (attr_key)),
+keysq AS MATERIALIZED (SELECT DISTINCT pid, source_id, key FROM qual),
+per_src AS (SELECT key, source_id, count(*) AS n FROM keysq GROUP BY 1, 2),
+blocksq AS MATERIALIZED (
+  SELECT key, CAST(sum(n) AS BIGINT) AS block_size,
+         CAST((sum(n) * sum(n) - sum(n * n)) // 2 AS BIGINT) AS comparisons,
+         CAST(regexp_extract(key, '_([0-9]+)$', 1) AS BIGINT) AS cluster_id
+  FROM per_src GROUP BY key
+  HAVING sum(n) > 1 AND count(*) > 1),
+bent AS MATERIALIZED (
+  SELECT b.key, b.block_size, b.comparisons, b.cluster_id,
+         coalesce(c.entropy, 1.0) AS entropy
+  FROM blocksq b LEFT JOIN cent c USING (cluster_id))"""
+
+
+def _o_er_cluster_blocks() -> str:
+    return f"""WITH RECURSIVE {DUCK_CUST_EAV.strip()},
+{DUCK_ATTR_ENTROPY.strip()},
+{_duck_minhash_attrs().strip()},
+{_duck_cluster_chain().strip()},
+{DUCK_CLUSTER_BLOCKS.strip()}
+SELECT key, block_size, comparisons, cluster_id, round(entropy, 6) AS entropy
+FROM bent"""
+
+
+def q_er_chi2_entropy_edges(spark, sf_dir):
+    from sparker_spark.blocking.converters import Converters
+    from sparker_spark.metablocking.weights import EdgeWeighting
+
+    blocks = _cluster_blocks(spark, sf_dir).cache()
+    pb = Converters.blocks_to_profile_blocks(blocks)
+    ctx = EdgeWeighting.weighted_edges(
+        blocks, pb, WeightTypes.CHI_SQUARE, use_entropy=True
+    )
+    return ctx.half().select("p1", "p2", rnd("weight", 6).alias("weight"))
+
+
+def _o_er_chi2_entropy_edges() -> str:
+    chi2 = """(
+  pow(cbs - (dst_blocks * src_blocks / B), 2) / (dst_blocks * src_blocks / B)
++ pow((dst_blocks - cbs) - (dst_blocks * (B - src_blocks) / B), 2) / (dst_blocks * (B - src_blocks) / B)
++ pow((src_blocks - cbs) - ((B - dst_blocks) * src_blocks / B), 2) / ((B - dst_blocks) * src_blocks / B)
++ pow((B - (dst_blocks + src_blocks - cbs)) - ((B - dst_blocks) * (B - src_blocks) / B), 2) / ((B - dst_blocks) * (B - src_blocks) / B)
+)""".replace("B", "CAST((SELECT nb FROM nblocksq) AS DOUBLE)")
+    return f"""WITH RECURSIVE {DUCK_CUST_EAV.strip()},
+{DUCK_ATTR_ENTROPY.strip()},
+{_duck_minhash_attrs().strip()},
+{_duck_cluster_chain().strip()},
+{DUCK_CLUSTER_BLOCKS.strip()},
+nblocksq AS (SELECT count(*) AS nb FROM blocksq),
+pbq AS MATERIALIZED (
+  SELECT k.pid, k.source_id, k.key FROM keysq k JOIN blocksq USING (key)),
+nbq AS (SELECT pid, count(*) AS num_blocks FROM pbq GROUP BY pid),
+coq AS (
+  SELECT a.pid AS src, b2.pid AS dst, CAST(count(*) AS DOUBLE) AS cbs,
+         sum(be.entropy) AS entropy_sum
+  FROM pbq a JOIN pbq b2 USING (key) JOIN bent be USING (key)
+  WHERE a.source_id <> b2.source_id
+  GROUP BY 1, 2),
+g AS (
+  SELECT coq.*, n1.num_blocks AS src_blocks, n2.num_blocks AS dst_blocks
+  FROM coq JOIN nbq n1 ON coq.src = n1.pid JOIN nbq n2 ON coq.dst = n2.pid)
+SELECT src AS p1, dst AS p2, round({chi2} * entropy_sum, 6) AS weight
+FROM g WHERE src < dst"""
+
+
+# ====================================================================
+# B3: char n-gram blocking over documents (dirty)
+# ====================================================================
+NGRAM_N = 4
+
+
+def q_er_ngram_blocks(spark, sf_dir):
+    from sparker_spark.blocking.strategies import BlockingKeysStrategies
+
+    docs = _load(spark, sf_dir, "documents")
+    profiles = docs.select(
+        F.col("doc_id").alias("profile_id"),
+        F.lit(0).alias("source_id"),
+        F.lit("text").alias("attr"),
+        F.col("text").alias("value"),
+    )
+    keys = BlockingKeysStrategies.ngrams_blocking(profiles, ngram_size=NGRAM_N)
+    blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=False)
+    return blocks.meta.select(
+        "key",
+        F.col("block_size").cast("long").alias("block_size"),
+        F.col("comparisons").cast("long").alias("comparisons"),
+    )
+
+
+def _o_er_ngram_blocks() -> str:
+    pad = "_" * (NGRAM_N - 1)
+    return f"""WITH toks AS (
+  SELECT doc_id, '{pad}' || tok || '{pad}' AS padded
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, length(padded) - {NGRAM_N - 2}),
+                i -> padded[i:i+{NGRAM_N - 1}])) AS key
+  FROM toks),
+blocks AS (
+  SELECT key, count(*) AS block_size, count(*) * (count(*) - 1) AS comparisons
+  FROM grams GROUP BY key HAVING count(*) > 1)
+SELECT key, block_size, comparisons FROM blocks"""
+
+
+# ====================================================================
+# P4 (AND variant): reciprocal cardinality node pruning
+# ====================================================================
+def q_er_cnp_cbs_and(spark, sf_dir):
+    from sparker_spark.entry import _shingle_blocks
+    from sparker_spark.metablocking.cnp import CNP
+    from sparker_spark.metablocking.pruning_utils import ComparisonTypes
+    from sparker_spark.metablocking.weights import EdgeWeighting
+
+    blocks, pb = _shingle_blocks(spark, sf_dir)
+    ctx = EdgeWeighting.weighted_edges(blocks, pb, WeightTypes.CBS)
+    n_profiles = _load(spark, sf_dir, "documents").count()
+    k = CNP.compute_cnp_threshold(blocks, n_profiles)
+    kept = CNP.prune(ctx, k, ComparisonTypes.AND)
+    return kept.select("p1", "p2", rnd("weight", 6).alias("weight"))
+
+
+def _o_er_cnp_cbs_and() -> str:
+    from sparker_spark.entry import _duck_dirty_weighted
+
+    return (
+        _duck_dirty_weighted(WeightTypes.CBS)
+        + """,
+kv AS (SELECT CAST(floor(sum(block_size) / (SELECT count(*) FROM documents)) AS BIGINT) - 1 AS k
+       FROM blocks),
+retained AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rn
+    FROM weighted) r, kv
+  WHERE r.rn <= kv.k)
+SELECT w.src AS p1, w.dst AS p2, round(w.w, 6) AS weight
+FROM weighted w
+WHERE w.src < w.dst
+  AND EXISTS (SELECT 1 FROM retained r WHERE r.src = w.src AND r.dst = w.dst)
+  AND EXISTS (SELECT 1 FROM retained r WHERE r.src = w.dst AND r.dst = w.src)"""
+    )
 
 
 # ====================================================================
@@ -609,6 +811,13 @@ def ext_queries() -> dict:
         "attr_entropy": q_attr_entropy,
         "attr_sim_edges": q_attr_sim_edges,
         "attr_clusters": q_attr_clusters,
+        # BLAST blocking + entropy weighting (SURVEY §2.3 B7, §2.5 W7)
+        "er_cluster_blocks": q_er_cluster_blocks,
+        "er_chi2_entropy_edges": q_er_chi2_entropy_edges,
+        # n-gram blocking (SURVEY §2.2 B3)
+        "er_ngram_blocks": q_er_ngram_blocks,
+        # reciprocal CNP (SURVEY §2.6 P4 AND)
+        "er_cnp_cbs_and": q_er_cnp_cbs_and,
         # supervised meta-blocking (SURVEY §2.7)
         "gsmb_features": q_gsmb_features,
         "smb_cep": q_smb_cep,
@@ -629,6 +838,10 @@ def ext_oracles() -> dict:
         "attr_entropy": O_ATTR_ENTROPY,
         "attr_sim_edges": _o_attr_sim_edges(),
         "attr_clusters": _o_attr_clusters(),
+        "er_cluster_blocks": _o_er_cluster_blocks(),
+        "er_chi2_entropy_edges": _o_er_chi2_entropy_edges(),
+        "er_ngram_blocks": _o_er_ngram_blocks(),
+        "er_cnp_cbs_and": _o_er_cnp_cbs_and(),
         "gsmb_features": _o_gsmb_features(),
         "smb_cep": _o_smb_cep(),
         "smb_wep": _o_smb_wep(),

@@ -197,7 +197,10 @@ class Dedup:
         exact band — then verify with bit_count(xor)."""
         nbands = max_hamming + 1
         band_bits = bits // nbands
-        fps = Dedup.simhash_fingerprints(documents, bits)
+        # cache: both sides of the bucket self-join consume the
+        # fingerprints; without it the token hash + 32-way bit
+        # aggregation runs twice
+        fps = Dedup.simhash_fingerprints(documents, bits).cache()
         band_cols = [
             F.concat_ws(
                 "_",
