@@ -83,13 +83,17 @@ def _doc_keys_shingle(spark, sf_dir, clean: bool = False) -> DataFrame:
 
 
 def _shingle_blocks(spark, sf_dir, clean: bool = False):
-    # cache the block collection: the downstream weighting/pruning plan
-    # references assignments/meta several times, and Spark has no
-    # automatic subplan reuse — without this the keys aggregation is
-    # recomputed per reference (visible as N identical scan subtrees in
-    # .explain). Stage-boundary caching is the same policy the
-    # reference applies manually (SURVEY §4 persist/unpersist row).
-    keys = _doc_keys_shingle(spark, sf_dir, clean)
+    # Cache the KEYS relation (the expensive part: tokenize + shingle
+    # assembly + distinct) plus the derived block collection: the
+    # downstream weighting/pruning plan references assignments/meta
+    # several times, and Spark has no automatic subplan reuse — without
+    # caching, the keygen recomputes once per cached leg (assignments,
+    # meta, profile_blocks each materialize independently). Caching
+    # keys first makes those re-materializations cheap groupBys over
+    # the in-memory relation. Stage-boundary caching is the same
+    # policy the reference applies manually (SURVEY §4
+    # persist/unpersist row).
+    keys = _doc_keys_shingle(spark, sf_dir, clean).cache()
     blocks = Blocking.blocks_from_keys(keys, clean=clean, assign_ids=False).cache()
     profile_blocks = Converters.blocks_to_profile_blocks(blocks).cache()
     return blocks, profile_blocks
@@ -262,7 +266,10 @@ FROM blocks b, thr WHERE b.comparisons <= thr.t"""
 
 
 def q_er_block_filtering(spark, sf_dir):
-    keys = _doc_keys_unigram(spark, sf_dir)
+    # keys cached: purging's driver-scalar pass, the profile-blocks
+    # inversion and the final key join would otherwise each re-run the
+    # tokenizer (see _shingle_blocks note)
+    keys = _doc_keys_unigram(spark, sf_dir).cache()
     # assign_ids=False: xxhash64 block ids avoid the global-sort window
     # of dense id assignment (a single-partition stage at scale); the
     # filtering cutoff is tie-order independent so results are identical

@@ -468,7 +468,7 @@ WHERE w.src < w.dst
 def q_gsmb_features(spark, sf_dir):
     from sparker_spark.entry import _doc_keys_unigram
 
-    keys = _doc_keys_unigram(spark, sf_dir)
+    keys = _doc_keys_unigram(spark, sf_dir).cache()
     blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=False).cache()
     feats = FeatureGenerator.generate_features(blocks)
     out_cols = [
