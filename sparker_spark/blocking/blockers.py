@@ -26,7 +26,9 @@ partition-order dependent); we use ``row_number() OVER (ORDER BY key)``
 key* relation (one row per surviving block), not the exploded
 assignments, so the sort is proportional to #blocks, not #rows; at
 100 TB the id column is optional (operators join on `key` just as
-well) and can be disabled with assign_ids=False.
+well) and can be disabled with assign_ids=False, or assigned with the
+distributed two-phase ranker (sparker_spark/ranking.py) when dense
+ids over a huge key set are genuinely required.
 """
 
 from __future__ import annotations

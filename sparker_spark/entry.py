@@ -835,12 +835,12 @@ def q_tpch_q3(spark, sf_dir):
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(rnd(F.expr(_SUM_DISC_PRICE), 4).alias("revenue"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    # orderBy + limit compiles to TakeOrderedAndProject (distributed
+    # partial top-k) — not the single-partition global window a
+    # row_number() rank would force
     return (
-        joined.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
+        joined.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
         .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue")
     )
 

@@ -155,9 +155,13 @@ class GSPSN:
         self.queue: PriorityQueue = PriorityQueue()
 
     def compute_comparisons(self) -> DataFrame:
-        positions = self.keys.select("profile_id", "key").withColumn(
-            "pos",
-            F.row_number().over(Window.orderBy("key", "profile_id")) - 1,
+        from sparker_spark.ranking import global_rank
+
+        # global sorted-neighborhood positions: distributed global rank
+        # (range partition + per-partition offsets), not a
+        # single-partition window — same positions, scalable plan
+        positions = global_rank(
+            self.keys.select("profile_id", "key"), ["key", "profile_id"], out="pos"
         )
         W_ = self.w
         # Banded equi-join instead of a raw range predicate: a pure

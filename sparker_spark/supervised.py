@@ -28,15 +28,38 @@ class SupervisedMB:
     @staticmethod
     def cep(edges: DataFrame, total_block_size: int) -> DataFrame:
         """Cardinality edge pruning: top-⌊Σ block sizes / 2⌋ by p_match
-        among the >= 0.5 subset (supervised_metablocking.py:16-25)."""
+        among the >= 0.5 subset (supervised_metablocking.py:16-25).
+
+        Same histogram + cut-score plan as unsupervised CEP: a global
+        row_number window would single-partition the edge set; here the
+        only global windows run over the (tiny) score histogram and
+        the score==cut tie slice."""
         k = int(total_block_size / 2)
-        over_t = edges.filter("p_match >= 0.5")
-        w = Window.orderBy(F.col("p_match").desc(), "p1", "p2")
-        return (
-            over_t.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= k)
+        over_t = edges.filter("p_match >= 0.5").cache()
+        hist = over_t.groupBy("p_match").agg(F.count("*").alias("cnt"))
+        w = Window.orderBy(F.col("p_match").desc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = hist.select("p_match", "cnt", F.sum("cnt").over(w).alias("cum"))
+        row = (
+            cum.where(F.col("cum") >= F.lit(int(k)))
+            .orderBy(F.col("p_match").desc())
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            return over_t  # fewer edges than K: keep everything
+        threshold = row[0]["p_match"]
+        remaining = row[0]["cnt"] - (row[0]["cum"] - int(k))
+        above = over_t.where(F.col("p_match") > F.lit(threshold))
+        tie_w = Window.orderBy("p1", "p2")
+        ties = (
+            over_t.where(F.col("p_match") == F.lit(threshold))
+            .withColumn("rn", F.row_number().over(tie_w))
+            .where(F.col("rn") <= F.lit(int(remaining)))
             .drop("rn")
         )
+        return above.unionByName(ties)
 
     @staticmethod
     def wep(edges: DataFrame) -> DataFrame:
