@@ -283,6 +283,34 @@ FROM members m JOIN cent c USING (cluster_id)"""
 
 
 # ====================================================================
+# B2: attribute-qualified token blocking on the customer EAV
+# ====================================================================
+def q_er_attr_token_blocks(spark, sf_dir):
+    from sparker_spark.blocking.strategies import BlockingKeysStrategies
+
+    eav = _customer_eav(spark, sf_dir)
+    keys = BlockingKeysStrategies.token_blocking_w_attr(eav)
+    blocks = Blocking.blocks_from_keys(keys, clean=True, assign_ids=False)
+    return blocks.meta.select(
+        "key",
+        F.col("block_size").cast("long").alias("block_size"),
+        F.col("comparisons").cast("long").alias("comparisons"),
+    )
+
+
+def _o_er_attr_token_blocks() -> str:
+    return f"""WITH {DUCK_CUST_EAV.strip()},
+akeys AS (SELECT DISTINCT pid, source_id, attr || '_' || token AS key FROM tok_all),
+per_src AS (SELECT key, source_id, count(*) AS n FROM akeys GROUP BY 1, 2),
+blocks AS (
+  SELECT key, CAST(sum(n) AS BIGINT) AS block_size,
+         CAST((sum(n) * sum(n) - sum(n * n)) // 2 AS BIGINT) AS comparisons
+  FROM per_src GROUP BY key
+  HAVING sum(n) > 1 AND count(*) > 1)
+SELECT key, block_size, comparisons FROM blocks"""
+
+
+# ====================================================================
 # B7 + W7: BLAST cluster blocking on the customer EAV (clean-clean)
 # and entropy-boosted chi² edge weighting over those blocks
 # ====================================================================
@@ -811,6 +839,8 @@ def ext_queries() -> dict:
         "attr_entropy": q_attr_entropy,
         "attr_sim_edges": q_attr_sim_edges,
         "attr_clusters": q_attr_clusters,
+        # attribute-qualified blocking (SURVEY §2.2 B2)
+        "er_attr_token_blocks": q_er_attr_token_blocks,
         # BLAST blocking + entropy weighting (SURVEY §2.3 B7, §2.5 W7)
         "er_cluster_blocks": q_er_cluster_blocks,
         "er_chi2_entropy_edges": q_er_chi2_entropy_edges,
@@ -838,6 +868,7 @@ def ext_oracles() -> dict:
         "attr_entropy": O_ATTR_ENTROPY,
         "attr_sim_edges": _o_attr_sim_edges(),
         "attr_clusters": _o_attr_clusters(),
+        "er_attr_token_blocks": _o_er_attr_token_blocks(),
         "er_cluster_blocks": _o_er_cluster_blocks(),
         "er_chi2_entropy_edges": _o_er_chi2_entropy_edges(),
         "er_ngram_blocks": _o_er_ngram_blocks(),
