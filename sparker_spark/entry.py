@@ -240,7 +240,8 @@ def q_er_block_purging(spark, sf_dir):
     )
 
 
-_DUCK_PURGE_PREFIX = f"""WITH {DUCK_UNIGRAM_KEYS.strip()}, {DUCK_DIRTY_BLOCKS.strip()},
+def _duck_purge_prefix(smooth: float) -> str:
+    return f"""WITH {DUCK_UNIGRAM_KEYS.strip()}, {DUCK_DIRTY_BLOCKS.strip()},
 levels AS (SELECT comparisons AS level, sum(comparisons) AS cc, sum(block_size) AS bc
            FROM blocks GROUP BY 1),
 cum AS (SELECT level,
@@ -253,9 +254,12 @@ cand AS (SELECT level, cum_cc, cum_bc,
                 lead(cum_bc) OVER (ORDER BY level) AS nbc
          FROM cum),
 thr AS (SELECT coalesce(
-          max(CASE WHEN cum_bc * ncc < {SMOOTH_FACTOR} * cum_cc * nbc THEN nl END),
+          max(CASE WHEN cum_bc * ncc < {smooth} * cum_cc * nbc THEN nl END),
           min(nl), max(level)) AS t
         FROM cand)"""
+
+
+_DUCK_PURGE_PREFIX = _duck_purge_prefix(SMOOTH_FACTOR)
 
 O_ER_BLOCK_PURGING = (
     _DUCK_PURGE_PREFIX

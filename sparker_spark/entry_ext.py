@@ -491,14 +491,25 @@ WHERE w.src < w.dst
 
 
 # ====================================================================
-# F1: GSMB feature generation over unigram document blocks (dirty)
+# F1: GSMB feature generation over unigram document blocks (dirty),
+# after purging (1.025) + filtering (0.8) — the notebook pipeline
+# (SURVEY §3.3). Running features on unrefined blocks would enumerate
+# the quadratic pair space of every stop-word mega-block; the
+# purge/filter stages ARE the algorithm's scale guard.
 # ====================================================================
+GSMB_SMOOTH = 1.025
+
+
 def q_gsmb_features(spark, sf_dir):
-    from sparker_spark.entry import _doc_keys_unigram
+    from sparker_spark.entry import FILTER_R, _doc_keys_unigram
+    from sparker_spark.filters import BlockFiltering, BlockPurging
 
     keys = _doc_keys_unigram(spark, sf_dir).cache()
-    blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=False).cache()
-    feats = FeatureGenerator.generate_features(blocks)
+    blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=False)
+    purged = BlockPurging.block_purging(blocks, GSMB_SMOOTH)
+    _, _, rebuilt = BlockFiltering.block_filtering_quick(purged, FILTER_R)
+    rebuilt.cache()
+    feats = FeatureGenerator.generate_features(rebuilt)
     out_cols = [
         rnd(F.col(c).cast("double"), 6).alias(c) for c in FEATURE_COLS
     ]
@@ -506,7 +517,8 @@ def q_gsmb_features(spark, sf_dir):
 
 
 def _o_gsmb_features() -> str:
-    from sparker_spark.entry import DUCK_DIRTY_BLOCKS, DUCK_UNIGRAM_KEYS
+    from sparker_spark.entry import FILTER_R, _duck_purge_prefix
+    from sparker_spark.filters import ROUND_HALF_EVEN_SQL
 
     # doubles -> float32 at the feature boundary (reference schema,
     # feature_generator.py:233-245) -> back to double -> round: both
@@ -516,9 +528,24 @@ def _o_gsmb_features() -> str:
 
     js1 = "(cbs / (nb_p1 + nb_p2 - cbs))"
     raccb = "greatest(raccb_raw, 0.000001)"
-    return f"""WITH {DUCK_UNIGRAM_KEYS.strip()}, {DUCK_DIRTY_BLOCKS.strip()},
-pb AS (SELECT k.profile_id, b.key, b.block_size, b.comparisons
-       FROM keys k JOIN blocks b USING (key)),
+    rhe = ROUND_HALF_EVEN_SQL.format(x=f"(n * CAST({FILTER_R} AS DOUBLE))")
+    return f"""{_duck_purge_prefix(GSMB_SMOOTH)},
+purged AS (SELECT b.key, b.comparisons FROM blocks b, thr WHERE b.comparisons <= thr.t),
+pb0 AS (SELECT k.profile_id, p.key, p.comparisons FROM keys k JOIN purged p USING (key)),
+ranked AS (SELECT profile_id, key, comparisons,
+                  row_number() OVER (PARTITION BY profile_id ORDER BY comparisons, key) AS rn,
+                  count(*) OVER (PARTITION BY profile_id) AS n
+           FROM pb0),
+cut AS (SELECT profile_id, comparisons AS cutoff FROM ranked
+        WHERE rn = least(greatest(({rhe}) - 1, 0), n - 1) + 1),
+kept AS (SELECT p.profile_id, p.key
+         FROM pb0 p JOIN cut c USING (profile_id) WHERE p.comparisons <= c.cutoff),
+rb AS MATERIALIZED (
+  SELECT key, CAST(count(*) AS BIGINT) AS block_size,
+         CAST(count(*) * (count(*) - 1) AS BIGINT) AS comparisons
+  FROM kept GROUP BY key HAVING count(*) > 1),
+pb AS (SELECT kept.profile_id, rb.key, rb.block_size, rb.comparisons
+       FROM kept JOIN rb USING (key)),
 per_profile AS (
   SELECT profile_id, count(*) AS num_blocks,
          sum(1.0 / block_size) AS inv_size_sum,
@@ -532,7 +559,7 @@ stats AS (SELECT src, sum(cbs) AS redundant, count(*) AS non_redundant
           FROM co GROUP BY src),
 consts AS (SELECT CAST(count(*) AS DOUBLE) AS B,
                   CAST(sum(comparisons) AS DOUBLE) AS T
-           FROM blocks),
+           FROM rb),
 pairs AS (
   SELECT a.profile_id AS p1, b2.profile_id AS p2,
          CAST(count(*) AS DOUBLE) AS cbs,
