@@ -137,3 +137,57 @@ def test_frame_sample_plan(spark):
         for r in frame_sample_plan(media, every_ms=1000).collect()
     )
     assert out == [(0, 0), (0, 1000), (0, 2000), (0, 3000), (1, 0)]
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap closes a
+    session; the open tail session stays in state (append mode)."""
+    import datetime as dt
+
+    from sparker_spark.streaming.incremental import streaming_sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    src = tmp_path / "events"
+    rows = [
+        # user 1: two events 5 min apart, then a 90-min gap -> session
+        # closes, new session opens (stays open in state)
+        (1, ts(0), 10.0),
+        (1, ts(5), 2.5),
+        (1, ts(95), 1.0),
+        # user 2: single event -> open session only, nothing emitted
+        (2, ts(0), 7.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(str(src))
+
+    out = streaming_sessionize(stream, gap="30 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # user 1's first session closes on the in-batch gap; user 2's
+    # single-event session closes via the EVENT-TIME TIMEOUT: the
+    # final watermark (max ts − 10 min = 13:25) passed its
+    # last+gap (12:30). User 1's tail session (start 13:35) is still
+    # open — its timeout (14:05) is beyond the watermark — so it is
+    # correctly NOT emitted in append mode.
+    assert got == {
+        (1, ts(0), ts(5), 2, 12.5),
+        (2, ts(0), ts(0), 1, 7.0),
+    }
