@@ -137,21 +137,25 @@ blocks AS (
 
 # directed co-occurrence INCLUDING the dirty self-loop (see
 # sparker_spark/metablocking/weights.py for why), plus per-profile
-# block counts for the weight formulas
+# block counts and the ARCS log-denominator (reference ARCS divides by
+# EVERY source-profile block's comparisons — weights.py ARCS note)
 DUCK_DIRTY_GRAPH = """
 pb AS (SELECT k.profile_id, k.key FROM keys k JOIN blocks b USING (key)),
 nb AS (SELECT profile_id, count(*) AS num_blocks FROM pb GROUP BY profile_id),
+aden AS (SELECT k.profile_id, sum(ln(CAST(b.comparisons AS DOUBLE))) AS logden
+         FROM pb k JOIN blocks b USING (key) GROUP BY 1),
 co AS (
-  SELECT a.profile_id AS src, b2.profile_id AS dst, CAST(count(*) AS DOUBLE) AS cbs,
-         sum(1.0 / bl.comparisons) AS arcs_sum
-  FROM pb a JOIN pb b2 USING (key) JOIN blocks bl USING (key)
+  SELECT a.profile_id AS src, b2.profile_id AS dst, CAST(count(*) AS DOUBLE) AS cbs
+  FROM pb a JOIN pb b2 USING (key)
   GROUP BY 1, 2
 ),
 g AS (
-  SELECT co.src, co.dst, co.cbs, co.arcs_sum,
-         n1.num_blocks AS src_blocks, n2.num_blocks AS dst_blocks
+  SELECT co.src, co.dst, co.cbs,
+         n1.num_blocks AS src_blocks, n2.num_blocks AS dst_blocks,
+         a1.logden AS src_logden
   FROM co JOIN nb n1 ON co.src = n1.profile_id
           JOIN nb n2 ON co.dst = n2.profile_id
+          JOIN aden a1 ON co.src = a1.profile_id
 )"""
 
 
@@ -168,7 +172,7 @@ def _duck_weight_expr(weight_type: str) -> str:
             " * log10(CAST((SELECT b FROM nblocks) AS DOUBLE) / dst_blocks)"
         )
     if weight_type == WeightTypes.ARCS:
-        return "arcs_sum"
+        return "cbs * exp(-src_logden)"
     if weight_type == WeightTypes.CHI_SQUARE:
         return """(
   pow(cbs - (dst_blocks * src_blocks / B), 2) / (dst_blocks * src_blocks / B)
@@ -205,6 +209,16 @@ weighted AS (SELECT src, dst, {_duck_weight_expr(weight_type)} AS w FROM g)"""
 
 
 def _duck_edges_sql(weight_type: str) -> str:
+    if weight_type == WeightTypes.ARCS:
+        # reference ARCS = cbs / Π comparisons over ALL the source
+        # profile's blocks (weights.py ARCS note) — magnitudes ~e^-100,
+        # so the checked output is the log-domain weight
+        return (
+            _duck_dirty_weighted(weight_type)
+            + """
+SELECT src AS p1, dst AS p2, round(ln(cbs) - src_logden, 6) AS log_weight
+FROM g WHERE src < dst"""
+        )
     return (
         _duck_dirty_weighted(weight_type)
         + """
@@ -310,6 +324,34 @@ FROM pb p JOIN cut c USING (profile_id) WHERE p.comparisons <= c.cutoff"""
 
 # --- ER: edge weighting (shingle blocks, dirty) ---
 def _mk_edges_query(weight_type):
+    if weight_type == WeightTypes.ARCS:
+
+        def q_arcs(spark, sf_dir):
+            from sparker_spark.metablocking.weights import EdgeWeighting
+
+            blocks, pb = _shingle_blocks(spark, sf_dir)
+            co = EdgeWeighting.co_occurrence(blocks)
+            logden = EdgeWeighting.arcs_log_denominator(blocks)
+            return (
+                co.join(
+                    logden.select(
+                        F.col("profile_id").alias("src"),
+                        F.col("logden").alias("src_logden"),
+                    ),
+                    "src",
+                )
+                .where(F.col("src") < F.col("dst"))
+                .select(
+                    F.col("src").alias("p1"),
+                    F.col("dst").alias("p2"),
+                    rnd(F.log("cbs") - F.col("src_logden"), 6).alias(
+                        "log_weight"
+                    ),
+                )
+            )
+
+        return q_arcs
+
     def q(spark, sf_dir):
         _, half = _edges(spark, sf_dir, weight_type)
         return half

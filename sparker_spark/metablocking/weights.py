@@ -65,7 +65,7 @@ class EdgeWeighting:
         blocks: BlockCollection, use_entropy: bool = False
     ) -> DataFrame:
         """Directed co-occurrence pairs with shared-block aggregates:
-        (src, dst, cbs, arcs_sum[, entropy_sum]).
+        (src, dst, cbs[, entropy_sum]).
 
         Dirty ER compares everything in a block; clean-clean only
         across sources (pruning_utils.py:29-53 get_all_neighbors).
@@ -103,11 +103,22 @@ class EdgeWeighting:
 
         aggs = [
             F.count("*").cast("double").alias("cbs"),
-            F.sum(1.0 / F.col("comparisons")).alias("arcs_sum"),
         ]
         if use_entropy:
             aggs.append(F.sum("entropy").alias("entropy_sum"))
         return pairs.groupBy("src", "dst").agg(*aggs)
+
+    @staticmethod
+    def arcs_log_denominator(blocks: BlockCollection) -> DataFrame:
+        """Per-profile Σ ln(comparisons) over the profile's surviving
+        blocks — the log of the reference's ARCS denominator."""
+        comp = blocks.meta.select("block_id", "comparisons")
+        return (
+            blocks.assignments.select("block_id", "profile_id")
+            .join(comp, "block_id")
+            .groupBy("profile_id")
+            .agg(F.sum(F.log(F.col("comparisons").cast("double"))).alias("logden"))
+        )
 
     @staticmethod
     def profile_num_blocks(profile_blocks_filtered: DataFrame) -> DataFrame:
@@ -163,7 +174,29 @@ class EdgeWeighting:
                 * ent
             )
         elif weight_type == WeightTypes.ARCS:
-            weight = F.col("arcs_sum") * ent
+            # Reference ARCS (both Python common_node_pruning.py:185-201
+            # and Scala CommonNodePruning.scala:236-258) divides the CBS
+            # count by comparisons(b) for EVERY block b of the SOURCE
+            # profile — not 1/comparisons summed over shared blocks as
+            # in the meta-blocking papers. weight(src,dst) =
+            # cbs / Π_{b∈blocks(src)} comparisons(b), asymmetric in
+            # src. Π via exp(Σ ln) — one agg + join instead of a
+            # per-profile loop; underflow for block-rich profiles
+            # matches the reference's repeated-division underflow (→0).
+            # Documented deviations: entropy (reference multiplies
+            # entropies[dst] once per src block — ent^{|blocks(src)|};
+            # we multiply once) and >2-source clean comparisons
+            # (reference uses Π per-source sizes; our meta stores
+            # pairwise cross-comparisons — identical for ≤2 sources).
+            logden = EdgeWeighting.arcs_log_denominator(blocks)
+            e = e.join(
+                logden.select(
+                    F.col("profile_id").alias("src"),
+                    F.col("logden").alias("src_logden"),
+                ),
+                "src",
+            )
+            weight = cbs * F.exp(-F.col("src_logden")) * ent
         elif weight_type == WeightTypes.CHI_SQUARE:
             weight = EdgeWeighting._chi_square(
                 cbs, F.col("dst_blocks"), F.col("src_blocks"), B

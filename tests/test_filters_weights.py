@@ -92,10 +92,12 @@ def test_arcs_edges(blocks):
     pb = Converters.blocks_to_profile_blocks(blocks)
     ctx = EdgeWeighting.weighted_edges(blocks, pb, WeightTypes.ARCS)
     edges = edge_map(ctx.half())
-    # (0,1) share t1 (6 comps) and t2 (2 comps): 1/6 + 1/2 = 2/3
-    assert edges[(0, 1)] == pytest.approx(1 / 6 + 1 / 2)
-    # (0,4) share t5 (2 comps): 1/2
-    assert edges[(0, 4)] == pytest.approx(1 / 2)
+    # Reference ARCS (common_node_pruning.py:185-201): cbs divided by
+    # comparisons of EVERY source-profile block. Profile 0's blocks:
+    # t1 (6 comps), t2 (2), t5 (2) -> denominator 24.
+    # (0,1): cbs=2 -> 2/24; (0,4): cbs=1 -> 1/24.
+    assert edges[(0, 1)] == pytest.approx(2 / 24)
+    assert edges[(0, 4)] == pytest.approx(1 / 24)
 
 
 def test_chi_square_edges(blocks):

@@ -235,3 +235,67 @@ def test_wnp_js_exact_edge_parity(spark, reference, ref_pipeline, our_pipeline):
         tuple(sorted((oid[r["p1"]], oid[r["p2"]]))) for r in ours.collect()
     }
     assert ref_pairs == our_pairs
+
+
+@pytest.mark.parametrize("wt", ["ecbs", "chi_square", "arcs"])
+def test_weighted_graph_exact_parity(spark, reference, ref_pipeline, our_pipeline, wt):
+    """Full weighted graph (get_all_edges, no pruning) on cora:
+    per-pair weights match the reference to 1e-9 relative for
+    ECBS / chi² / ARCS — the weight formulas the WNP parity tests
+    don't isolate."""
+    ref = reference
+    sc = spark.sparkContext
+    block_index = sc.broadcast(
+        ref_pipeline["blocks_after_filtering"]
+        .map(lambda b: (b.block_id, b.profiles))
+        .collectAsMap()
+    )
+    pbsi = sc.broadcast(
+        ref_pipeline["profile_blocks_filtered"]
+        .map(lambda pb: (pb.profile_id, len(pb.blocks)))
+        .collectAsMap()
+    )
+    ref_wt = {
+        "ecbs": reference.WeightTypes.ECBS,
+        "chi_square": reference.WeightTypes.CHI_SQUARE,
+        "arcs": reference.WeightTypes.ARCS,
+    }[wt]
+    results = ref.WNP.get_all_edges(
+        ref_pipeline["profile_blocks_filtered"],
+        block_index,
+        ref_pipeline["max_profile_id"],
+        weight_type=ref_wt,
+        profile_blocks_size_index=pbsi,
+    )
+    rid = _ref_id_map(ref_pipeline)
+    ref_w = {}
+    # get_all_edges yields a plain edge LIST per profile (wnp.py:9-24),
+    # unlike wnp()'s (count, gt_hits, edges) triples. Keep DIRECTION:
+    # ARCS is src-asymmetric and the engines' id orders differ, so the
+    # "smaller id" endpoint is not the same profile in both.
+    for p1, p2, w in results.flatMap(lambda x: x).collect():
+        ref_w[(rid[p1], rid[p2])] = w
+
+    from sparker_spark.metablocking.pruning_utils import WeightTypes
+    from sparker_spark.metablocking.weights import EdgeWeighting
+
+    our_wt = {
+        "ecbs": WeightTypes.ECBS,
+        "chi_square": WeightTypes.CHI_SQUARE,
+        "arcs": WeightTypes.ARCS,
+    }[wt]
+    ctx = EdgeWeighting.weighted_edges(
+        our_pipeline["rebuilt"], our_pipeline["pb_filtered"], weight_type=our_wt
+    )
+    oid = _our_id_map(our_pipeline)
+    our_w = {
+        (oid[r["src"]], oid[r["dst"]]): r["weight"]
+        for r in ctx.edges.where("src != dst").collect()
+    }
+    # our directed graph holds both directions; the reference emits
+    # only its own smaller-id direction — every ref edge must exist in
+    # ours with an identical weight
+    assert set(ref_w) <= set(our_w)
+    assert len(ref_w) * 2 == len(our_w)
+    for k, w in ref_w.items():
+        assert abs(our_w[k] - w) <= 1e-9 * max(1.0, abs(w)), (k, w, our_w[k])
