@@ -299,3 +299,100 @@ def test_weighted_graph_exact_parity(spark, reference, ref_pipeline, our_pipelin
     assert len(ref_w) * 2 == len(our_w)
     for k, w in ref_w.items():
         assert abs(our_w[k] - w) <= 1e-9 * max(1.0, abs(w)), (k, w, our_w[k])
+
+
+def test_wep_exact_edge_parity(spark, reference, ref_pipeline, our_pipeline):
+    """WEP (global mean threshold) on cora: exact retained-edge parity —
+    fully deterministic in both engines."""
+    ref = reference
+    sc = spark.sparkContext
+    block_index = sc.broadcast(
+        ref_pipeline["blocks_after_filtering"]
+        .map(lambda b: (b.block_id, b.profiles))
+        .collectAsMap()
+    )
+    pbsi = sc.broadcast(
+        ref_pipeline["profile_blocks_filtered"]
+        .map(lambda pb: (pb.profile_id, len(pb.blocks)))
+        .collectAsMap()
+    )
+    results = ref.WEP.wep(
+        ref_pipeline["profile_blocks_filtered"],
+        block_index,
+        ref_pipeline["max_profile_id"],
+        weight_type=ref.WeightTypes.CBS,
+        profile_blocks_size_index=pbsi,
+    )
+    rid = _ref_id_map(ref_pipeline)
+    ref_pairs = {
+        tuple(sorted((rid[p1], rid[p2])))
+        for p1, p2, _ in results.flatMap(lambda x: x[2]).collect()
+    }
+
+    from sparker_spark.metablocking.pruning_utils import WeightTypes
+    from sparker_spark.metablocking.weights import EdgeWeighting
+    from sparker_spark.metablocking.wep import WEP
+
+    ctx = EdgeWeighting.weighted_edges(
+        our_pipeline["rebuilt"], our_pipeline["pb_filtered"], WeightTypes.CBS
+    )
+    oid = _our_id_map(our_pipeline)
+    our_pairs = {
+        tuple(sorted((oid[r["p1"]], oid[r["p2"]])))
+        for r in WEP.prune(ctx).collect()
+    }
+    assert ref_pairs == our_pairs
+
+
+def test_cep_parity_modulo_tie_identity(
+    spark, reference, ref_pipeline, our_pipeline
+):
+    """CEP on cora: same K, identical kept-weight multiset, identical
+    above-cut edge set. (Which edges fill the tie quota at the cut
+    weight is dict-order-dependent in the reference — SURVEY §7.2 —
+    so tie membership itself is not comparable.)"""
+    ref = reference
+    sc = spark.sparkContext
+    block_index = sc.broadcast(
+        ref_pipeline["blocks_after_filtering"]
+        .map(lambda b: (b.block_id, b.profiles))
+        .collectAsMap()
+    )
+    pbsi = sc.broadcast(
+        ref_pipeline["profile_blocks_filtered"]
+        .map(lambda pb: (pb.profile_id, len(pb.blocks)))
+        .collectAsMap()
+    )
+    results = ref.CEP.cep(
+        ref_pipeline["profile_blocks_filtered"],
+        block_index,
+        ref_pipeline["max_profile_id"],
+        weight_type=ref.WeightTypes.CBS,
+        profile_blocks_size_index=pbsi,
+    )
+    rid = _ref_id_map(ref_pipeline)
+    ref_edges = [
+        (tuple(sorted((rid[p1], rid[p2]))), w)
+        for p1, p2, w in results.flatMap(lambda x: x[2]).collect()
+    ]
+
+    from sparker_spark.blocking.converters import Converters
+    from sparker_spark.metablocking.cep import CEP
+    from sparker_spark.metablocking.pruning_utils import WeightTypes
+    from sparker_spark.metablocking.weights import EdgeWeighting
+
+    ctx = EdgeWeighting.weighted_edges(
+        our_pipeline["rebuilt"], our_pipeline["pb_filtered"], WeightTypes.CBS
+    )
+    k = CEP.num_edges_to_keep(our_pipeline["rebuilt"])
+    oid = _our_id_map(our_pipeline)
+    our_edges = [
+        (tuple(sorted((oid[r["p1"]], oid[r["p2"]]))), r["weight"])
+        for r in CEP.prune(ctx, k).collect()
+    ]
+    assert len(ref_edges) == len(our_edges)
+    assert sorted(w for _, w in ref_edges) == sorted(w for _, w in our_edges)
+    cut = min(w for _, w in ref_edges)
+    assert {p for p, w in ref_edges if w > cut} == {
+        p for p, w in our_edges if w > cut
+    }
