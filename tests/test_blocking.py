@@ -111,3 +111,39 @@ def test_create_blocks_clean(spark):
     for k in meta:
         assert meta[k]["comparisons"] == 1
         assert meta[k]["num_sources"] == 2
+
+
+def test_create_blocks_three_sources(spark):
+    """Multi-(>2)-source clean-clean (SURVEY §1.2): comparisons =
+    Σ_{i<j} n_i·n_j, and the co-occurrence graph only crosses sources."""
+    from sparker_spark.metablocking.weights import EdgeWeighting
+
+    dfs = [
+        spark.createDataFrame([(f"s{s}a", "alpha common"), (f"s{s}b", "common")],
+                              ["id", "t"])
+        for s in range(3)
+    ]
+    profiles = None
+    start = 0
+    for s, df in enumerate(dfs):
+        p = DataFrameWrapper.load_profiles(
+            df, real_id_field="id", source_id=s, start_id_from=start
+        )
+        profiles = p if profiles is None else profiles.unionByName(p)
+        start += 2
+    assert separator_ids(profiles) == [1, 3]
+    blocks = Blocking.create_blocks(profiles, clean=True)
+    meta = {r["key"]: r for r in blocks.meta.collect()}
+    # "common": 2 profiles per source, 3 sources -> 3 pairs of sources
+    # x 2x2 = 12 comparisons; "alpha": 1 per source -> 3
+    assert meta["common"]["comparisons"] == 12
+    assert meta["common"]["num_sources"] == 3
+    assert meta["alpha"]["comparisons"] == 3
+    # cross-source only: no same-source pairs in the co-occurrence graph
+    co = EdgeWeighting.co_occurrence(blocks)
+    ids = {
+        r["profile_id"]: r["source_id"]
+        for r in profiles.select("profile_id", "source_id").distinct().collect()
+    }
+    for r in co.collect():
+        assert ids[r["src"]] != ids[r["dst"]]
