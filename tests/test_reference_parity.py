@@ -237,7 +237,16 @@ def test_wnp_js_exact_edge_parity(spark, reference, ref_pipeline, our_pipeline):
     assert ref_pairs == our_pairs
 
 
-@pytest.mark.parametrize("wt", ["ecbs", "chi_square", "arcs"])
+# EJS is excluded: the reference's compute_statistics resets its dense
+# array by POSITION instead of by neighbor id (common_node_pruning.py:
+# 93-94 `local_weights[i] = 0` where i indexes `neighbors`), so stale
+# counts leak between profiles within a partition and the resulting
+# E / per-profile edge counts are partition-order dependent — two
+# reference runs with different partitioning disagree with each other.
+# Our EJS uses exact distinct-neighbor statistics (the formula itself
+# is replicated bit-for-bit, weights.py EJS branch) and is pinned by
+# the cross-engine DuckDB oracle instead.
+@pytest.mark.parametrize("wt", ["ecbs", "chi_square", "arcs", "js"])
 def test_weighted_graph_exact_parity(spark, reference, ref_pipeline, our_pipeline, wt):
     """Full weighted graph (get_all_edges, no pruning) on cora:
     per-pair weights match the reference to 1e-9 relative for
@@ -259,6 +268,7 @@ def test_weighted_graph_exact_parity(spark, reference, ref_pipeline, our_pipelin
         "ecbs": reference.WeightTypes.ECBS,
         "chi_square": reference.WeightTypes.CHI_SQUARE,
         "arcs": reference.WeightTypes.ARCS,
+        "js": reference.WeightTypes.JS,
     }[wt]
     results = ref.WNP.get_all_edges(
         ref_pipeline["profile_blocks_filtered"],
@@ -283,6 +293,7 @@ def test_weighted_graph_exact_parity(spark, reference, ref_pipeline, our_pipelin
         "ecbs": WeightTypes.ECBS,
         "chi_square": WeightTypes.CHI_SQUARE,
         "arcs": WeightTypes.ARCS,
+        "js": WeightTypes.JS,
     }[wt]
     ctx = EdgeWeighting.weighted_edges(
         our_pipeline["rebuilt"], our_pipeline["pb_filtered"], weight_type=our_wt
