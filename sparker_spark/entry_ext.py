@@ -408,6 +408,49 @@ FROM g WHERE src < dst"""
 
 
 # ====================================================================
+# BLAST end-to-end (SURVEY §3.2): attribute clustering -> cluster
+# blocking -> entropy-boosted chi² -> WNP with the sqrt(t1²+t2²)/d rule
+# ====================================================================
+CHI2_DIVIDER = 2.0  # BLAST.ipynb default
+
+
+def q_er_blast_wnp(spark, sf_dir):
+    from sparker_spark.blocking.converters import Converters
+    from sparker_spark.metablocking.pruning_utils import (
+        ComparisonTypes,
+        ThresholdTypes,
+    )
+    from sparker_spark.metablocking.weights import EdgeWeighting
+    from sparker_spark.metablocking.wnp import WNP
+
+    blocks = _cluster_blocks(spark, sf_dir).cache()
+    pb = Converters.blocks_to_profile_blocks(blocks)
+    ctx = EdgeWeighting.weighted_edges(
+        blocks, pb, WeightTypes.CHI_SQUARE, use_entropy=True
+    )
+    kept = WNP.prune(
+        ctx, ThresholdTypes.AVG, ComparisonTypes.OR, chi2divider=CHI2_DIVIDER
+    )
+    return kept.select("p1", "p2", rnd("weight", 6).alias("weight"))
+
+
+def _o_er_blast_wnp() -> str:
+    base = _o_er_chi2_entropy_edges()
+    # reuse the chi²·entropy chain up to `g`, then the BLAST threshold
+    head, tail = base.rsplit("SELECT src AS p1", 1)
+    chi2 = tail.split("round(", 1)[1].rsplit(", 6)", 1)[0]
+    return (
+        head
+        + f""", weighted AS (SELECT src, dst, {chi2} AS w FROM g),
+thr AS (SELECT src AS pid, avg(w) AS t FROM weighted GROUP BY src)
+SELECT w.src AS p1, w.dst AS p2, round(w.w, 6) AS weight
+FROM weighted w JOIN thr t1 ON w.src = t1.pid JOIN thr t2 ON w.dst = t2.pid
+WHERE w.src < w.dst
+  AND w.w >= sqrt(t1.t * t1.t + t2.t * t2.t) / {CHI2_DIVIDER}"""
+    )
+
+
+# ====================================================================
 # B3: char n-gram blocking over documents (dirty)
 # ====================================================================
 NGRAM_N = 4
@@ -871,6 +914,7 @@ def ext_queries() -> dict:
         # BLAST blocking + entropy weighting (SURVEY §2.3 B7, §2.5 W7)
         "er_cluster_blocks": q_er_cluster_blocks,
         "er_chi2_entropy_edges": q_er_chi2_entropy_edges,
+        "er_blast_wnp": q_er_blast_wnp,
         # n-gram blocking (SURVEY §2.2 B3)
         "er_ngram_blocks": q_er_ngram_blocks,
         # reciprocal CNP (SURVEY §2.6 P4 AND)
@@ -898,6 +942,7 @@ def ext_oracles() -> dict:
         "er_attr_token_blocks": _o_er_attr_token_blocks(),
         "er_cluster_blocks": _o_er_cluster_blocks(),
         "er_chi2_entropy_edges": _o_er_chi2_entropy_edges(),
+        "er_blast_wnp": _o_er_blast_wnp(),
         "er_ngram_blocks": _o_er_ngram_blocks(),
         "er_cnp_cbs_and": _o_er_cnp_cbs_and(),
         "gsmb_features": _o_gsmb_features(),
