@@ -764,6 +764,63 @@ WHERE EXISTS (SELECT 1 FROM t1 WHERE t1.p1 = o.p1 AND t1.p2 = o.p2)
 
 
 # ====================================================================
+# ANN IVF oracle: the cell assignment is a seeded deterministic
+# hyperplane sketch (similarity.py:77-162), so the "approximate"
+# operator is exactly reproducible in SQL — plane constants, probe
+# map and tie rules are shared with the Spark plan.
+# ====================================================================
+IVF_DIM = 64  # driver testdata embedding dim (all SFs)
+IVF_CELLS = 16
+IVF_PROBE = 4
+IVF_SEED = 1234
+
+
+def _o_ann_topk_ivf() -> str:
+    import random
+
+    from sparker_spark.entry import ANN_K, ANN_QUERY_MOD
+
+    bits = IVF_CELLS.bit_length() - 1
+    rng = random.Random(IVF_SEED)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(IVF_DIM)] for _ in range(bits)
+    ]
+    cell = " + ".join(
+        f"CASE WHEN list_dot_product(emb, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN {2**j} ELSE 0 END"
+        for j, p in enumerate(planes)
+    )
+    cells = list(range(IVF_CELLS))
+    probe_rows = []
+    for c in cells:
+        ranked = sorted(cells, key=lambda o: (bin(c ^ o).count("1"), o))
+        probe_rows.extend(f"({c}, {o})" for o in ranked[:IVF_PROBE])
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+  FROM embeddings),
+vc AS MATERIALIZED (SELECT vec_id, emb, norm, ({cell}) AS cell FROM v),
+probes(cell, probe_cell) AS (VALUES {', '.join(probe_rows)}),
+qp AS (SELECT q.vec_id AS query_id, q.emb AS e1, q.norm AS n1, p.probe_cell
+       FROM vc q JOIN probes p USING (cell)
+       WHERE q.vec_id % {ANN_QUERY_MOD} = 0),
+cand AS (SELECT vec_id AS neighbor_id, emb AS e2, norm AS n2, cell AS probe_cell
+         FROM vc),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(e1, e2) / (n1 * n2), 6) AS cosine
+  FROM qp JOIN cand USING (probe_cell)
+  WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}"""
+
+
+# ====================================================================
 # G1: PPS initialization frame (per-profile likelihood + top-1)
 # ====================================================================
 def q_pps_init(spark, sf_dir):
@@ -939,6 +996,7 @@ def ext_oracles() -> dict:
         "attr_entropy": O_ATTR_ENTROPY,
         "attr_sim_edges": _o_attr_sim_edges(),
         "attr_clusters": _o_attr_clusters(),
+        "ann_topk_ivf": _o_ann_topk_ivf(),
         "er_attr_token_blocks": _o_er_attr_token_blocks(),
         "er_cluster_blocks": _o_er_cluster_blocks(),
         "er_chi2_entropy_edges": _o_er_chi2_entropy_edges(),
