@@ -39,6 +39,75 @@ HEADLINE = [
 ]
 
 
+def pipeline_blast_e2e(spark, sf_dir):
+    """BLAST end-to-end: attribute MinHash/LSH clustering -> cluster
+    (loose-schema) blocking -> entropy-boosted chi² weighting -> WNP
+    with the BLAST sqrt rule — the full SURVEY §3.2 chain as one
+    timed unit."""
+    from sparker_spark.entry import QUERIES
+
+    return QUERIES["er_blast_wnp"](spark, sf_dir)
+
+
+def pipeline_gsmb_e2e(spark, sf_dir):
+    """GSMB end-to-end (SURVEY §3.3): unigram blocking -> purging ->
+    filtering -> 9-feature generation -> logistic-regression training
+    on exact-duplicate labels -> scoring -> supervised CEP pruning."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from sparker_spark.blocking.blockers import Blocking
+    from sparker_spark.entry import FILTER_R, _doc_keys_unigram, load
+    from sparker_spark.entry_ext import FEATURE_COLS, GSMB_SMOOTH
+    from sparker_spark.feature_generator import FeatureGenerator
+    from sparker_spark.filters import BlockFiltering, BlockPurging
+    from sparker_spark.llm.dedup import Dedup
+    from sparker_spark.supervised import SupervisedMB
+
+    keys = _doc_keys_unigram(spark, sf_dir).cache()
+    blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=False)
+    purged = BlockPurging.block_purging(blocks, GSMB_SMOOTH)
+    _, _, rebuilt = BlockFiltering.block_filtering_quick(purged, FILTER_R)
+    rebuilt.cache()
+    total = int(rebuilt.meta.agg(F.sum("block_size")).first()[0] or 0)
+    feats = FeatureGenerator.generate_features(rebuilt)
+
+    groups = Dedup.exact_groups(load(spark, sf_dir, "documents")).select(
+        "doc_id", "text_hash"
+    )
+    labeled = (
+        feats.join(
+            groups.select(F.col("doc_id").alias("p1"), F.col("text_hash").alias("h1")),
+            "p1",
+        )
+        .join(
+            groups.select(F.col("doc_id").alias("p2"), F.col("text_hash").alias("h2")),
+            "p2",
+        )
+        .withColumn("is_match", (F.col("h1") == F.col("h2")).cast("int"))
+    )
+    va = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features")
+    data = va.transform(labeled.fillna(0)).cache()
+    train = data.where("is_match = 1").limit(200).unionByName(
+        data.where("is_match = 0").limit(200)
+    )
+    model = LogisticRegression(maxIter=20, labelCol="is_match").fit(train)
+    scored = (
+        model.transform(data)
+        .withColumn("p_match", vector_to_array("probability")[1])
+        .select("p1", "p2", "p_match")
+    )
+    return SupervisedMB.cep(scored, total)
+
+
+PIPELINES = {
+    "pipeline_blast_e2e": pipeline_blast_e2e,
+    "pipeline_gsmb_e2e": pipeline_gsmb_e2e,
+}
+
+
 def main():
     from sparker_spark.entry import QUERIES
     from sparker_spark.session import get_spark
@@ -57,6 +126,15 @@ def main():
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+
+    # flagship composite pipelines, timed end-to-end (construction +
+    # all internal actions + final count) so round-over-round
+    # regressions in the full chains are visible, not just per stage
+    for name, fn in PIPELINES.items():
         t0 = time.time()
         n = fn(spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)

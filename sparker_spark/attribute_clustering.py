@@ -37,16 +37,29 @@ DEFAULT_CLUSTER_NAME = "tuttiTokenNonNeiCluster"  # reference's default-cluster 
 
 
 def get_hashes_bands(num_hashes: int, target_threshold: float) -> int:
-    """Number of bands b such that (1/b)^(b/n) >= t — reference
-    attribute_clustering.py:34-59 searches b dividing n."""
-    best = 1
-    for b in range(1, num_hashes + 1):
-        if num_hashes % b != 0:
-            continue
-        t = (1.0 / b) ** (b / num_hashes)
-        if t >= target_threshold:
-            best = b
-    return best
+    """Reference band count (attribute_clustering.py:35-41
+    get_num_bands, LSH.scala:59-66): decrement b from n while
+    (1/b)^(b/n) < t, then return b+1 — the last b that FAILED the
+    threshold test (a reference quirk, kept for candidate-recall
+    parity). No divisor constraint: the reference's sliding() chunking
+    (attribute_clustering.py:61-75) tolerates a shorter final band."""
+    b = num_hashes
+    while (1.0 / b) ** (1.0 / (float(num_hashes) / float(b))) < target_threshold and b > 1:
+        b -= 1
+    return b + 1
+
+
+def band_chunks(num_hashes: int, target_threshold: float) -> list[tuple[int, int]]:
+    """(start, length) of each LSH band. rows = max(1, n // bands)
+    (reference get_num_rows, attribute_clustering.py:43-59) and the
+    signature is chunked in ``rows``-sized slices — ⌈n/rows⌉ actual
+    bands, the last possibly shorter, exactly the reference's
+    sliding() split."""
+    bands = get_hashes_bands(num_hashes, target_threshold)
+    rows = max(1, num_hashes // bands)
+    return [
+        (i, min(rows, num_hashes - i)) for i in range(0, num_hashes, rows)
+    ]
 
 
 class AttributeClustering:
@@ -92,8 +105,7 @@ class AttributeClustering:
         """LSH banding -> bucket candidate pairs -> signature-agreement
         similarity (calc_similarity, attribute_clustering.py:77-93:
         fraction of equal signature positions)."""
-        bands = get_hashes_bands(num_hashes, target_threshold)
-        rows = num_hashes // bands
+        chunks = band_chunks(num_hashes, target_threshold)
         # bucket id = the band's value string itself (engine-portable:
         # only equality matters; hashing it, as LSH.scala:170 does,
         # saves no shuffle bytes worth the cross-engine divergence)
@@ -101,15 +113,15 @@ class AttributeClustering:
             F.concat_ws(
                 "_",
                 F.lit(bi),
-                *[F.col(f"mh_{bi * rows + r}") for r in range(rows)],
+                *[F.col(f"mh_{start + r}") for r in range(length)],
             ).alias(f"band_{bi}")
-            for bi in range(bands)
+            for bi, (start, length) in enumerate(chunks)
         ]
         banded = sigs.select("attr_key", *band_cols)
         buckets = banded.select(
             "attr_key",
             F.explode(
-                F.array(*[F.col(f"band_{bi}") for bi in range(bands)])
+                F.array(*[F.col(f"band_{bi}") for bi in range(len(chunks))])
             ).alias("bucket"),
         )
         a = buckets.select(F.col("attr_key").alias("a1"), "bucket")

@@ -21,24 +21,27 @@ Block filters replicate blockers.py:106-111: drop singleton blocks;
 clean-clean additionally requires ≥2 non-empty sources.
 
 Dense block ids: the reference uses zipWithIndex (blockers.py:111,
-partition-order dependent); we use ``row_number() OVER (ORDER BY key)``
-— deterministic and hash-checkable. The window is over the *distinct
+partition-order dependent); we rank distinct keys with the distributed
+two-phase ranker (sparker_spark/ranking.py: range repartition +
+per-partition rank + offsets) — deterministic, hash-checkable, and
+never a single-partition window. The ranking is over the *distinct
 key* relation (one row per surviving block), not the exploded
-assignments, so the sort is proportional to #blocks, not #rows; at
-100 TB the id column is optional (operators join on `key` just as
-well) and can be disabled with assign_ids=False, or assigned with the
-distributed two-phase ranker (sparker_spark/ranking.py) when dense
-ids over a huge key set are genuinely required.
+assignments, so it is proportional to #blocks, not #rows. With
+assign_ids=False the id is ``xxhash64(key)`` — no ranking shuffle at
+all, at the cost of a 64-bit birthday collision bound (safe below
+~1e8 distinct keys; see the inline note) since downstream operators
+join on block_id.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparker_spark.blocking.strategies import BlockingKeysStrategies
+from sparker_spark.ranking import global_rank
 
 
 @dataclass
@@ -101,10 +104,21 @@ class Blocking:
         meta = stats.withColumn("comparisons", comparisons_expr(clean))
 
         if assign_ids:
-            meta = meta.withColumn(
-                "block_id", F.row_number().over(Window.orderBy("key")).cast("long")
-            )
+            # Distributed dense ids: global_rank (range repartition +
+            # per-partition rank + offsets) — identical values to a
+            # 1-based row_number() OVER (ORDER BY key) but never a
+            # single-partition window. Proportional to #blocks.
+            meta = global_rank(meta, ["key"], out="block_id")
+            meta = meta.withColumn("block_id", (F.col("block_id") + 1).cast("long"))
         else:
+            # xxhash64(key) ids: one 64-bit hash per distinct key. The
+            # birthday bound puts the first expected collision near
+            # 2^32 ≈ 4.3e9 distinct keys (p≈0.5); below ~1e8 blocks the
+            # collision probability is < 3e-4. A collision would merge
+            # two blocks and perturb weights, so callers at the multi-
+            # billion-key scale should keep assign_ids=True (dense ids
+            # via the distributed ranker) — that path has no collision
+            # risk and is the default.
             meta = meta.withColumn("block_id", F.xxhash64("key"))
 
         if entropies is not None:
@@ -152,27 +166,18 @@ class Blocking:
         return Blocking.blocks_from_keys(keys, clean=clean, assign_ids=assign_ids)
 
     @staticmethod
-    def create_blocks_clusters(
+    def _cluster_qualified_tokens(
         profiles: DataFrame,
         clusters: list,
-        clean: bool = False,
         keys_to_exclude=None,
         attributes_to_exclude=None,
         exclude_default_cluster: bool = False,
-        cluster_name_separator: str = "_",
-        assign_ids: bool = True,
-    ) -> BlockCollection:
-        """Loose-schema (BLAST) blocking — reference blockers.py:8-79,
-        TokenBlocking.scala:189-274. Tokens are suffixed with the id of
-        the attribute cluster their source attribute belongs to
-        (``token{sep}clusterId``); blocks inherit the cluster entropy.
-
-        ``clusters``: list of KeysCluster-like dicts
-        ``{"cluster_id": int, "keys": ["{source}_{attr}", ...],
-        "entropy": float}`` — tiny (≤ #attributes), shipped as a literal
-        map, exactly the broadcast the reference uses (blockers.py:30).
-        """
-        from pyspark.sql import functions as F
+    ):
+        """Shared front half of cluster (loose-schema) blocking: the
+        (profile_id, source_id, attr, token, cluster_id) relation with
+        each token mapped to its attribute cluster, plus the cluster
+        entropy map. Used by create_blocks_clusters and its _debug
+        twin."""
         from sparker_spark.blocking.strategies import (
             TOKEN_SPLIT_RE,
             _base_values,
@@ -209,6 +214,88 @@ class Blocking:
         )
         if exclude_default_cluster:
             qualified = qualified.where(F.col("cluster_id") != default_cluster_id)
+        return qualified, entropy_by_cluster
+
+    @staticmethod
+    def create_blocks_clusters_debug(
+        profiles: DataFrame,
+        clusters: list,
+        clean: bool = False,
+        keys_to_exclude=None,
+        attributes_to_exclude=None,
+        exclude_default_cluster: bool = False,
+        cluster_name_separator: str = "_",
+        assign_ids: bool = True,
+    ) -> tuple[BlockCollection, DataFrame]:
+        """Cluster blocking + provenance relation — parity with
+        scala/.../TokenBlocking.scala:81-178 (createBlocksClusterDebug),
+        which returns blocks plus token -> (profile -> contributing
+        attributes). The reference collects that map to the driver;
+        here it stays a DataFrame ``debug(key, profile_id, attrs
+        ARRAY<STRING>)`` (one row per cluster-suffixed token ×
+        profile, attrs = the source-qualified attribute names whose
+        values produced the token — pre-filter, singletons included,
+        like the reference)."""
+        qualified, _ = Blocking._cluster_qualified_tokens(
+            profiles,
+            clusters,
+            keys_to_exclude,
+            attributes_to_exclude,
+            exclude_default_cluster,
+        )
+        debug = (
+            qualified.select(
+                F.concat(
+                    F.col("token"), F.lit(cluster_name_separator), F.col("cluster_id")
+                ).alias("key"),
+                "profile_id",
+                F.concat(
+                    F.col("source_id"), F.lit(cluster_name_separator), F.col("attr")
+                ).alias("attr_key"),
+            )
+            .groupBy("key", "profile_id")
+            .agg(F.array_sort(F.collect_set("attr_key")).alias("attrs"))
+        )
+        coll = Blocking.create_blocks_clusters(
+            profiles,
+            clusters,
+            clean=clean,
+            keys_to_exclude=keys_to_exclude,
+            attributes_to_exclude=attributes_to_exclude,
+            exclude_default_cluster=exclude_default_cluster,
+            cluster_name_separator=cluster_name_separator,
+            assign_ids=assign_ids,
+        )
+        return coll, debug
+
+    @staticmethod
+    def create_blocks_clusters(
+        profiles: DataFrame,
+        clusters: list,
+        clean: bool = False,
+        keys_to_exclude=None,
+        attributes_to_exclude=None,
+        exclude_default_cluster: bool = False,
+        cluster_name_separator: str = "_",
+        assign_ids: bool = True,
+    ) -> BlockCollection:
+        """Loose-schema (BLAST) blocking — reference blockers.py:8-79,
+        TokenBlocking.scala:189-274. Tokens are suffixed with the id of
+        the attribute cluster their source attribute belongs to
+        (``token{sep}clusterId``); blocks inherit the cluster entropy.
+
+        ``clusters``: list of KeysCluster-like dicts
+        ``{"cluster_id": int, "keys": ["{source}_{attr}", ...],
+        "entropy": float}`` — tiny (≤ #attributes), shipped as a literal
+        map, exactly the broadcast the reference uses (blockers.py:30).
+        """
+        qualified, entropy_by_cluster = Blocking._cluster_qualified_tokens(
+            profiles,
+            clusters,
+            keys_to_exclude,
+            attributes_to_exclude,
+            exclude_default_cluster,
+        )
 
         keys = qualified.select(
             "profile_id",

@@ -1033,8 +1033,10 @@ def build_oracles() -> dict[str, str]:
         "tpch_q5ish": O_TPCH_Q5ISH,
     }
     from sparker_spark.entry_ext import ext_oracles
+    from sparker_spark.entry_r2 import r2_oracles
 
     oracles.update(ext_oracles())
+    oracles.update(r2_oracles())
     # native round() differs between engines at exact .5 boundaries —
     # rewrite every round() into the deterministic floor formula that
     # the Spark side (sparker_spark.rounding.rnd) uses
@@ -1043,8 +1045,10 @@ def build_oracles() -> dict[str, str]:
 
 def _register_ext() -> None:
     from sparker_spark.entry_ext import ext_queries
+    from sparker_spark.entry_r2 import r2_queries
 
     QUERIES.update(ext_queries())
+    QUERIES.update(r2_queries())
 
 
 _register_ext()

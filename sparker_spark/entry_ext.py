@@ -15,7 +15,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparker_spark.attribute_clustering import AttributeClustering, get_hashes_bands
+from sparker_spark.attribute_clustering import AttributeClustering, band_chunks
 from sparker_spark.blocking.blockers import Blocking
 from sparker_spark.blocking.strategies import TOKEN_SPLIT_RE
 from sparker_spark.feature_generator import FeatureGenerator
@@ -150,19 +150,18 @@ SELECT attr_key, round(entropy, 6) AS entropy FROM attr_h"""
 # MinHash signatures + LSH banding -> cross-source similarity edges
 def _duck_minhash_attrs() -> str:
     coeffs = minhash_coefficients(ATTR_HASHES, ATTR_SEED)
-    bands = get_hashes_bands(ATTR_HASHES, ATTR_LSH_T)
-    rows = ATTR_HASHES // bands
+    chunks = band_chunks(ATTR_HASHES, ATTR_LSH_T)
     mh_cols = ",\n         ".join(
         f"min({minhash_expr(a, b)}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
     )
     band_exprs = ",\n".join(
         "concat_ws('_', %d, %s) AS band_%d"
-        % (bi, ", ".join(f"mh_{bi * rows + r}" for r in range(rows)), bi)
-        for bi in range(bands)
+        % (bi, ", ".join(f"mh_{start + r}" for r in range(length)), bi)
+        for bi, (start, length) in enumerate(chunks)
     )
     bucket_union = " UNION ALL ".join(
         f"SELECT attr_key, band_{bi} AS bucket FROM banded"
-        for bi in range(bands)
+        for bi in range(len(chunks))
     )
     agree = " + ".join(
         f"CASE WHEN s1.mh_{i} = s2.mh_{i} THEN 1 ELSE 0 END"

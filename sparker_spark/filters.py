@@ -40,42 +40,37 @@ class BlockPurging:
         qualifies: level[1] (the reference's loop leaves previous_size
         at input[1] — filters.py:40-52).
         """
-        levels = (
+        rows = (
             meta.groupBy(F.col("comparisons").alias("level"))
             .agg(
                 F.sum("comparisons").alias("cc"),
                 F.sum("block_size").alias("bc"),
             )
+            .orderBy("level")
+            .collect()
         )
-        w = Window.orderBy("level").rowsBetween(Window.unboundedPreceding, 0)
-        cum = levels.select(
-            "level",
-            F.sum("cc").over(w).alias("cum_cc"),
-            F.sum("bc").over(w).alias("cum_bc"),
-        )
-        lead_w = Window.orderBy("level")
-        cand = cum.select(
-            "level",
-            "cum_cc",
-            "cum_bc",
-            F.lead("level").over(lead_w).alias("next_level"),
-            F.lead("cum_cc").over(lead_w).alias("next_cc"),
-            F.lead("cum_bc").over(lead_w).alias("next_bc"),
-        )
-        row = cand.agg(
-            F.max(
-                F.when(
-                    F.col("cum_bc") * F.col("next_cc")
-                    < F.lit(float(smooth_factor)) * F.col("cum_cc") * F.col("next_bc"),
-                    F.col("next_level"),
-                )
-            ).alias("threshold"),
-            F.min("next_level").alias("fallback"),
-        ).first()
-        threshold = row["threshold"]
-        if threshold is None:
-            threshold = row["fallback"]  # None too when only one level
-        return threshold
+        if len(rows) < 2:
+            return None  # single comparison level (see block_purging)
+        # driver-side cumulative scan — O(#distinct levels), exactly the
+        # histogram the reference collects (filters.py:34-55); no
+        # unpartitioned window touches the cluster
+        cum_cc: list[int] = []
+        cum_bc: list[int] = []
+        acc_cc = acc_bc = 0
+        for r in rows:
+            acc_cc += r["cc"]
+            acc_bc += r["bc"]
+            cum_cc.append(acc_cc)
+            cum_bc.append(acc_bc)
+        smooth = float(smooth_factor)
+        candidates = [
+            rows[i + 1]["level"]
+            for i in range(len(rows) - 1)
+            if cum_bc[i] * cum_cc[i + 1] < smooth * cum_cc[i] * cum_bc[i + 1]
+        ]
+        if candidates:
+            return max(candidates)
+        return rows[1]["level"]  # reference fallback (filters.py:40-52)
 
     @staticmethod
     def block_purging(blocks: BlockCollection, smooth_factor: float) -> BlockCollection:
@@ -95,25 +90,47 @@ class BlockPurging:
 
 class BlockFiltering:
     @staticmethod
-    def block_filtering(profile_blocks: DataFrame, r: float) -> DataFrame:
+    def block_filtering(
+        profile_blocks: DataFrame, r: float, tie_inclusive: bool = True
+    ) -> DataFrame:
         """Per profile, keep its blocks with fewest comparisons.
 
-        Python reference semantics (filters.py:75-89, tie-inclusive):
-        sort the profile's blocks by comparisons ascending, find the
-        comparison count at 0-based index
+        ``tie_inclusive=True`` — Python reference semantics
+        (filters.py:75-89): sort the profile's blocks by comparisons
+        ascending, find the comparison count at 0-based index
         ``clamp(round_half_even(n·r) - 1 if >0, [0, n-1])`` and keep
-        every block with comparisons <= that cutoff.
+        every block with comparisons <= that cutoff (ties at the cutoff
+        all survive).
+
+        ``tie_inclusive=False`` — Scala exact-truncation semantics
+        (scala/.../BlockFiltering.scala:28-39 ``blockFiltering``): keep
+        exactly the first ``Math.round(n·r)`` blocks of the ascending
+        sort (Java half-up rounding, floor(x+0.5)); ties at the cut are
+        truncated, and round(n·r)==0 keeps nothing for that profile —
+        both faithfully replicated. The Scala tie order within equal
+        comparison counts is list order (partition-dependent); we break
+        ties by block_id ascending for determinism. (The Scala
+        ``blockFilteringAdvanced`` tie-inclusive variant is the
+        tie_inclusive=True path modulo its half-up rounding.)
 
         Expressed as two window functions over (profile_id) — no
         collected state, scales to any #profiles.
         """
         w = Window.partitionBy("profile_id").orderBy("comparisons", "block_id")
         wall = Window.partitionBy("profile_id")
+        ranked = profile_blocks.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count("*").over(wall)
+        )
+        if not tie_inclusive:
+            keep = F.expr(
+                f"CAST(floor(n * CAST({float(r)} AS DOUBLE) + 0.5) AS BIGINT)"
+            )
+            return ranked.where(F.col("rn") <= keep).select(
+                "profile_id", "source_id", "block_id", "comparisons"
+            )
         idx_sql = ROUND_HALF_EVEN_SQL.format(x=f"(n * CAST({float(r)} AS DOUBLE))")
         ranked = (
-            profile_blocks.withColumn("rn", F.row_number().over(w))
-            .withColumn("n", F.count("*").over(wall))
-            .withColumn("idx0", F.expr(idx_sql))
+            ranked.withColumn("idx0", F.expr(idx_sql))
             .withColumn(
                 "idx",
                 F.least(

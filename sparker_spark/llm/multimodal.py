@@ -12,10 +12,38 @@ registry entry and nothing else.
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
+from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_ARROW_BATCH_CONF = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+
+@contextmanager
+def arrow_batch_rows(spark: SparkSession, rows: int):
+    """Scope ``spark.sql.execution.arrow.maxRecordsPerBatch`` to a
+    block, restoring the previous value on exit. The conf is read at
+    ACTION time, not at DataFrame definition, so wrap the action::
+
+        feats = extract_features(media)
+        with arrow_batch_rows(spark, 64):
+            feats.write.parquet(out)
+
+    Without this, a small batch size set for binary payloads would
+    degrade every later pandas exchange (toPandas, applyInPandas) in
+    the session.
+    """
+    prev = spark.conf.get(_ARROW_BATCH_CONF, None)
+    spark.conf.set(_ARROW_BATCH_CONF, str(int(rows)))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_ARROW_BATCH_CONF)
+        else:
+            spark.conf.set(_ARROW_BATCH_CONF, prev)
 
 # canonical multimodal schema fragments
 MEDIA_META = T.StructType(
@@ -81,13 +109,20 @@ def extract_features(
     batch_rows: int = 64,
 ) -> DataFrame:
     """Decode/feature-extract over binary media columns via Arrow-batched
-    mapInPandas. Batch size is bounded by rows (binary payloads are
-    large — cap Arrow batch memory via maxRecordsPerBatch rather than
-    trusting the default 10k)."""
-    spark = media.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
-    )
+    mapInPandas.
+
+    Batch memory is bounded two ways: the UDF re-slices every incoming
+    pandas batch into ``batch_rows`` chunks (bounding the per-chunk
+    working set and the OUTPUT Arrow batches), and callers bound the
+    INPUT Arrow batches by wrapping the action in
+    :func:`arrow_batch_rows` — a conf set inside this builder would be
+    a session-wide side effect (and a set-then-restore here would be a
+    no-op, since the conf is read at action time).
+
+    ``n_bytes``/``content_hash`` are computed with vectorized pandas
+    ops; the only per-row Python is the (inherently per-payload)
+    ``DecodeRegistry.decode`` call.
+    """
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
@@ -95,20 +130,25 @@ def extract_features(
         import pandas as pd
 
         for pdf in batches:
-            feats = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
-                feats.append(
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                payloads = chunk[payload_col].map(
+                    lambda p: bytes(p) if p is not None else b""
+                )
+                mimes = chunk[mime_col].map(lambda m: str(m or ""))
+                yield pd.DataFrame(
                     {
-                        "media_id": int(row[id_col]),
-                        "n_bytes": len(payload),
-                        "content_hash": hashlib.md5(payload).hexdigest(),
-                        "feature": DecodeRegistry.decode(
-                            str(row[mime_col] or ""), payload
+                        "media_id": chunk[id_col].astype("int64"),
+                        "n_bytes": payloads.map(len).astype("int64"),
+                        "content_hash": payloads.map(
+                            lambda p: hashlib.md5(p).hexdigest()
                         ),
+                        "feature": [
+                            DecodeRegistry.decode(m, p)
+                            for m, p in zip(mimes, payloads)
+                        ],
                     }
                 )
-            yield pd.DataFrame(feats)
 
     cols = media.select(id_col, payload_col, mime_col)
     return cols.mapInPandas(run, schema=FEATURE_SCHEMA)

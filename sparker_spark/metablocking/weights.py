@@ -19,13 +19,17 @@ average each node's full neighborhood (wnp.py:192-229 runs with
 first_step=True), and the EJS formula is orientation-dependent
 (common_node_pruning.py:217-248). Pruners take the ``src < dst`` half.
 
-ARCS deviation (documented): the Python reference divides each
-neighbor's CBS by the comparison count of *every* block of the profile
-(common_node_pruning.py:185-201 — the division sits inside the block
-loop, so the result is cbs/Π(comparisons) and depends on non-shared
-blocks). We implement the published ARCS semantics — Σ over *shared*
-blocks of 1/comparisons(block) — matching the Scala tree's intent and
-the Papadakis papers.
+ARCS (reference semantics, not the published formula): both reference
+trees (common_node_pruning.py:185-201, CommonNodePruning.scala:236-258)
+divide the CBS count by comparisons(b) for EVERY block b of the SOURCE
+profile — the division sits inside the block loop, so the weight is
+cbs / Π_{b∈blocks(src)} comparisons(b), asymmetric in src and
+dependent on non-shared blocks. We implement exactly that (Π via
+exp(Σ ln), see the ARCS branch below) because parity with the
+reference is the contract here; the meta-blocking papers' published
+ARCS — Σ over *shared* blocks of 1/comparisons(b) — is a different
+quantity and is NOT what this module computes. The oracle query
+`er_arcs_edges` pins the reference semantics.
 """
 
 from __future__ import annotations

@@ -145,14 +145,22 @@ class GSPSN:
     """
 
     def __init__(self, keys: DataFrame, max_window_size: int = 3,
-                 separator_id: int = -1):
+                 separator_id: int = -1, mini_batch: int = 1000):
         """keys: (profile_id, key) blocking keys (non-distinct ok);
         separator_id >= 0 enables the clean-clean cross-source rule
-        (progressive.py:337-339)."""
+        (progressive.py:337-339). ``mini_batch``: driver-pull page
+        size — emission fetches successive distributed top-k pages
+        instead of collecting the whole comparison set (the reference
+        collects everything into one PriorityQueue,
+        progressive.py:387-394)."""
         self.keys = keys
         self.w = max_window_size
         self.separator_id = separator_id
+        self.mini_batch = mini_batch
         self.queue: PriorityQueue = PriorityQueue()
+        self._comparisons: DataFrame | None = None
+        self._cursor: tuple | None = None
+        self._exhausted = False
 
     def compute_comparisons(self) -> DataFrame:
         from sparker_spark.ranking import global_rank
@@ -229,11 +237,53 @@ class GSPSN:
         )
 
     def initialize(self):
-        for r in self.compute_comparisons().collect():
+        """Cache the comparison relation and pull the first page. Each
+        page is an ``orderBy(...).limit(mini_batch)`` — compiled to
+        TakeOrderedAndProject, a distributed partial top-k — after a
+        keyset-cursor filter (strictly after the last emitted
+        (weight desc, p1, p2) key), so the driver never holds more
+        than one page beyond what it already emitted. Cursor equality
+        on weight is exact: collected doubles round-trip bit-identical
+        through ``lit``."""
+        self._comparisons = self.compute_comparisons().cache()
+        self._cursor = None
+        self._exhausted = False
+        self._refill()
+
+    def _refill(self) -> bool:
+        if self._exhausted or self._comparisons is None:
+            return False
+        df = self._comparisons
+        if self._cursor is not None:
+            w0, p1_, p2_ = self._cursor
+            df = df.where(
+                (F.col("weight") < F.lit(w0))
+                | (
+                    (F.col("weight") == F.lit(w0))
+                    & (
+                        (F.col("p1") > F.lit(p1_))
+                        | ((F.col("p1") == F.lit(p1_)) & (F.col("p2") > F.lit(p2_)))
+                    )
+                )
+            )
+        rows = (
+            df.orderBy(F.col("weight").desc(), "p1", "p2")
+            .limit(self.mini_batch)
+            .collect()
+        )
+        if not rows:
+            self._exhausted = True
+            return False
+        for r in rows:
             self.queue.put((-r["weight"], r["p1"], r["p2"]))
+        last = rows[-1]
+        self._cursor = (last["weight"], last["p1"], last["p2"])
+        if len(rows) < self.mini_batch:
+            self._exhausted = True
+        return True
 
     def get_next(self):
-        if self.queue.empty():
+        if self.queue.empty() and not self._refill():
             return (-1, -1, -1)
         neg_w, p1, p2 = self.queue.get()
         return (p1, p2, -neg_w)

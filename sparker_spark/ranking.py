@@ -41,12 +41,87 @@ def global_rank(
     for r in counts:
         offsets[r["_pid"]] = acc
         acc += r["_n"]
-    off_map = F.create_map(
-        *[x for pid, o in offsets.items() for x in (F.lit(pid), F.lit(o))]
+    # empty input -> no offsets; create_map() with zero entries is a
+    # VOID-keyed map that fails analysis, so fall back to a 0 literal
+    off_expr = (
+        F.create_map(
+            *[x for pid, o in offsets.items() for x in (F.lit(pid), F.lit(o))]
+        )[F.col("_pid")]
+        if offsets
+        else F.lit(0)
     )
     w = Window.partitionBy("_pid").orderBy(*key)
-    return (
+    ranked = (
         parts.withColumn("_local", F.row_number().over(w) - 1)
-        .withColumn(out, (off_map[F.col("_pid")] + F.col("_local")).cast("long"))
+        .withColumn(out, (off_expr + F.col("_local")).cast("long"))
         .drop("_pid", "_local")
     )
+    # The cache on `parts` is load-bearing: range boundaries are fixed
+    # at shuffle time, so cached reads (and evicted-partition
+    # recomputes, which reuse the same shuffle output) stay consistent
+    # with the collected offsets. Callers that materialize the ranked
+    # output elsewhere can free it with release().
+    ranked._gr_cache = parts
+    return ranked
+
+
+def global_cumsum(
+    df: DataFrame,
+    cols: list[str],
+    value: str,
+    out: str = "cum",
+    descending: bool = False,
+) -> DataFrame:
+    """Add ``out`` = inclusive running sum of ``value`` under ORDER BY
+    *cols* — the distributed twin of
+    ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``, which
+    Spark would otherwise execute as a single-partition window. Same
+    two-phase scheme as :func:`global_rank`: range-repartition on the
+    sort key, per-partition windowed sums, plus each partition's
+    cumulative total collected as a tiny driver-side list. ``cols``
+    must form a total order per row group (rows with equal keys land
+    in one partition, so their relative cumsum order within the key is
+    partition-local — pass unique keys, e.g. a histogram's level
+    column). Internal cache: free with :func:`release` once the
+    output is materialized.
+    """
+    key = [F.col(c).desc() if descending else F.col(c) for c in cols]
+    parts = df.repartitionByRange(*key).withColumn(
+        "_pid", F.spark_partition_id()
+    ).cache()
+    totals = (
+        parts.groupBy("_pid").agg(F.sum(value).alias("_s")).orderBy("_pid").collect()
+    )
+    offsets = {}
+    acc = 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["_s"]
+    off_expr = (
+        F.create_map(
+            *[x for pid, o in offsets.items() for x in (F.lit(pid), F.lit(o))]
+        )[F.col("_pid")]
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        parts.withColumn("_local", F.sum(value).over(w))
+        .withColumn(out, off_expr + F.col("_local"))
+        .drop("_pid", "_local")
+    )
+    cum._gr_cache = parts
+    return cum
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist the internal cache of a ``global_rank`` result. Safe to
+    call only after the ranked output has been materialized (or is no
+    longer needed) — the ranks themselves were fixed at shuffle time."""
+    cache = getattr(df, "_gr_cache", None)
+    if cache is not None:
+        cache.unpersist()

@@ -23,35 +23,72 @@ def rnd(col: Column | str, n: int = 6) -> Column:
     return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
 
 
+def _next_round(sql: str) -> int:
+    """Index of the first ``round(`` occurrence OUTSIDE single-quoted
+    SQL string literals ('' is the quote escape), or -1. Quote state is
+    tracked from the start of the string, so a literal containing
+    "round(" is never rewritten."""
+    in_q = False
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if in_q:
+            if ch == "'":
+                if sql[i + 1 : i + 2] == "'":
+                    i += 2
+                    continue
+                in_q = False
+        elif ch == "'":
+            in_q = True
+        elif (
+            sql.startswith("round(", i)
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+        ):
+            return i
+        i += 1
+    return -1
+
+
 def rewrite_rounds(sql: str) -> str:
     """Rewrite every ``round(expr, n)`` call in a SQL string into the
     deterministic floor formula (paren-matching, handles nesting of the
-    inner expr)."""
-    import re
-
+    inner expr; quoted literals are left untouched; unbalanced parens
+    raise ValueError instead of walking off the string)."""
     while True:
-        m = re.search(r"\bround\(", sql)
-        if not m:
+        start = _next_round(sql)
+        if start < 0:
             return sql
-        start = m.start()
-        i = m.end()
+        i = start + len("round(")
         depth = 1
         last_comma = None
-        while depth > 0:
+        in_q = False
+        while i < len(sql) and depth > 0:
             ch = sql[i]
-            if ch == "(":
+            if in_q:
+                if ch == "'":
+                    if sql[i + 1 : i + 2] == "'":
+                        i += 2
+                        continue
+                    in_q = False
+            elif ch == "'":
+                in_q = True
+            elif ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
             elif ch == "," and depth == 1:
                 last_comma = i
             i += 1
+        if depth > 0:
+            raise ValueError(
+                f"unbalanced parentheses in round() call at offset {start}"
+            )
         end = i  # position after closing paren
-        inner = sql[m.end() : end - 1]
+        inner = sql[start + len("round(") : end - 1]
         if last_comma is None:
             expr, n = inner, 0
         else:
-            expr = sql[m.end() : last_comma]
+            expr = sql[start + len("round(") : last_comma]
             n = int(sql[last_comma + 1 : end - 1].strip())
         sql = sql[:start] + sql_rnd(expr, n) + sql[end:]
 

@@ -18,6 +18,9 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sparker_spark import ranking
+from sparker_spark.ranking import global_rank
+
 
 class SupervisedMB:
     @staticmethod
@@ -31,35 +34,51 @@ class SupervisedMB:
         among the >= 0.5 subset (supervised_metablocking.py:16-25).
 
         Same histogram + cut-score plan as unsupervised CEP: a global
-        row_number window would single-partition the edge set; here the
-        only global windows run over the (tiny) score histogram and
-        the score==cut tie slice."""
+        row_number window would single-partition the edge set; the only
+        global window runs over the (tiny) score histogram, and the
+        score==cut tie slice is ranked with the distributed two-phase
+        ranker. The ≤ K-row result is eagerly materialized so the
+        cached score subset can be released (no cache accumulation
+        across invocations)."""
         k = int(total_block_size / 2)
         over_t = edges.filter("p_match >= 0.5").cache()
-        hist = over_t.groupBy("p_match").agg(F.count("*").alias("cnt"))
-        w = Window.orderBy(F.col("p_match").desc()).rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        cum = hist.select("p_match", "cnt", F.sum("cnt").over(w).alias("cum"))
-        row = (
-            cum.where(F.col("cum") >= F.lit(int(k)))
-            .orderBy(F.col("p_match").desc())
-            .limit(1)
-            .collect()
-        )
-        if not row:
-            return over_t  # fewer edges than K: keep everything
-        threshold = row[0]["p_match"]
-        remaining = row[0]["cnt"] - (row[0]["cum"] - int(k))
-        above = over_t.where(F.col("p_match") > F.lit(threshold))
-        tie_w = Window.orderBy("p1", "p2")
-        ties = (
-            over_t.where(F.col("p_match") == F.lit(threshold))
-            .withColumn("rn", F.row_number().over(tie_w))
-            .where(F.col("rn") <= F.lit(int(remaining)))
-            .drop("rn")
-        )
-        return above.unionByName(ties)
+        try:
+            hist = over_t.groupBy("p_match").agg(F.count("*").alias("cnt"))
+            # distributed running totals — continuous scores make this
+            # histogram as large as the edge set in the worst case
+            cum = ranking.global_cumsum(
+                hist, ["p_match"], "cnt", out="cum", descending=True
+            )
+            row = (
+                cum.where(F.col("cum") >= F.lit(int(k)))
+                .orderBy(F.col("p_match").desc())
+                .limit(1)
+                .collect()
+            )
+            ranking.release(cum)
+            if not row:
+                # fewer edges than K: keep everything (< K rows)
+                return over_t.localCheckpoint(eager=True)
+            threshold = row[0]["p_match"]
+            remaining = row[0]["cnt"] - (row[0]["cum"] - int(k))
+            above = over_t.where(F.col("p_match") > F.lit(threshold))
+            ranked = None
+            if remaining > 0:
+                ranked = global_rank(
+                    over_t.where(F.col("p_match") == F.lit(threshold)),
+                    ["p1", "p2"],
+                    out="_rn",
+                )
+                ties = ranked.where(F.col("_rn") < F.lit(int(remaining))).drop("_rn")
+                result = above.unionByName(ties)
+            else:
+                result = above
+            out = result.localCheckpoint(eager=True)
+            if ranked is not None:
+                ranking.release(ranked)
+            return out
+        finally:
+            over_t.unpersist()
 
     @staticmethod
     def wep(edges: DataFrame) -> DataFrame:

@@ -16,18 +16,22 @@ and never needs a Python object in an executor.
 
 Dense profile ids: the reference uses ``zipWithIndex``
 (wrappers.py:54,110) whose order depends on input-partition order. For
-deterministic, hash-checkable output we assign
-``row_number() OVER (ORDER BY source_id, original_id)`` — dense,
-deterministic, and a one-time cost at load. At 100 TB scale the sort is
-a single shuffle over the (narrow) id column set and is amortized over
+deterministic, hash-checkable output we rank by
+``(source_id, original_id)`` via the distributed two-phase ranker
+(``ranking.global_rank``: range-repartition, rank per partition, add
+cumulative offsets) — dense, deterministic, and never a
+single-partition window. At 100 TB scale the ranking is a single
+range shuffle over the (narrow) id column set and is amortized over
 the whole pipeline.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from sparker_spark.ranking import global_rank
 
 PROFILE_COLUMNS = ["profile_id", "attr", "value", "original_id", "source_id"]
 
@@ -51,7 +55,9 @@ def _melt_to_eav(
         attr_cols = [c for c in cols if c != real_id_field]
     else:
         # no declared id: synthesize a stable one from the full row hash
-        oid = F.lit(None).cast("string")
+        # (identical rows collapse into one profile — deterministic,
+        # unlike the reference's partition-order zipWithIndex)
+        oid = F.xxhash64(*[F.col(c).cast("string") for c in cols]).cast("string")
         attr_cols = cols
 
     structs = []
@@ -77,17 +83,20 @@ def _melt_to_eav(
 
 
 def assign_profile_ids(eav: DataFrame, start_id_from: int = 0) -> DataFrame:
-    """Assign dense deterministic profile ids over (source_id, original_id)."""
-    ids = (
-        eav.select("source_id", "original_id")
-        .distinct()
-        .withColumn(
-            "profile_id",
-            F.row_number().over(Window.orderBy("source_id", "original_id"))
-            + F.lit(start_id_from - 1),
+    """Assign dense deterministic profile ids over (source_id, original_id).
+
+    Distributed: ranks the distinct id set with ``global_rank`` (range
+    repartition + per-partition rank + offsets) instead of an
+    unpartitioned ``row_number()`` window, so the assignment scales to
+    billions of profiles while producing bit-identical ids.
+    """
+    distinct_ids = eav.select("source_id", "original_id").distinct()
+    ranked = global_rank(distinct_ids, ["source_id", "original_id"], out="profile_id")
+    if start_id_from:
+        ranked = ranked.withColumn(
+            "profile_id", F.col("profile_id") + F.lit(start_id_from)
         )
-    )
-    return ids
+    return ranked.select("source_id", "original_id", "profile_id")
 
 
 class DataFrameWrapper:

@@ -6,7 +6,11 @@ import sys
 import pytest
 from pyspark.sql import functions as F
 
-from sparker_spark.attribute_clustering import AttributeClustering, get_hashes_bands
+from sparker_spark.attribute_clustering import (
+    AttributeClustering,
+    band_chunks,
+    get_hashes_bands,
+)
 from sparker_spark.blocking.blockers import Blocking
 from sparker_spark.feature_generator import FeatureGenerator
 from sparker_spark.filters import BlockFiltering, BlockPurging
@@ -17,10 +21,19 @@ CORA = "/root/reference/python/datasets/dirty/cora/cora.csv"
 
 
 def test_get_hashes_bands():
-    # reference solves (1/b)^(b/n) >= t over divisors of n
-    assert get_hashes_bands(128, 0.99) in (1, 2)
-    b = get_hashes_bands(128, 0.5)
-    assert 128 % b == 0 and (1.0 / b) ** (b / 128) >= 0.5
+    # reference get_num_bands parity: decrement from n, return b+1
+    sys.path.insert(0, "/root/reference/python")
+    from sparker.attribute_clustering import AttributeClustering as RefAC
+
+    for n, t in [(128, 0.5), (128, 0.99), (64, 0.4), (32, 0.5), (16, 0.8)]:
+        assert get_hashes_bands(n, t) == RefAC.get_num_bands(t, n), (n, t)
+        rows = RefAC.get_num_rows(t, n)
+        chunks = band_chunks(n, t)
+        # chunking == the reference's sliding(signature, rows) split
+        assert [length for _, length in chunks] == [
+            len(c) for c in RefAC.sliding(list(range(n)), rows)
+        ], (n, t)
+    sys.path.remove("/root/reference/python")
 
 
 def test_attribute_clustering_two_sources(spark):

@@ -95,3 +95,24 @@ def test_gspsn_banded_join_equals_naive_range_join(spark, profiles):
             for (p1, p2), c in naive.items()
         }
         assert got == want
+
+
+def test_gspsn_minibatch_emission_order_unchanged(spark, profiles):
+    """Paged (keyset-cursor) emission must reproduce exactly the
+    collect-everything order: (weight desc, p1, p2)."""
+    from sparker_spark.blocking.strategies import BlockingKeysStrategies
+
+    keys = BlockingKeysStrategies.token_blocking(profiles)
+    g = GSPSN(keys, max_window_size=2, mini_batch=3)  # force many pages
+    expected = sorted(
+        ((-r["weight"], r["p1"], r["p2"])
+         for r in g.compute_comparisons().collect())
+    )
+    g.initialize()
+    emitted = []
+    while True:
+        nxt = g.get_next()
+        if nxt == (-1, -1, -1):
+            break
+        emitted.append((-nxt[2], nxt[0], nxt[1]))
+    assert emitted == expected

@@ -191,3 +191,17 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
         (1, ts(0), ts(5), 2, 12.5),
         (2, ts(0), ts(0), 1, 7.0),
     }
+
+
+def test_arrow_batch_rows_restores_conf(spark):
+    from sparker_spark.llm.multimodal import _ARROW_BATCH_CONF, arrow_batch_rows
+
+    prev = spark.conf.get(_ARROW_BATCH_CONF, None)
+    rows = [(i, bytearray(bytes([i % 256]) * (i + 1)), "image/png") for i in range(10)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
+    feats = extract_features(media, batch_rows=3)  # forces chunked batches
+    with arrow_batch_rows(spark, 4):
+        assert spark.conf.get(_ARROW_BATCH_CONF) == "4"
+        out = {r["media_id"]: r["n_bytes"] for r in feats.collect()}
+    assert out == {i: i + 1 for i in range(10)}
+    assert spark.conf.get(_ARROW_BATCH_CONF, None) == prev
