@@ -40,22 +40,57 @@ HEADLINE = [
 
 
 def pipeline_blast_e2e(spark, sf_dir):
-    """BLAST end-to-end: attribute MinHash/LSH clustering -> cluster
-    (loose-schema) blocking -> entropy-boosted chi² weighting -> WNP
-    with the BLAST sqrt rule — the full SURVEY §3.2 chain as one
-    timed unit."""
-    from sparker_spark.entry import QUERIES
+    """BLAST end-to-end, the full reference flow (BLAST.ipynb:272-283):
+    attribute MinHash/LSH clustering -> cluster (loose-schema)
+    blocking -> block purging (1.005) -> block filtering (0.8) ->
+    entropy-boosted chi² weighting -> WNP with the BLAST sqrt rule.
 
-    return QUERIES["er_blast_wnp"](spark, sf_dir)
+    Purging/filtering before weighting is what makes BLAST viable at
+    scale: the generated customer tokens contain near-universal values
+    whose blocks are quadratic all-pairs generators; the reference
+    kills them the same way. (The oracle-gated `er_blast_wnp` query
+    intentionally skips purge/filter to pin the weighting+pruning
+    semantics alone — purging has its own oracle queries.)"""
+    from sparker_spark.entry_ext import CHI2_DIVIDER, _cluster_blocks
+    from sparker_spark.filters import BlockFiltering, BlockPurging
+    from sparker_spark.metablocking.pruning_utils import (
+        ComparisonTypes,
+        ThresholdTypes,
+        WeightTypes,
+    )
+    from sparker_spark.metablocking.weights import EdgeWeighting
+    from sparker_spark.metablocking.wnp import WNP
+    from sparker_spark.rounding import rnd
+
+    blocks = _cluster_blocks(spark, sf_dir)
+    purged = BlockPurging.block_purging(blocks, 1.005)
+    _, pb_filtered, rebuilt = BlockFiltering.block_filtering_quick(purged, 0.8)
+    rebuilt.cache()
+    ctx = EdgeWeighting.weighted_edges(
+        rebuilt, pb_filtered, WeightTypes.CHI_SQUARE, use_entropy=True
+    )
+    kept = WNP.prune(
+        ctx, ThresholdTypes.AVG, ComparisonTypes.OR, chi2divider=CHI2_DIVIDER
+    )
+    return kept.select("p1", "p2", rnd("weight", 6).alias("weight"))
 
 
 def pipeline_gsmb_e2e(spark, sf_dir):
     """GSMB end-to-end (SURVEY §3.3): unigram blocking -> purging ->
     filtering -> 9-feature generation -> logistic-regression training
-    on exact-duplicate labels -> scoring -> supervised CEP pruning."""
+    on exact-duplicate labels -> scoring -> supervised CEP pruning.
+
+    Scale posture: the candidate relation (Σ comparisons pairs — 12.5M
+    at sf0.1) is cached ONCE as flat double columns; MLlib vectors are
+    assembled only for the tiny balanced training sample (VectorUDT
+    rows are several times wider than flat doubles and fall out of
+    whole-stage codegen — materializing them for every candidate pair
+    tripled the pipeline cost). Scoring applies the fitted model as a
+    literal sigmoid(w·x + b) column expression — pure codegen, no
+    per-row JVM vector allocation, and the plan is identical at any
+    scale-out."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.functions import vector_to_array
     from pyspark.sql import functions as F
 
     from sparker_spark.blocking.blockers import Blocking
@@ -77,27 +112,46 @@ def pipeline_gsmb_e2e(spark, sf_dir):
     groups = Dedup.exact_groups(load(spark, sf_dir, "documents")).select(
         "doc_id", "text_hash"
     )
+    # label lookup is one narrow row per document — force broadcast
+    # (the post-aggregation size estimate blows past the auto-broadcast
+    # threshold and Spark would otherwise shuffle the Σ-comparisons
+    # feature relation twice)
     labeled = (
         feats.join(
-            groups.select(F.col("doc_id").alias("p1"), F.col("text_hash").alias("h1")),
+            F.broadcast(
+                groups.select(
+                    F.col("doc_id").alias("p1"), F.col("text_hash").alias("h1")
+                )
+            ),
             "p1",
         )
         .join(
-            groups.select(F.col("doc_id").alias("p2"), F.col("text_hash").alias("h2")),
+            F.broadcast(
+                groups.select(
+                    F.col("doc_id").alias("p2"), F.col("text_hash").alias("h2")
+                )
+            ),
             "p2",
         )
         .withColumn("is_match", (F.col("h1") == F.col("h2")).cast("int"))
+        .select("p1", "p2", "is_match", *FEATURE_COLS)
+        .fillna(0)
+        .cache()
+    )
+    train = (
+        labeled.where("is_match = 1")
+        .limit(200)
+        .unionByName(labeled.where("is_match = 0").limit(200))
     )
     va = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features")
-    data = va.transform(labeled.fillna(0)).cache()
-    train = data.where("is_match = 1").limit(200).unionByName(
-        data.where("is_match = 0").limit(200)
+    model = LogisticRegression(maxIter=20, labelCol="is_match").fit(
+        va.transform(train).cache()
     )
-    model = LogisticRegression(maxIter=20, labelCol="is_match").fit(train)
-    scored = (
-        model.transform(data)
-        .withColumn("p_match", vector_to_array("probability")[1])
-        .select("p1", "p2", "p_match")
+    margin = F.lit(float(model.intercept))
+    for c, w in zip(FEATURE_COLS, model.coefficients):
+        margin = margin + F.col(c) * F.lit(float(w))
+    scored = labeled.select(
+        "p1", "p2", (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("p_match")
     )
     return SupervisedMB.cep(scored, total)
 

@@ -7,6 +7,8 @@ lacked oracle queries —
     filtering (scala/.../BlockFiltering.scala:28-39 blockFiltering)
   * ``er_block_entropy`` — the Scala-only per-block entropy estimator
     (old_versions/.../Utilities/StatisticsEstimator.scala:296-342)
+  * ``er_lsh_blocks`` — profile-level MinHash-LSH blocking
+    (old_versions/.../BlockBuildingMethods/LSHTwitter.scala:30-71)
 
 Registered into sparker_spark.entry.QUERIES alongside entry_ext.
 """
@@ -133,11 +135,75 @@ FROM ent e JOIN blocks b ON e.bkey = b.key"""
 
 
 # ====================================================================
+# L10: profile-level MinHash-LSH blocking (LSHTwitter.scala:30-71) —
+# each LSH bucket is a block. Small signature (16 hashes) keeps the
+# generated oracle SQL readable; the operator itself takes any size.
+# ====================================================================
+LSH_HASHES = 16
+LSH_T = 0.4
+
+
+def q_er_lsh_blocks(spark, sf_dir):
+    from sparker_spark.blocking.lsh import LSHBlocking
+    from sparker_spark.entry import _doc_keys_unigram
+
+    keys = _doc_keys_unigram(spark, sf_dir)
+    blocks = LSHBlocking.create_blocks_lsh(
+        keys, num_hashes=LSH_HASHES, target_threshold=LSH_T, assign_ids=False
+    )
+    return blocks.meta.select(
+        "key",
+        F.col("block_size").cast("long").alias("block_size"),
+        F.col("comparisons").cast("long").alias("comparisons"),
+    )
+
+
+def _o_er_lsh_blocks() -> str:
+    from sparker_spark.attribute_clustering import band_chunks
+    from sparker_spark.entry import DUCK_UNIGRAM_KEYS
+    from sparker_spark.llm.hashing import (
+        DUCK_HASH60,
+        MERSENNE_31,
+        minhash_coefficients,
+        minhash_expr,
+    )
+
+    coeffs = minhash_coefficients(LSH_HASHES)
+    chunks = band_chunks(LSH_HASHES, LSH_T)
+    mh_cols = ",\n         ".join(
+        f"min({minhash_expr(a, b)}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_exprs = ",\n".join(
+        "concat_ws('_', %d, %s) AS band_%d"
+        % (bi, ", ".join(f"mh_{start + r}" for r in range(length)), bi)
+        for bi, (start, length) in enumerate(chunks)
+    )
+    bucket_union = " UNION ALL ".join(
+        f"SELECT profile_id, band_{bi} AS key FROM banded"
+        for bi in range(len(chunks))
+    )
+    h60 = DUCK_HASH60.format(x="key")
+    return f"""WITH {DUCK_UNIGRAM_KEYS.strip()},
+h AS (SELECT profile_id, ({h60} % {MERSENNE_31}) AS h31 FROM keys),
+sigs AS (SELECT profile_id,
+         {mh_cols}
+         FROM h GROUP BY profile_id),
+banded AS (SELECT profile_id,
+{band_exprs}
+FROM sigs),
+buckets AS ({bucket_union})
+SELECT key, count(*) AS block_size,
+       count(*) * (count(*) - 1) AS comparisons
+FROM buckets GROUP BY key HAVING count(*) > 1"""
+
+
+# ====================================================================
 def r2_queries() -> dict:
     return {
         "er_token_blocks_clean": q_er_token_blocks_clean,
         "er_block_filtering_scala": q_er_block_filtering_scala,
         "er_block_entropy": q_er_block_entropy,
+        "er_lsh_blocks": q_er_lsh_blocks,
     }
 
 
@@ -146,4 +212,5 @@ def r2_oracles() -> dict:
         "er_token_blocks_clean": _o_er_token_blocks_clean(),
         "er_block_filtering_scala": _o_er_block_filtering_scala(),
         "er_block_entropy": _o_er_block_entropy(),
+        "er_lsh_blocks": _o_er_lsh_blocks(),
     }

@@ -7,22 +7,23 @@ The reference collects a global weight-frequency histogram, finds the
 cut weight t such that edges with weight > t number < K, then
 allocates per-profile quotas of edges at weight == t in
 dict-iteration order — nondeterministic (SURVEY §7.2). This engine
-keeps identical semantics for the histogram and cut weight, and makes
-the tie allocation deterministic: ties at weight == t are ranked by
-(p1, p2) and the first `remaining` survive.
+keeps the same selected-set semantics up to the tie allocation, which
+it makes deterministic: the kept set is exactly the first K edges
+under ORDER BY (weight desc, p1, p2).
 
-Physical plan: the histogram is a groupBy(weight) — small — and the
-tie ranking runs through the distributed two-phase ranker
-(``ranking.global_rank``), so no global sort and no single-partition
-window ever touches the edge set. This matters because for
-integer-valued weights (CBS) the ``weight == cut`` tie slice can be a
-large fraction of all edges.
+Physical plan: that top-K runs through ``ranking.global_topk`` — one
+range shuffle on the sort key, whole partitions below the K-boundary
+kept unsorted, a partition-local sort only on the single boundary
+partition. This replaced a histogram + cut-weight + tie-rank plan:
+for continuous weights (JS, chi², LR scores) the weight histogram has
+one group per edge, so "collect the small histogram" degenerated into
+three full-size shuffles; the range plan costs one, for any weight
+distribution, at any scale.
 
-The pruned result (≤ K edges — bounded by construction, K = ⌊Σ block
-sizes / 2⌋) is eagerly materialized with ``localCheckpoint`` so the
-cached full edge set can be unpersisted before returning: repeated CEP
-invocations in a long-lived session do not accumulate cached
-partitions.
+The pruned result (≤ K edges — bounded by construction) is eagerly
+materialized with ``localCheckpoint`` so the cached edge set can be
+unpersisted before returning: repeated CEP invocations in a long-lived
+session do not accumulate cached partitions.
 """
 
 from __future__ import annotations
@@ -32,11 +33,11 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparker_spark import ranking
 from sparker_spark.blocking.blockers import BlockCollection
 from sparker_spark.metablocking.pruning_utils import WeightTypes
 from sparker_spark.metablocking.weights import EdgeContext, EdgeWeighting
-from sparker_spark import ranking
-from sparker_spark.ranking import global_rank
+from sparker_spark.ranking import global_topk
 
 
 class CEP:
@@ -47,56 +48,15 @@ class CEP:
 
     @staticmethod
     def prune(ctx: EdgeContext, k: int) -> DataFrame:
-        half = ctx.half().cache()
-        try:
-            hist = half.groupBy("weight").agg(F.count("*").alias("cnt"))
-            # running totals over the weight-level histogram via the
-            # distributed cumsum — for continuous weights (JS, chi²)
-            # the histogram can approach the edge count, so even this
-            # stage must not single-partition
-            cum = ranking.global_cumsum(
-                hist, ["weight"], "cnt", out="cum", descending=True
-            )
-            # cut weight: first level (desc) where cumulative count reaches K
-            row = (
-                cum.where(F.col("cum") >= F.lit(int(k)))
-                .orderBy(F.col("weight").desc())
-                .limit(1)
-                .collect()
-            )
-            ranking.release(cum)
-            if not row:
-                # fewer edges than K: keep everything (< K rows — bounded)
-                return half.localCheckpoint(eager=True)
-            threshold = row[0]["weight"]
-            cum_at_t = row[0]["cum"]
-            cnt_at_t = row[0]["cnt"]
-            remaining = cnt_at_t - (cum_at_t - int(k))
-
-            above = half.where(F.col("weight") > F.lit(threshold))
-            ranked = None
-            if remaining > 0:
-                # deterministic tie break at weight == cut: rank by
-                # (p1, p2) with the distributed ranker and keep the
-                # first `remaining` — no single-partition window even
-                # when the tie slice is most of the edge set
-                ranked = global_rank(
-                    half.where(F.col("weight") == F.lit(threshold)),
-                    ["p1", "p2"],
-                    out="_rn",
-                )
-                ties = ranked.where(F.col("_rn") < F.lit(int(remaining))).drop("_rn")
-                result = above.unionByName(ties)
-            else:
-                result = above
-            # ≤ K rows by construction — safe to materialize; lets the
-            # full cached edge set be released in finally
-            out = result.localCheckpoint(eager=True)
-            if ranked is not None:
-                ranking.release(ranked)
-            return out
-        finally:
-            half.unpersist()
+        half = ctx.half()
+        kept = global_topk(
+            half, [("weight", True), ("p1", False), ("p2", False)], int(k)
+        )
+        # ≤ K rows by construction — safe to materialize eagerly, which
+        # lets the range-shuffle cache be released before returning
+        out = kept.localCheckpoint(eager=True)
+        ranking.release(kept)
+        return out
 
     @staticmethod
     def cep(

@@ -118,6 +118,62 @@ def global_cumsum(
     return cum
 
 
+def global_topk(
+    df: DataFrame,
+    order: list[tuple[str, bool]],
+    k: int,
+) -> DataFrame:
+    """Exactly the first ``k`` rows of ``df`` under ORDER BY *order*
+    (list of ``(column, descending)``; the full key must form a total
+    order — make the last columns a unique tiebreaker), without a
+    global sort and without ever shipping k rows to the driver (unlike
+    ``orderBy().limit(k)``, whose TakeOrderedAndProject merges every
+    partition's top-k heap driver-side — k here can be a constant
+    fraction of the input).
+
+    Plan: range-repartition on the key (total order ACROSS partitions),
+    collect per-partition row counts (a #partitions-sized list), then
+    keep every partition wholly below the k-boundary AS IS — no sort —
+    and sort only the single boundary partition to cut it at
+    ``k - preceding``. Equal keys land in one partition, so the kept
+    SET is exactly the rank-< k set of the total order.
+    """
+    if k <= 0:
+        return df.limit(0)
+    key = [F.col(c).desc() if d else F.col(c) for c, d in order]
+    parts = df.repartitionByRange(*key).withColumn(
+        "_pid", F.spark_partition_id()
+    ).cache()
+    counts = (
+        parts.groupBy("_pid").agg(F.count("*").alias("_n")).orderBy("_pid").collect()
+    )
+    acc = 0
+    boundary_pid = None
+    boundary_keep = 0
+    for r in counts:
+        if acc + r["_n"] >= k:
+            boundary_pid = r["_pid"]
+            boundary_keep = k - acc
+            break
+        acc += r["_n"]
+    if boundary_pid is None:
+        # fewer than k rows: everything survives
+        out = parts.drop("_pid")
+        out._gr_cache = parts
+        return out
+    whole = parts.where(F.col("_pid") < F.lit(boundary_pid))
+    w = Window.partitionBy("_pid").orderBy(*key)
+    edge = (
+        parts.where(F.col("_pid") == F.lit(boundary_pid))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(int(boundary_keep)))
+        .drop("_rn")
+    )
+    out = whole.unionByName(edge).drop("_pid")
+    out._gr_cache = parts
+    return out
+
+
 def release(df: DataFrame) -> None:
     """Unpersist the internal cache of a ``global_rank`` result. Safe to
     call only after the ranked output has been materialized (or is no

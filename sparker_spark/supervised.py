@@ -13,13 +13,12 @@ to input order; we break ties by neighbor id ascending (deterministic).
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparker_spark import ranking
-from sparker_spark.ranking import global_rank
+from sparker_spark.ranking import global_topk
 
 
 class SupervisedMB:
@@ -32,53 +31,23 @@ class SupervisedMB:
     def cep(edges: DataFrame, total_block_size: int) -> DataFrame:
         """Cardinality edge pruning: top-⌊Σ block sizes / 2⌋ by p_match
         among the >= 0.5 subset (supervised_metablocking.py:16-25).
+        Deterministic ties: the kept set is exactly the first K rows
+        under ORDER BY (p_match desc, p1, p2).
 
-        Same histogram + cut-score plan as unsupervised CEP: a global
-        row_number window would single-partition the edge set; the only
-        global window runs over the (tiny) score histogram, and the
-        score==cut tie slice is ranked with the distributed two-phase
-        ranker. The ≤ K-row result is eagerly materialized so the
-        cached score subset can be released (no cache accumulation
-        across invocations)."""
+        Same physical plan as unsupervised CEP (``ranking.global_topk``
+        — one range shuffle, partition-local sort only at the
+        K-boundary). p_match is continuous, so a score histogram would
+        have one group per edge; the range plan is distribution-blind.
+        The ≤ K-row result is eagerly materialized so the shuffle cache
+        can be released (no cache accumulation across invocations)."""
         k = int(total_block_size / 2)
-        over_t = edges.filter("p_match >= 0.5").cache()
-        try:
-            hist = over_t.groupBy("p_match").agg(F.count("*").alias("cnt"))
-            # distributed running totals — continuous scores make this
-            # histogram as large as the edge set in the worst case
-            cum = ranking.global_cumsum(
-                hist, ["p_match"], "cnt", out="cum", descending=True
-            )
-            row = (
-                cum.where(F.col("cum") >= F.lit(int(k)))
-                .orderBy(F.col("p_match").desc())
-                .limit(1)
-                .collect()
-            )
-            ranking.release(cum)
-            if not row:
-                # fewer edges than K: keep everything (< K rows)
-                return over_t.localCheckpoint(eager=True)
-            threshold = row[0]["p_match"]
-            remaining = row[0]["cnt"] - (row[0]["cum"] - int(k))
-            above = over_t.where(F.col("p_match") > F.lit(threshold))
-            ranked = None
-            if remaining > 0:
-                ranked = global_rank(
-                    over_t.where(F.col("p_match") == F.lit(threshold)),
-                    ["p1", "p2"],
-                    out="_rn",
-                )
-                ties = ranked.where(F.col("_rn") < F.lit(int(remaining))).drop("_rn")
-                result = above.unionByName(ties)
-            else:
-                result = above
-            out = result.localCheckpoint(eager=True)
-            if ranked is not None:
-                ranking.release(ranked)
-            return out
-        finally:
-            over_t.unpersist()
+        over_t = edges.filter("p_match >= 0.5")
+        kept = global_topk(
+            over_t, [("p_match", True), ("p1", False), ("p2", False)], k
+        )
+        out = kept.localCheckpoint(eager=True)
+        ranking.release(kept)
+        return out
 
     @staticmethod
     def wep(edges: DataFrame) -> DataFrame:

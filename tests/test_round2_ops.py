@@ -203,3 +203,44 @@ def test_cluster_blocking_debug_provenance(spark):
     # sources)
     assert ("beta_0", 0) in rows
     assert {r["key"] for r in coll.meta.collect()} == {"alpha_0"}
+
+
+def test_lsh_blocking(spark):
+    """Profile-level MinHash-LSH blocking (LSHTwitter.scala:30-71):
+    identical token sets share every bucket; bucket count per profile =
+    #bands; clean-clean source rule applies; duplicate profiles always
+    co-block."""
+    from sparker_spark.attribute_clustering import band_chunks
+    from sparker_spark.blocking.lsh import LSHBlocking
+
+    rows = [
+        (0, 0, "alpha"), (0, 0, "beta"), (0, 0, "gamma"),
+        (1, 1, "alpha"), (1, 1, "beta"), (1, 1, "gamma"),  # exact dup of p0
+        (2, 1, "zeta"), (2, 1, "eta"),                     # disjoint tokens
+    ]
+    keys = spark.createDataFrame(
+        rows, "profile_id LONG, source_id INT, key STRING"
+    )
+    n_bands = len(band_chunks(16, 0.4))
+    sigs = LSHBlocking.profile_signatures(keys, 16)
+    buckets = LSHBlocking.bucket_keys(sigs, 16, 0.4)
+    per_profile = {
+        r["profile_id"]: r["n"]
+        for r in buckets.groupBy("profile_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_profile == {0: n_bands, 1: n_bands, 2: n_bands}
+    b0 = {r["key"] for r in buckets.where("profile_id = 0").collect()}
+    b1 = {r["key"] for r in buckets.where("profile_id = 1").collect()}
+    assert b0 == b1  # identical token set -> identical signature
+
+    coll = LSHBlocking.create_blocks_lsh(keys, 16, 0.4, clean=True)
+    members = {
+        r["block_id"]: set(r["members"])
+        for r in coll.assignments.groupBy("block_id")
+        .agg(F.collect_set("profile_id").alias("members"))
+        .collect()
+    }
+    # clean-clean: every surviving block must span both sources, and the
+    # duplicate pair must co-occur in every one of its blocks
+    assert members and all({0, 1} <= m or {0, 1}.isdisjoint(m) for m in members.values())
+    assert any({0, 1} <= m for m in members.values())
