@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparker_spark.blocking.blockers import BlockCollection
-from sparker_spark.metablocking.weights import EdgeWeighting
 
 
 class FeatureGenerator:
@@ -58,52 +57,84 @@ class FeatureGenerator:
             F.sum(1.0 / F.col("comparisons")).alias("inv_comp_sum"),
         )
 
-        num_blocks_total = blocks.meta.count()
-        total_comparisons = (
-            blocks.meta.agg(F.sum("comparisons").alias("t")).first()["t"] or 0
-        )
-
-        # redundant/non-redundant comparison stats
-        # (calc_profiles_stats :13-57; self-inclusive for dirty)
-        co = EdgeWeighting.co_occurrence(blocks)
-        stats = co.groupBy("src").agg(
-            F.sum("cbs").alias("redundant"),
-            F.count("*").alias("non_redundant"),
-        )
+        totals = blocks.meta.agg(
+            F.count("*").alias("b"), F.sum("comparisons").alias("t")
+        ).first()
+        num_blocks_total = totals["b"]
+        total_comparisons = totals["t"] or 0
 
         # ---- pair relation with shared-block aggregates ----
+        # The block self-join is the dominant cost (Σ size(b)² rows);
+        # it runs ONCE: the per-pair aggregates come straight out of
+        # it, and the per-profile redundant/non-redundant stats
+        # (calc_profiles_stats :13-57) are derived from the aggregated
+        # half-edge relation below instead of a second enumeration.
+        # Block-level reciprocals ride along on the assignment side so
+        # the raw enumerated relation never joins meta.
+        meta_inv = meta.select(
+            F.col("block_id").alias("bid"),
+            (1.0 / F.col("comparisons")).alias("inv_comp"),
+            (1.0 / F.col("block_size")).alias("inv_size"),
+        )
         a = asg.select(F.col("block_id").alias("bid"), F.col("profile_id").alias("p1"),
-                       F.col("source_id").alias("s1"))
+                       F.col("source_id").alias("s1")).join(meta_inv, "bid")
         b = asg.select(F.col("block_id").alias("bid"), F.col("profile_id").alias("p2"),
                        F.col("source_id").alias("s2"))
         if blocks.clean:
             cond = (F.col("s1") != F.col("s2")) & (F.col("p1") < F.col("p2"))
         else:
             cond = F.col("p1") < F.col("p2")
-        m = meta.select(F.col("block_id").alias("bid"), "block_size", "comparisons")
+        # repartition by pair key before aggregating: the bid-clustered
+        # join output holds each pair once per shared block, so partial
+        # aggregation reduces ~nothing while its hash map scales with
+        # partition row count (see weights.co_occurrence for the full
+        # rationale); clustering first bounds agg memory by
+        # groups-per-partition and Catalyst elides the second exchange
         pairs = (
             a.join(b, "bid")
             .where(cond)
-            .join(m, "bid")
+            .select("p1", "p2", "inv_comp", "inv_size")
+            .repartition("p1", "p2")
             .groupBy("p1", "p2")
             .agg(
                 F.count("*").cast("double").alias("cbs"),
-                F.sum(1.0 / F.col("comparisons")).alias("raccb_raw"),
-                F.sum(1.0 / F.col("block_size")).alias("rs"),
+                F.sum("inv_comp").alias("raccb_raw"),
+                F.sum("inv_size").alias("rs"),
             )
         )
 
+        # redundant/non-redundant comparison stats, derived by
+        # symmetrizing the half-edge relation (each unordered pair
+        # contributes cbs to both endpoints — exactly the directed
+        # neighborhood co_occurrence would enumerate). Dirty ER's
+        # self-inclusive neighborhood (weights.py co_occurrence
+        # docstring) adds num_blocks / +1 per profile; both quantities
+        # are integer-valued so the derivation is exact. Catalyst
+        # reuses the pairs shuffle exchange between this branch and
+        # the main pair relation.
+        sym = pairs.select(F.col("p1").alias("pid"), "cbs").unionByName(
+            pairs.select(F.col("p2").alias("pid"), "cbs")
+        )
+        stats = sym.groupBy("pid").agg(
+            F.sum("cbs").alias("red_n"), F.count("*").alias("nonred_n")
+        )
+
+        dirty_red = F.lit(0.0) if blocks.clean else F.col("num_blocks").cast("double")
+        dirty_nonred = F.lit(0) if blocks.clean else F.lit(1)
+
         def side(name):
             return (
-                per_profile.join(stats, per_profile.profile_id == stats.src, "left")
+                per_profile.join(stats, per_profile.profile_id == stats.pid, "left")
                 .select(
                     F.col("profile_id").alias(name),
                     F.col("num_blocks").alias(f"nb_{name}"),
                     F.col("inv_size_sum").alias(f"invsize_{name}"),
                     F.col("comp_sum").alias(f"comp_{name}"),
                     F.col("inv_comp_sum").alias(f"invcomp_{name}"),
-                    F.coalesce("redundant", F.lit(0.0)).alias(f"red_{name}"),
-                    F.coalesce("non_redundant", F.lit(0)).alias(f"nonred_{name}"),
+                    (F.coalesce("red_n", F.lit(0.0)) + dirty_red).alias(f"red_{name}"),
+                    (F.coalesce("nonred_n", F.lit(0)) + dirty_nonred).alias(
+                        f"nonred_{name}"
+                    ),
                 )
             )
 

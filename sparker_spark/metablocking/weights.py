@@ -79,6 +79,14 @@ class EdgeWeighting:
             F.col("profile_id").alias("src"),
             F.col("source_id").alias("src_source"),
         )
+        if use_entropy:
+            # ride the per-block entropy along on one side of the
+            # self-join (assignment-sized) instead of joining meta
+            # onto the Σ size² enumerated relation
+            a = a.join(
+                blocks.meta.select(F.col("block_id").alias("bid"), "entropy"),
+                "bid",
+            )
         b = blocks.assignments.select(
             F.col("block_id").alias("bid"),
             F.col("profile_id").alias("dst"),
@@ -100,17 +108,28 @@ class EdgeWeighting:
             # enumeration only, pruning_utils.py:29-53).
             pairs = a.join(b, "bid")
 
-        meta_cols = blocks.meta.select(
-            F.col("block_id").alias("bid"), "comparisons", "entropy"
-        )
-        pairs = pairs.join(meta_cols, "bid")
-
         aggs = [
             F.count("*").cast("double").alias("cbs"),
         ]
         if use_entropy:
             aggs.append(F.sum("entropy").alias("entropy_sum"))
-        return pairs.groupBy("src", "dst").agg(*aggs)
+        # Repartition the raw enumeration by the pair key BEFORE the
+        # aggregation. The join output is clustered by bid, and a pair
+        # occurs exactly once per shared block — so a map-side partial
+        # aggregate over bid-partitioned data reduces ~nothing while
+        # its hash map grows with the partition's ROW count (for
+        # mega-block skew that is GBs per task: the GC-thrash path).
+        # Hash-clustering on (src, dst) first bounds aggregation
+        # memory by groups-per-partition, costs the same shuffled
+        # bytes the useless partial output did, and Catalyst elides
+        # the post-agg exchange since the distribution is satisfied.
+        cols = ["src", "dst", "entropy"] if use_entropy else ["src", "dst"]
+        return (
+            pairs.select(*cols)
+            .repartition("src", "dst")
+            .groupBy("src", "dst")
+            .agg(*aggs)
+        )
 
     @staticmethod
     def arcs_log_denominator(blocks: BlockCollection) -> DataFrame:

@@ -35,7 +35,10 @@ def get_spark(
             str(shuffle_partitions if shuffle_partitions is not None else 32),
         )
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode driver == the single executor JVM: size the heap
+        # for 32 concurrent tasks doing hash aggregation, not for a
+        # cluster driver's coordination-only footprint
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
