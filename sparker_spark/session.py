@@ -35,10 +35,11 @@ def get_spark(
             str(shuffle_partitions if shuffle_partitions is not None else 32),
         )
         .config("spark.sql.session.timeZone", "UTC")
-        # local-mode driver == the single executor JVM: size the heap
-        # for 32 concurrent tasks doing hash aggregation, not for a
-        # cluster driver's coordination-only footprint
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # local-mode driver == the single executor JVM. Default stays
+        # small so test sessions start fast; the bench (32 concurrent
+        # tasks hash-aggregating sf0.1) exports SPARK_DRIVER_MEMORY to
+        # size its own heap.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "4g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

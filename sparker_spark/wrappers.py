@@ -112,10 +112,11 @@ class DataFrameWrapper:
     ) -> DataFrame:
         eav = _melt_to_eav(df, real_id_field, source_id, explode_arrays)
         ids = assign_profile_ids(eav, start_id_from)
-        return (
-            eav.join(F.broadcast(ids), ["source_id", "original_id"])
-            .select(*PROFILE_COLUMNS)
-        )
+        # no broadcast hint: ids has one row per profile, so at billions
+        # of profiles a forced broadcast is an OOM. The equi-join on
+        # (source_id, original_id) shuffles fine, and AQE still picks a
+        # broadcast join at runtime whenever ids is actually small.
+        return eav.join(ids, ["source_id", "original_id"]).select(*PROFILE_COLUMNS)
 
     @staticmethod
     def load_groundtruth(df: DataFrame, id1: str = "id1", id2: str = "id2") -> DataFrame:
