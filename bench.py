@@ -138,14 +138,23 @@ def pipeline_gsmb_e2e(spark, sf_dir):
         .fillna(0)
         .cache()
     )
-    train = (
+    # pull the tiny balanced train sample to the driver and fit on a
+    # single-partition local relation: each MLlib iteration launches a
+    # treeAggregate job, and when the train lineage hangs off the
+    # 12.5M-row cached relation those ~20 jobs cost seconds each in
+    # scheduling/scan overhead (measured 77 s at sf0.1 vs 7 s total for
+    # collect+local fit). 400 rows is driver-safe at any scale — the
+    # sample size is fixed, not data-dependent.
+    train_pd = (
         labeled.where("is_match = 1")
         .limit(200)
         .unionByName(labeled.where("is_match = 0").limit(200))
+        .toPandas()
     )
+    train = spark.createDataFrame(train_pd).coalesce(1)
     va = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features")
     model = LogisticRegression(maxIter=20, labelCol="is_match").fit(
-        va.transform(train).cache()
+        va.transform(train)
     )
     margin = F.lit(float(model.intercept))
     for c, w in zip(FEATURE_COLS, model.coefficients):

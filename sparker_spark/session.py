@@ -36,9 +36,10 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         # local-mode driver == the single executor JVM. Default stays
-        # small so test sessions start fast; the bench (32 concurrent
-        # tasks hash-aggregating sf0.1) exports SPARK_DRIVER_MEMORY to
-        # size its own heap.
+        # small: sessions start fast, and measured suite times at sf0.1
+        # are *better* than with a 48g heap (bigger heap = longer minor
+        # GC pauses, no spill avoided at this scale). Callers that do
+        # need more can export SPARK_DRIVER_MEMORY.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "4g"))
         .config("spark.ui.enabled", "false")
     )

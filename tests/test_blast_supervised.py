@@ -219,10 +219,16 @@ def test_supervised_pipeline_cora(spark, cora_features):
     )
     fcols = ["cfibf", "raccb", "js", "rs", "aejs", "nrs", "wjs"]
     va = VectorAssembler(inputCols=fcols, outputCol="features")
-    data = va.transform(feats.fillna(0))
-    pos = data.where("is_match = 1").limit(20)
-    neg = data.where("is_match = 0").limit(20)
-    train = pos.unionByName(neg)
+    raw = feats.fillna(0).cache()
+    data = va.transform(raw)
+    # collect the tiny balanced sample (flat doubles, pre-assembler)
+    # and fit on a local relation: fitting on the lazy limit-union
+    # would re-run the feature-gen lineage inside every one of the
+    # ~100 LR iteration jobs
+    pos = raw.where("is_match = 1").limit(20)
+    neg = raw.where("is_match = 0").limit(20)
+    train_pd = pos.unionByName(neg).select("is_match", *fcols).toPandas()
+    train = va.transform(spark.createDataFrame(train_pd).coalesce(1))
     lr = LogisticRegression(maxIter=100, labelCol="is_match")
     model = lr.fit(train)
     scored = model.transform(data).withColumn(
