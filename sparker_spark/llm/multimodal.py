@@ -79,9 +79,16 @@ class DecodeRegistry:
 
     @classmethod
     def decode(cls, mime: str, payload: bytes) -> list[float]:
+        # longest matching prefix wins, so a specific decoder beats the
+        # "" catch-all regardless of registration order
+        best = None
         for prefix, fn in cls._decoders.items():
-            if mime.startswith(prefix):
-                return fn(payload)
+            if mime.startswith(prefix) and (
+                best is None or len(prefix) > len(best[0])
+            ):
+                best = (prefix, fn)
+        if best is not None:
+            return best[1](payload)
         raise NotImplementedError(
             f"no decoder registered for mime {mime!r}; media codecs are "
             "stubbed in this environment — register one via "
@@ -98,7 +105,54 @@ def _fake_byte_histogram(payload: bytes) -> list[float]:
     return [b / total for b in bins]
 
 
+def decode_ppm(payload: bytes) -> list[float]:
+    """Real (dependency-free) image decoder for binary PPM (P6).
+
+    Parses the netpbm header — magic, whitespace/comment-separated
+    width, height, maxval, one whitespace byte, then raw RGB triplets —
+    and returns ``[width, height, mean_r, mean_g, mean_b]`` with means
+    normalized to [0, 1]. Proves the ``DecodeRegistry`` plug point with
+    an actual codec: registering it routes ``image/x-portable-pixmap``
+    payloads through a real parse while every other mime keeps its
+    registered behavior.
+    """
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    pos += 1  # single whitespace after maxval
+    n_px = width * height
+    raster = payload[pos : pos + 3 * n_px]
+    if len(raster) < 3 * n_px:
+        raise ValueError("truncated PPM raster")
+    sums = [0, 0, 0]
+    for i in range(0, 3 * n_px, 3):
+        sums[0] += raster[i]
+        sums[1] += raster[i + 1]
+        sums[2] += raster[i + 2]
+    denom = float(max(n_px, 1) * maxval)
+    return [
+        float(width),
+        float(height),
+        sums[0] / denom,
+        sums[1] / denom,
+        sums[2] / denom,
+    ]
+
+
 DecodeRegistry.register("", _fake_byte_histogram)  # default fallback
+DecodeRegistry.register("image/x-portable-pixmap", decode_ppm)
 
 
 def extract_features(

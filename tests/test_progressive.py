@@ -97,6 +97,43 @@ def test_gspsn_banded_join_equals_naive_range_join(spark, profiles):
         assert got == want
 
 
+@pytest.mark.parametrize("mini_batch", [1, 7, 1000])
+def test_gspsn_page_size_invariance_under_ties(spark, mini_batch):
+    """Keyset-cursor emission must be identical for any page size on a
+    fixture where many weights TIE across page boundaries — guards the
+    cursor's (weight, p1, p2) tie handling: a cursor comparing weight
+    alone would drop or duplicate tied pairs that straddle a page."""
+    from sparker_spark.blocking.strategies import BlockingKeysStrategies
+
+    # chain of 24 profiles, profile i holds tokens t{i}, t{i+1}: every
+    # adjacent pair shares exactly one token and has identical weight,
+    # so pages of any size split runs of tied pairs
+    rows = [(f"p{i:02d}", f"t{i:02d} t{i + 1:02d}") for i in range(24)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    profs = DataFrameWrapper.load_profiles(df, real_id_field="id")
+    keys = BlockingKeysStrategies.token_blocking(profs)
+
+    g = GSPSN(keys, max_window_size=2, mini_batch=mini_batch)
+    expected = sorted(
+        (-r["weight"], r["p1"], r["p2"])
+        for r in g.compute_comparisons().collect()
+    )
+    # the fixture must actually produce cross-page ties for small pages
+    from collections import Counter
+
+    tie_sizes = Counter(w for w, _, _ in expected)
+    assert max(tie_sizes.values()) > 7
+
+    g.initialize()
+    emitted = []
+    while True:
+        nxt = g.get_next()
+        if nxt == (-1, -1, -1):
+            break
+        emitted.append((-nxt[2], nxt[0], nxt[1]))
+    assert emitted == expected
+
+
 def test_gspsn_minibatch_emission_order_unchanged(spark, profiles):
     """Paged (keyset-cursor) emission must reproduce exactly the
     collect-everything order: (weight desc, p1, p2)."""

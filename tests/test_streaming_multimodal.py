@@ -111,6 +111,42 @@ def test_multimodal_extract_features(spark):
     assert len(out[0]["content_hash"]) == 32
 
 
+def test_ppm_decoder_end_to_end(spark):
+    """A real (dependency-free) codec through the DecodeRegistry plug
+    point: binary PPM rows decode via header parse + channel means,
+    while other mimes keep the default histogram — mixed in ONE
+    extract_features pass."""
+    # 2x2 P6 image, maxval 255, comment in header: pixels
+    # (255,0,0) (0,255,0) / (0,0,255) (255,255,255)
+    ppm = (
+        b"P6\n# test comment\n2 2\n255\n"
+        + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    )
+    rows = [
+        (0, bytearray(ppm), "image/x-portable-pixmap"),
+        (1, bytearray(b"\x00\x10\x20\x30"), "image/png"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    w, h, mr, mg, mb = out[0]["feature"]
+    assert (w, h) == (2.0, 2.0)
+    assert mr == pytest.approx(510 / (4 * 255))
+    assert mg == pytest.approx(510 / (4 * 255))
+    assert mb == pytest.approx(510 / (4 * 255))
+    # the png row still goes through the default byte histogram
+    assert len(out[1]["feature"]) == 16
+    assert out[1]["feature"][0] == pytest.approx(0.25)
+
+
+def test_ppm_decoder_rejects_garbage():
+    from sparker_spark.llm.multimodal import decode_ppm
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"JFIF....")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x01")  # truncated raster
+
+
 def test_decode_registry_unregistered():
     saved = dict(DecodeRegistry._decoders)
     try:
