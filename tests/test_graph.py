@@ -1,0 +1,95 @@
+"""Tests for distributed connected components (sparker_spark/graph.py)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from sparker_spark.graph import ConnectedComponents
+
+
+def _uf_components(edges, nodes):
+    """Brute-force union-find reference: node -> min id of component."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups = {}
+    for n in nodes:
+        groups.setdefault(find(n), []).append(n)
+    return {n: min(g) for g in groups.values() for n in g}
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "p1 long, p2 long")
+    return {
+        r["node"]: r["component"]
+        for r in ConnectedComponents.run(df).collect()
+    }
+
+
+def test_cc_two_triangles_and_bridge(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (2, 10), (20, 21)]
+    got = _run(spark, edges)
+    nodes = {n for e in edges for n in e}
+    assert got == _uf_components(edges, nodes)
+    assert got[12] == 0  # bridged through 2-10
+    assert got[21] == 20
+
+
+def test_cc_long_chain_converges(spark):
+    """A 200-node path is the worst case for plain min-propagation
+    (O(diameter) rounds); pointer jumping must close it well inside
+    the default max_iter=30 (~log2 bound)."""
+    edges = [(i, i + 1) for i in range(200)]
+    got = _run(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 201
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40 + 20 * trial)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        got = _run(spark, edges)
+        nodes = {x for e in edges for x in e}
+        assert got == _uf_components(edges, nodes)
+
+
+def test_cc_isolated_nodes_via_nodes_relation(spark):
+    edges = spark.createDataFrame([(1, 2)], "p1 long, p2 long")
+    nodes = spark.createDataFrame([(1,), (2,), (7,)], "doc_id long")
+    got = {
+        r["node"]: r["component"]
+        for r in ConnectedComponents.run(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 7: 7}
+
+
+def test_cc_canonical_groups(spark):
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21)], "p1 long, p2 long"
+    )
+    rows = {
+        r["node"]: r
+        for r in ConnectedComponents.canonical_groups(edges).collect()
+    }
+    assert rows[5]["component"] == 3 and rows[5]["cluster_size"] == 3
+    assert rows[3]["is_canonical"] and not rows[9]["is_canonical"]
+    assert rows[20]["is_canonical"] and rows[20]["cluster_size"] == 2
+
+
+def test_cc_empty_edges(spark):
+    edges = spark.createDataFrame([], "p1 long, p2 long")
+    assert ConnectedComponents.run(edges).count() == 0
