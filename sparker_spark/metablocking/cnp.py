@@ -46,6 +46,7 @@ class CNP:
     ) -> DataFrame:
         if comparison_type not in (ComparisonTypes.AND, ComparisonTypes.OR):
             raise ValueError(f"invalid comparison type: {comparison_type}")
+        ctx.materialize()  # top-k + half legs share one edge scan
         retained = CNP.retained_neighbors(ctx, k)
         half = ctx.half()
         # kept_by_p1: (p1,p2) where p2 is in p1's top-k

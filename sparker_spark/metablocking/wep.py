@@ -24,6 +24,7 @@ class WEP:
 
     @staticmethod
     def prune(ctx: EdgeContext) -> DataFrame:
+        ctx.materialize()  # threshold agg + half filter share one scan
         threshold = WEP.calc_global_threshold(ctx)
         return ctx.half().where(F.col("weight") >= F.lit(threshold))
 

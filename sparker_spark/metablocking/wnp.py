@@ -49,6 +49,7 @@ class WNP:
         """Pruned edges (p1, p2, weight) with p1 < p2 — wnp.py:26-77."""
         if comparison_type not in (ComparisonTypes.AND, ComparisonTypes.OR):
             raise ValueError(f"invalid comparison type: {comparison_type}")
+        ctx.materialize()  # thresholds + half legs share one edge scan
         thresholds = WNP.calc_thresholds(ctx, threshold_type)
         half = ctx.half()
         t1 = thresholds.select(
