@@ -156,6 +156,49 @@ class StatisticsEstimator:
         return ERStats(pc, pq, f1, num_candidates, num_matches, num_gt)
 
     @staticmethod
+    def estimate_pc_pq_adjacency(edges: DataFrame, gt: DataFrame) -> ERStats:
+        """Grouped-adjacency PC/PQ — the mechanism of the reference's
+        combineByKey estimators (old_versions/.../Utilities/
+        StatisticsEstimator.scala:92-133 estimatePCPQ_uniqueRealID,
+        :135-166 estimatePCPQ): the groundtruth is grouped by FIRST
+        endpoint into neighbor sets (combineByKey + broadcast map
+        there; a collect_set aggregate + broadcast hash join +
+        array_contains probe here), and candidates look up their
+        second endpoint in the set — directional, so both relations
+        must carry the same orientation convention (p1 < p2, which the
+        reference enforces by swapping at :104-109).
+
+        Reference quirks kept exactly: matches are counted DISTINCT
+        (:117 .distinct.count) while BOTH denominators are the RAW
+        non-distinct counts (groundTruth.count / candidates.count,
+        :123) — duplicated groundtruth rows or candidate pairs deflate
+        PC/PQ there, and therefore here.
+
+        Completes the estimator family: join (get_stats), broadcast
+        Python set (get_stats_broadcast), real-id intersection
+        (estimate_pc_pq_real_ids), grouped adjacency (this).
+        """
+        adj = gt.select("p1", "p2").groupBy("p1").agg(
+            F.collect_set("p2").alias("nbrs")
+        )
+        num_candidates = edges.count()
+        num_gt = gt.count()
+        num_matches = (
+            edges.select("p1", "p2")
+            # groundtruth is the small labeled side by construction —
+            # the broadcast IS the mechanism being mirrored
+            .join(F.broadcast(adj), "p1")
+            .where(F.array_contains(F.col("nbrs"), F.col("p2")))
+            .select("p1", "p2")
+            .distinct()
+            .count()
+        )
+        pc = num_matches / num_gt if num_gt else 0.0
+        pq = num_matches / num_candidates if num_candidates else 0.0
+        f1 = 2 * pc * pq / (pc + pq) if (pc + pq) > 0 else 0.0
+        return ERStats(pc, pq, f1, num_candidates, num_matches, num_gt)
+
+    @staticmethod
     def block_entropy(blocks: BlockCollection, normalized: bool = False) -> DataFrame:
         """Per-block entropy estimator — parity with the Scala-only
         old_versions/.../Utilities/StatisticsEstimator.scala:296-342

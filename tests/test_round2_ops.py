@@ -156,6 +156,35 @@ def test_pcpq_crosscheck_on_pipeline(spark, sf_dir):
     )
 
 
+def test_pcpq_adjacency_estimator(spark):
+    """Grouped-adjacency estimator agrees with the join + broadcast-set
+    paths on clean input, and keeps the reference's raw-denominator /
+    distinct-match quirks on duplicated input."""
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 4), (5, 6)], "p1 LONG, p2 LONG"
+    )
+    gt = spark.createDataFrame([(0, 1), (2, 4), (7, 8)], "p1 LONG, p2 LONG")
+    a = Evaluation.get_stats(edges, gt)
+    c = StatisticsEstimator.estimate_pc_pq_adjacency(edges, gt)
+    assert (c.num_edges, c.num_matches, c.num_gt) == (
+        a.num_edges,
+        a.num_matches,
+        a.num_gt,
+    )
+    assert c.pc == pytest.approx(a.pc) and c.pq == pytest.approx(a.pq)
+
+    # duplicated candidate + duplicated gt row: matches stay DISTINCT
+    # (2), denominators count RAW rows (6 candidates, 4 gt) — exactly
+    # StatisticsEstimator.scala:117,:123
+    edges_dup = edges.unionAll(
+        spark.createDataFrame([(0, 1)], "p1 LONG, p2 LONG")
+    )
+    gt_dup = gt.unionAll(spark.createDataFrame([(2, 4)], "p1 LONG, p2 LONG"))
+    d = StatisticsEstimator.estimate_pc_pq_adjacency(edges_dup, gt_dup)
+    assert (d.num_edges, d.num_matches, d.num_gt) == (6, 2, 4)
+    assert d.pc == pytest.approx(2 / 4) and d.pq == pytest.approx(2 / 6)
+
+
 def test_pcpq_real_id_estimator(spark):
     """Real-ID-space estimator agrees with the dense-id join path, and
     applies the clean-clean orientation swap."""
