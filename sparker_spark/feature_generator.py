@@ -101,6 +101,12 @@ class FeatureGenerator:
                 F.sum("inv_comp").alias("raccb_raw"),
                 F.sum("inv_size").alias("rs"),
             )
+            # three plan legs consume this relation (the feature join
+            # plus both symmetrized halves of the stats derivation);
+            # materialize once so the Σ size² enumeration + pair
+            # shuffle never re-runs per leg (exchange reuse does not
+            # survive AQE re-optimization across subtrees)
+            .localCheckpoint(eager=True)
         )
 
         # redundant/non-redundant comparison stats, derived by
