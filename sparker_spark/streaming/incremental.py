@@ -88,6 +88,180 @@ def windowed_event_counts(
     )
 
 
+def _shingle_hash_arrays(text_col: str, shingle_size: int):
+    """Column exprs: (distinct word-shingle 60-bit hash array, its
+    31-bit reductions) for ONE document held in a single row — the same
+    shingle strings and hashes as llm.shingles/llm.hashing, but built
+    with array higher-order functions instead of explode+groupBy so a
+    streaming pipeline can compute them statelessly per row."""
+    from sparker_spark.llm.hashing import MERSENNE_31, SPARK_HASH60
+
+    n = int(shingle_size)
+    toks = f"split(lower({text_col}), '\\\\s+')"
+    shings = (
+        f"array_distinct(CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"ELSE array() END)"
+    )
+    h60 = f"transform({shings}, s -> {SPARK_HASH60.format(x='s')})"
+    h31 = f"transform({h60}, h -> h % {MERSENNE_31})"
+    return h60, h31
+
+
+def build_near_dup_index(
+    corpus: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Static side of :func:`streaming_near_dup`: the historical corpus
+    as an LSH index.
+
+    Returns ``(postings, detail)``:
+      * postings(bucket, corpus_id, corpus_bands) — one row per LSH
+        band bucket membership (the join key for candidates), carrying
+        the doc's full ordered band array for the stateless
+        first-shared-band dedup;
+      * detail(corpus_id, corpus_hashes, corpus_n) — per-doc distinct
+        shingle-hash array for exact Jaccard verification.
+
+    Both are plain DataFrames — persist them as parquet and re-read to
+    serve a long-running stream; rebuilding is one batch pass over the
+    corpus.
+    """
+    h60, _ = _shingle_hash_arrays(text_col, shingle_size)
+    rows = num_hashes // bands
+    from sparker_spark.llm.hashing import MERSENNE_31, minhash_coefficients
+
+    coeffs = minhash_coefficients(num_hashes)
+    sig = "array(" + ", ".join(
+        f"array_min(transform(h31s, h -> (({a} * h + {b}) % {MERSENNE_31})))"
+        for a, b in coeffs
+    ) + ")"
+    band_arr = "array(" + ", ".join(
+        f"concat_ws('_', '{bi}', array_join(slice(sig, {bi * rows + 1}, {rows}), '_'))"
+        for bi in range(bands)
+    ) + ")"
+    base = (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            F.expr(h60).alias("corpus_hashes"),
+        )
+        .where(F.size("corpus_hashes") > 0)
+        .withColumn(
+            "h31s",
+            F.expr(f"transform(corpus_hashes, h -> h % {MERSENNE_31})"),
+        )
+        .withColumn("sig", F.expr(sig))
+        .withColumn("corpus_bands", F.expr(band_arr))
+    )
+    postings = base.select(
+        F.explode("corpus_bands").alias("bucket"), "corpus_id", "corpus_bands"
+    )
+    detail = base.select(
+        "corpus_id", "corpus_hashes", F.size("corpus_hashes").alias("corpus_n")
+    )
+    return postings, detail
+
+
+def streaming_near_dup(
+    doc_stream: DataFrame,
+    postings: DataFrame,
+    detail: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental near-dup: a stream of NEW documents checked against
+    a static historical corpus (the production shape for continuously
+    arriving training data — "is this new doc a near-dup of anything
+    we already have?").
+
+    Entirely STATELESS streaming: MinHash signatures and band buckets
+    are per-row array expressions (one document per row, no groupBy
+    state), candidates come from a stream-static equi-join on the band
+    bucket, and the usual post-join ``distinct`` (a pair matches in
+    several bands) is replaced by the first-shared-band rule — a
+    candidate survives only from the SMALLEST band index it collides
+    in, checked per-row against the corpus doc's band array. Exact
+    Jaccard then verifies via array_intersect with the corpus shingle
+    hashes. No watermark, no state store; semantics match the batch
+    ``Dedup.minhash_lsh_pairs`` (same seeds, shingles, band layout,
+    threshold rule) restricted to new-vs-corpus pairs.
+
+    Output: (doc_id, corpus_id, jaccard), append mode.
+    """
+    h60, _ = _shingle_hash_arrays(text_col, shingle_size)
+    rows = num_hashes // bands
+    from sparker_spark.llm.hashing import MERSENNE_31, minhash_coefficients
+
+    coeffs = minhash_coefficients(num_hashes)
+    sig = "array(" + ", ".join(
+        f"array_min(transform(h31s, h -> (({a} * h + {b}) % {MERSENNE_31})))"
+        for a, b in coeffs
+    ) + ")"
+    band_arr = "array(" + ", ".join(
+        f"concat_ws('_', '{bi}', array_join(slice(sig, {bi * rows + 1}, {rows}), '_'))"
+        for bi in range(bands)
+    ) + ")"
+    new_docs = (
+        doc_stream.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(h60).alias("new_hashes"),
+        )
+        .where(F.size("new_hashes") > 0)
+        .withColumn(
+            "h31s", F.expr(f"transform(new_hashes, h -> h % {MERSENNE_31})")
+        )
+        .withColumn("sig", F.expr(sig))
+        .withColumn("new_bands", F.expr(band_arr))
+        .select(
+            "doc_id",
+            "new_hashes",
+            "new_bands",
+            F.posexplode("new_bands").alias("bi", "bucket"),
+        )
+    )
+    cand = (
+        new_docs.join(postings, "bucket")
+        # stateless dedup: bands only collide at the same index (the
+        # "bi_" prefix differs otherwise), so "an earlier band already
+        # matched" == any pairwise-equal element in the first bi slots
+        .where(
+            ~F.expr(
+                "exists(zip_with(slice(new_bands, 1, bi),"
+                " slice(corpus_bands, 1, bi), (x, y) -> x = y), z -> z)"
+            )
+        )
+        .select("doc_id", "new_hashes", "corpus_id")
+    )
+    from sparker_spark.rounding import rnd  # same rounding as the batch op
+
+    inter = F.size(F.expr("array_intersect(new_hashes, corpus_hashes)"))
+    return (
+        cand.join(detail, "corpus_id")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            rnd(
+                F.col("inter")
+                / (
+                    F.size("new_hashes") + F.col("corpus_n") - F.col("inter")
+                ),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("doc_id", "corpus_id", "jaccard")
+    )
+
+
 def streaming_sessionize(
     event_stream: DataFrame,
     gap: str = "30 minutes",

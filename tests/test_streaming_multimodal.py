@@ -67,6 +67,46 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert 2 in kept
 
 
+def test_streaming_near_dup_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-static incremental near-dup must reproduce the batch
+    MinHash-LSH pair set exactly (same seeds/shingles/bands/threshold),
+    restricted to new-vs-corpus pairs — including the jaccard values."""
+    from sparker_spark.llm.dedup import Dedup
+    from sparker_spark.streaming.incremental import (
+        build_near_dup_index,
+        streaming_near_dup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.where("doc_id % 5 != 0").cache()
+    new = docs.where("doc_id % 5 = 0")
+    src = tmp_path / "new_docs"
+    new.write.parquet(str(src))
+
+    postings, detail = build_near_dup_index(corpus)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = streaming_near_dup(stream, postings, detail)
+    _run_stream(out, "near_dup_stream")
+    got = {
+        (r["doc_id"], r["corpus_id"], r["jaccard"])
+        for r in spark.sql("SELECT * FROM near_dup_stream").collect()
+    }
+
+    batch = Dedup.minhash_lsh_pairs(docs)
+    want = {
+        (
+            (r["p1"], r["p2"]) if r["p1"] % 5 == 0 else (r["p2"], r["p1"])
+        )
+        + (r["jaccard"],)
+        for r in batch.collect()
+        if (r["p1"] % 5 == 0) != (r["p2"] % 5 == 0)  # exactly one is new
+    }
+    assert got == want
+    assert len(got) > 0  # fixture must actually produce near-dups
+
+
 def test_windowed_event_counts(spark, tmp_path):
     src = tmp_path / "stream_events"
     spark.createDataFrame(
