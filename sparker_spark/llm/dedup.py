@@ -107,7 +107,21 @@ class Dedup:
         any data size candidates are only same-bucket pairs."""
         assert num_hashes % bands == 0
         rows = num_hashes // bands
-        sigs = Dedup.minhash_signatures(documents, num_hashes, shingle_size, seed)
+        # the shingle relation feeds four plan legs (signatures, the
+        # two verification sides, per-doc counts) — without a cache the
+        # tokenize+shingle+md5 pass and the corpus scan run once per
+        # leg (6 parquet scans in the physical plan). MEMORY_AND_DISK
+        # spills rather than OOMs when the shingle relation outgrows
+        # executor memory at scale.
+        sh = shingle_hashes(documents, shingle_size).select("doc_id", "h", "h31").cache()
+        sigs = sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.expr(minhash_expr(a, b, "h31"))).alias(f"mh_{i}")
+                for i, (a, b) in enumerate(
+                    minhash_coefficients(num_hashes, seed)
+                )
+            ]
+        )
         band_cols = [
             F.concat_ws(
                 "_",
@@ -134,7 +148,6 @@ class Dedup:
         # co-shingle pair in the corpus (which would make the LSH
         # banding pointless — the full shared-shingle self-join is
         # exactly the quadratic work LSH exists to avoid).
-        sh = shingle_hashes(documents, shingle_size).select("doc_id", "h")
         counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         s1 = sh.select(F.col("doc_id").alias("p1"), "h")
         s2 = sh.select(F.col("doc_id").alias("p2"), "h")
