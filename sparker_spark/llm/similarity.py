@@ -82,50 +82,125 @@ class SimilaritySearch:
         query_filter: str | None = None,
         seed: int = 1234,
     ) -> DataFrame:
-        """IVF-flat approximate top-k: deterministic pseudo-random
-        hyperplane sketch assigns each vector a coarse cell (sign bits
-        of log2(num_cells) projections); probes search the n_probe
-        cells nearest the query cell by Hamming distance.
+        """IVF-flat approximate top-k in one call: build the coarse
+        index over ``embeddings`` and search it with the same vectors
+        as queries. For the production shape (index once, serve many
+        query batches, partition-pruned storage) use
+        :class:`IVFIndex` directly.
 
         Approximate — no SQL oracle; validated in tests by recall vs
         topk_cosine. The cell join keeps candidate volume ~n·n_probe/
         cells: the shape that survives a 100× scale-up.
         """
+        index = IVFIndex.build(embeddings, num_cells=num_cells, seed=seed)
+        return index.search(k=k, n_probe=n_probe, query_filter=query_filter)
+
+
+class IVFIndex:
+    """Persistable IVF-flat coarse index.
+
+    A deterministic pseudo-random hyperplane sketch assigns each vector
+    a coarse cell (sign bits of log2(num_cells) Gaussian projections,
+    seeded — so the planes are a (dim, num_cells, seed) pure function
+    and never need separate serialization). ``write``/``read`` store
+    the indexed relation as parquet PARTITIONED BY cell: a query batch
+    probing few cells reads only those partitions (partition pruning),
+    which is what makes the served index cheap at corpus scale.
+    """
+
+    def __init__(self, indexed: DataFrame, num_cells: int, seed: int, dim: int):
+        self.indexed = indexed  # (vec_id, emb, norm, cell)
+        self.num_cells = int(num_cells)
+        self.seed = int(seed)
+        self.dim = int(dim)
+
+    # ---- construction ------------------------------------------------
+    @staticmethod
+    def _planes(dim: int, num_cells: int, seed: int) -> list[list[float]]:
         import math
         import random
 
         bits = int(math.log2(num_cells))
         assert 2**bits == num_cells, "num_cells must be a power of two"
-        dim_probe = embeddings.select(F.size("embedding").alias("d")).first()["d"]
         rng = random.Random(seed)
-        planes = [
-            [rng.gauss(0.0, 1.0) for _ in range(dim_probe)] for _ in range(bits)
-        ]
+        return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
-        def cell_expr(emb_col: str):
-            cell = F.lit(0)
-            for j, plane in enumerate(planes):
-                arr = F.array(*[F.lit(x) for x in plane])
-                proj = F.expr(
-                    f"aggregate(zip_with({emb_col}, array({','.join(str(x) for x in plane)}),"
-                    " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-                )
-                cell = cell + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
-            return cell
+    @staticmethod
+    def _cell_expr(planes: list[list[float]], emb_col: str):
+        cell = F.lit(0)
+        for j, plane in enumerate(planes):
+            proj = F.expr(
+                f"aggregate(zip_with({emb_col}, array({','.join(str(x) for x in plane)}),"
+                " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            cell = cell + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+        return cell
 
-        base = _normed(embeddings).withColumn("cell", cell_expr("emb"))
-        q = base
+    @staticmethod
+    def build(
+        embeddings: DataFrame, num_cells: int = 16, seed: int = 1234
+    ) -> "IVFIndex":
+        dim = embeddings.select(F.size("embedding").alias("d")).first()["d"]
+        planes = IVFIndex._planes(dim, num_cells, seed)
+        indexed = _normed(embeddings).withColumn(
+            "cell", IVFIndex._cell_expr(planes, "emb")
+        )
+        return IVFIndex(indexed, num_cells, seed, dim)
+
+    # ---- persistence -------------------------------------------------
+    def write(self, path: str) -> None:
+        """One parquet directory per cell — probe-time partition
+        pruning; (num_cells, seed, dim) ride along as columns so read()
+        needs no sidecar metadata file."""
+        self.indexed.withColumns(
+            {
+                "_num_cells": F.lit(self.num_cells),
+                "_seed": F.lit(self.seed),
+                "_dim": F.lit(self.dim),
+            }
+        ).write.partitionBy("cell").mode("overwrite").parquet(path)
+
+    @staticmethod
+    def read(spark, path: str) -> "IVFIndex":
+        df = spark.read.parquet(path)
+        meta = df.select("_num_cells", "_seed", "_dim").first()
+        return IVFIndex(
+            df.select("vec_id", "emb", "norm", "cell"),
+            meta["_num_cells"],
+            meta["_seed"],
+            meta["_dim"],
+        )
+
+    # ---- search ------------------------------------------------------
+    def search(
+        self,
+        queries: DataFrame | None = None,
+        k: int = 10,
+        n_probe: int = 4,
+        query_filter: str | None = None,
+    ) -> DataFrame:
+        """(query_id, neighbor_id, cosine, rank) over the n_probe cells
+        Hamming-nearest each query's cell. ``queries`` defaults to the
+        indexed vectors themselves (self-join ANN); a fresh relation
+        (vec_id, embedding) is sketched with the index's own planes."""
+        if queries is None:
+            q = self.indexed
+        else:
+            planes = IVFIndex._planes(self.dim, self.num_cells, self.seed)
+            q = _normed(queries).withColumn(
+                "cell", IVFIndex._cell_expr(planes, "emb")
+            )
         if query_filter:
             q = q.where(query_filter)
 
-        # probe cells: all cells within the hamming radius that yields
-        # >= n_probe cells (small driver-side expansion over 2^bits)
-        cells = list(range(num_cells))
+        # probe cells: the n_probe cells nearest each cell by Hamming
+        # distance (small driver-side expansion over 2^bits)
+        cells = list(range(self.num_cells))
         probe_map = []
         for c in cells:
             ranked = sorted(cells, key=lambda o: (bin(c ^ o).count("1"), o))
-            probe_map.extend((c, o) for o in ranked[:n_probe])
-        spark = embeddings.sparkSession
+            probe_map.extend((c, o) for o in ranked[: int(n_probe)])
+        spark = self.indexed.sparkSession
         probes = spark.createDataFrame(probe_map, ["cell", "probe_cell"])
 
         qp = (
@@ -138,7 +213,7 @@ class SimilaritySearch:
             .join(F.broadcast(probes), "cell")
             .drop("cell")
         )
-        cand = base.select(
+        cand = self.indexed.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("emb").alias("e2"),
             F.col("norm").alias("n2"),

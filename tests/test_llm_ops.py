@@ -134,6 +134,48 @@ def test_ann_ivf_recall(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_index_roundtrip_and_fresh_queries(spark, sf_dir, tmp_path):
+    """IVFIndex build -> write (partitioned by cell) -> read -> search
+    must equal the one-shot topk_cosine_ivf; a FRESH query relation
+    sketched against the persisted index must match self-join results
+    for the same ids."""
+    from sparker_spark.llm.similarity import IVFIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    one_shot = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in SimilaritySearch.topk_cosine_ivf(
+            emb, k=5, num_cells=8, n_probe=4, query_filter="vec_id % 100 = 0"
+        ).collect()
+    }
+
+    index = IVFIndex.build(emb, num_cells=8)
+    path = str(tmp_path / "ivf_index")
+    index.write(path)
+    loaded = IVFIndex.read(spark, path)
+    assert (loaded.num_cells, loaded.seed, loaded.dim) == (
+        index.num_cells,
+        index.seed,
+        index.dim,
+    )
+    served = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in loaded.search(
+            k=5, n_probe=4, query_filter="vec_id % 100 = 0"
+        ).collect()
+    }
+    assert served == one_shot
+
+    # fresh query batch (not pre-sketched): same vectors as a new
+    # relation must produce the same neighbors
+    fresh = emb.where("vec_id % 100 = 0")
+    fresh_out = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in loaded.search(queries=fresh, k=5, n_probe=4).collect()
+    }
+    assert fresh_out == one_shot
+
+
 def test_text_stats(docs):
     out = {r["doc_id"]: r for r in TextAnalysis.token_stats(docs).collect()}
     assert out[4]["n_tokens_ws"] == 2
