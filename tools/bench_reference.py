@@ -76,6 +76,28 @@ def bench_reference(spark, sf_dir, regime="token"):
     max_profile_id = profiles.map(lambda p: p.profile_id).max()
     t["load"] = round(time.time() - t0, 3)
 
+    if regime == "gsmb":
+        # supervised meta-blocking feature generation (9 features per
+        # co-occurring pair) over purge(1.025)+filter(0.8) token blocks
+        t0 = time.time()
+        blocks = ref.Blocking.create_blocks(profiles)
+        purged = ref.BlockPurging.block_purging(blocks, 1.025)
+        (_, _, rebuilt) = ref.BlockFiltering.block_filtering_quick(purged, FILTER_R)
+        rebuilt.cache()
+        n_blocks = rebuilt.count()
+        t["blocking"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        feats = ref.FeatureGenerator.generate_features(
+            profiles, rebuilt, convert_ids=False
+        )
+        n_feats = feats.count()
+        t["features"] = round(time.time() - t0, 3)
+        t["total"] = round(sum(t.values()), 3)
+        t["counts"] = {"blocks": n_blocks, "features": int(n_feats)}
+        sys.path.remove(REFERENCE_PY)
+        return t
+
     if regime == "shingle":
         # realistic block-size distribution (matches the bench's
         # er_wnp_cbs_avg_or): shingle blocks, no purge/filter
@@ -179,6 +201,32 @@ def bench_ours(spark, sf_dir, regime="token"):
     from sparker_spark.metablocking.weights import EdgeWeighting
     from sparker_spark.metablocking.wnp import WNP
 
+    if regime == "gsmb":
+        from sparker_spark.feature_generator import FeatureGenerator
+
+        t = {}
+        t0 = time.time()
+        keys = _doc_keys_unigram(spark, sf_dir).cache()
+        keys.count()
+        t["load"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=True)
+        purged = BlockPurging.block_purging(blocks, 1.025)
+        _, _, rebuilt = BlockFiltering.block_filtering_quick(purged, FILTER_R)
+        rebuilt.meta.cache()
+        rebuilt.assignments.cache()
+        n_blocks = rebuilt.meta.count()
+        t["blocking"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        feats = FeatureGenerator.generate_features(rebuilt)
+        n_feats = feats.count()
+        t["features"] = round(time.time() - t0, 3)
+        t["total"] = round(sum(t.values()), 3)
+        t["counts"] = {"blocks": n_blocks, "features": n_feats}
+        return t
+
     if regime == "shingle":
         t = {}
         t0 = time.time()
@@ -279,7 +327,7 @@ def main():
         return
 
     out = {"sf": sf_dir.rstrip("/").split("sf")[-1]}
-    for regime in ("shingle", "token"):
+    for regime in ("shingle", "token", "gsmb"):
         res = {}
         for engine in ("ours", "reference"):
             proc = subprocess.run(
