@@ -29,9 +29,18 @@ from sparker_spark.metablocking.wnp import WNP
 from sparker_spark.metablocking.wep import WEP
 from sparker_spark.metablocking.cep import CEP
 from sparker_spark.metablocking.cnp import CNP
-from sparker_spark.evaluation import Evaluation
+from sparker_spark.evaluation import Evaluation, StatisticsEstimator
+from sparker_spark.attribute_clustering import AttributeClustering
+from sparker_spark.progressive import PPS, GSPSN
+from sparker_spark.feature_generator import FeatureGenerator
+from sparker_spark.supervised import SupervisedMB
+from sparker_spark.graph import ConnectedComponents
+from sparker_spark.llm.dedup import Dedup
+from sparker_spark.llm.similarity import IVFIndex, SimilaritySearch
+from sparker_spark.llm.text import TextAnalysis
 
 __all__ = [
+    # reference export list (python/sparker/__init__.py:1-18)
     "get_spark",
     "CSVWrapper",
     "JSONWrapper",
@@ -52,4 +61,16 @@ __all__ = [
     "CEP",
     "CNP",
     "Evaluation",
+    "StatisticsEstimator",
+    "AttributeClustering",
+    "PPS",
+    "GSPSN",
+    "FeatureGenerator",
+    "SupervisedMB",
+    # engine extensions (training-data pipeline surface)
+    "ConnectedComponents",
+    "Dedup",
+    "SimilaritySearch",
+    "IVFIndex",
+    "TextAnalysis",
 ]
