@@ -1,0 +1,91 @@
+"""Empty-input robustness: every stage of the ER chain and the dedup
+family must degrade to empty outputs (not crash) when fed zero rows —
+the situation every scheduled production pipeline eventually hits
+(an empty partition/day, an over-aggressive upstream filter).
+"""
+
+from pyspark.sql import functions as F
+
+from sparker_spark.blocking.blockers import Blocking
+from sparker_spark.blocking.converters import Converters
+from sparker_spark.filters import BlockFiltering, BlockPurging
+from sparker_spark.metablocking.pruning_utils import (
+    ComparisonTypes,
+    ThresholdTypes,
+    WeightTypes,
+)
+from sparker_spark.metablocking.cep import CEP
+from sparker_spark.metablocking.cnp import CNP
+from sparker_spark.metablocking.wep import WEP
+from sparker_spark.metablocking.wnp import WNP
+
+
+def _empty_keys(spark):
+    return spark.createDataFrame(
+        [], "profile_id long, source_id int, key string"
+    )
+
+
+def test_empty_er_chain(spark):
+    blocks = Blocking.blocks_from_keys(_empty_keys(spark), clean=False)
+    assert blocks.meta.count() == 0
+    purged = BlockPurging.block_purging(blocks, 1.005)
+    pb, pb_filtered, rebuilt = BlockFiltering.block_filtering_quick(purged, 0.8)
+    assert rebuilt.meta.count() == 0
+    assert (
+        WNP.wnp(
+            rebuilt,
+            pb_filtered,
+            ThresholdTypes.AVG,
+            WeightTypes.CBS,
+            comparison_type=ComparisonTypes.OR,
+        ).count()
+        == 0
+    )
+    assert WEP.wep(rebuilt, pb_filtered, WeightTypes.CBS).count() == 0
+    assert CEP.cep(rebuilt, pb_filtered, WeightTypes.CBS).count() == 0
+    assert (
+        CNP.cnp(rebuilt, pb_filtered, number_of_profiles=1, weight_type=WeightTypes.CBS).count()
+        == 0
+    )
+
+
+def test_empty_dedup_family(spark):
+    from sparker_spark.llm.dedup import Dedup
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert Dedup.exact_groups(docs).count() == 0
+    assert Dedup.ngram_jaccard_pairs(docs).count() == 0
+    assert Dedup.minhash_lsh_pairs(docs).count() == 0
+    assert Dedup.simhash_pairs(docs).count() == 0
+
+
+def test_empty_gspsn_and_pps(spark):
+    from sparker_spark.progressive import GSPSN, PPS
+
+    g = GSPSN(_empty_keys(spark).select("profile_id", "key"), max_window_size=2)
+    g.initialize()
+    assert g.get_next() == (-1, -1, -1)
+
+    blocks = Blocking.blocks_from_keys(_empty_keys(spark), clean=False)
+    pb = Converters.blocks_to_profile_blocks(blocks)
+    pps = PPS(blocks, pb, k=5, mini_batch=2)
+    pps.initialize()
+    assert list(pps) == []
+
+
+def test_empty_feature_generation(spark):
+    from sparker_spark.feature_generator import FeatureGenerator
+
+    blocks = Blocking.blocks_from_keys(_empty_keys(spark), clean=False)
+    assert FeatureGenerator.generate_features(blocks).count() == 0
+
+
+def test_empty_text_and_ann(spark):
+    from sparker_spark.llm.similarity import SimilaritySearch
+    from sparker_spark.llm.text import TextAnalysis
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert TextAnalysis.token_stats(docs).count() == 0
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert SimilaritySearch.topk_cosine(emb, k=3).count() == 0
