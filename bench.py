@@ -166,9 +166,49 @@ def pipeline_gsmb_e2e(spark, sf_dir):
     return SupervisedMB.cep(scored, total)
 
 
+def pipeline_curation_e2e(spark, sf_dir):
+    """Training-data curation end-to-end — the full clean-corpus flow a
+    pretraining pipeline runs over raw documents:
+
+      quality score -> drop low-quality docs -> exact dedup (keep the
+      canonical doc per content hash) -> MinHash-LSH near-dup pairs ->
+      distributed connected components -> keep one canonical doc per
+      near-dup group -> emit the cleaned corpus.
+
+    Every stage is a shuffle-bounded DataFrame op (no crossJoin, no
+    driver state): quality is pure column exprs, exact dedup one
+    groupBy, LSH a bucketed band join, components O(log diameter)
+    node-keyed rounds. The output is the (doc_id, text) relation you
+    would hand to tokenization."""
+    from pyspark.sql import functions as F
+
+    from sparker_spark.entry import JACCARD_T, MINHASH_BANDS, MINHASH_K, SHINGLE, load
+    from sparker_spark.graph import ConnectedComponents
+    from sparker_spark.llm.dedup import Dedup
+    from sparker_spark.llm.text import TextAnalysis
+
+    docs = load(spark, sf_dir, "documents")
+    quality = TextAnalysis.quality_score(docs).select("doc_id", "quality_score")
+    kept = docs.join(quality, "doc_id").where("quality_score >= 0.3").cache()
+
+    exact = Dedup.exact_groups(kept).where("is_canonical").select("doc_id")
+    survivors = kept.join(exact, "doc_id", "left_semi").cache()
+
+    pairs = Dedup.minhash_lsh_pairs(
+        survivors, MINHASH_K, MINHASH_BANDS, SHINGLE, JACCARD_T
+    )
+    dupes = (
+        ConnectedComponents.canonical_groups(pairs)
+        .where(~F.col("is_canonical"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return survivors.join(dupes, "doc_id", "left_anti").select("doc_id", "text")
+
+
 PIPELINES = {
     "pipeline_blast_e2e": pipeline_blast_e2e,
     "pipeline_gsmb_e2e": pipeline_gsmb_e2e,
+    "pipeline_curation_e2e": pipeline_curation_e2e,
 }
 
 
