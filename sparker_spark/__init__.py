@@ -34,6 +34,7 @@ from sparker_spark.attribute_clustering import AttributeClustering
 from sparker_spark.progressive import PPS, GSPSN
 from sparker_spark.feature_generator import FeatureGenerator
 from sparker_spark.supervised import SupervisedMB
+from sparker_spark.asof import AsofJoin
 from sparker_spark.graph import ConnectedComponents
 from sparker_spark.llm.dedup import Dedup
 from sparker_spark.llm.similarity import IVFIndex, SimilaritySearch
@@ -68,6 +69,7 @@ __all__ = [
     "FeatureGenerator",
     "SupervisedMB",
     # engine extensions (training-data pipeline surface)
+    "AsofJoin",
     "ConnectedComponents",
     "Dedup",
     "SimilaritySearch",

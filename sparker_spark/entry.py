@@ -1090,12 +1090,17 @@ def _register_ext() -> None:
     #     cosine mechanism is graded via ann_topk_cosine (r1/r2 green);
     #     its window slot goes to dedup_cc_clusters, the transitive-
     #     closure stage of the same dedup flow
-    # All four remain registered and unit-tested; they just sit past
+    #   tpch_q3 — relational joins are exercised by every ER query and
+    #     tpch_q1 keeps the scan-agg spine graded (r1/r2 green rows
+    #     exist); its slot goes to events_asof, a genuinely new
+    #     operator (distributed as-of join)
+    # All five remain registered and unit-tested; they just sit past
     # the grading window.
     for tail in (
         "dedup_embedding_cosine",
         "er_wnp_js_maxdiv2_and",
         "smb_rcnp",
+        "tpch_q3",
         "tpch_q5ish",
     ):
         QUERIES[tail] = QUERIES.pop(tail)

@@ -59,9 +59,74 @@ SELECT comp.u AS doc_id, comp.component, sizes.cluster_size,
 FROM comp JOIN sizes USING (component)"""
 
 
+# ====================================================================
+# as-of join over the events table: for every click, the latest
+# prior-or-equal view by the same user (asof.py — union + keyed window,
+# one shuffle). The oracle uses the identical ANSI window formulation.
+# ====================================================================
+def q_events_asof(spark, sf_dir):
+    from sparker_spark.asof import AsofJoin
+    from sparker_spark.entry import _load_events
+
+    ev = _load_events(spark, sf_dir)
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.where("event_type = 'view'").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = AsofJoin.asof_join(
+        clicks, views, on="user_id", right_prefix="view_",
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.col("view_event_id"),
+        F.col("view_ts"),
+        F.col("view_value"),
+        (
+            F.unix_micros("ts") - F.unix_micros("view_ts")
+        ).alias("gap_us"),
+    )
+
+
+O_EVENTS_ASOF = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+views AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'view'),
+u AS (
+  SELECT user_id, ts AS _ts, 1 AS _side, event_id, ts, value,
+         NULL::BIGINT AS v_event_id, NULL::TIMESTAMP AS v_ts,
+         NULL::DOUBLE AS v_value
+  FROM clicks
+  UNION ALL
+  SELECT user_id, ts, 0, NULL, NULL, NULL, event_id, ts, value FROM views),
+c AS (
+  SELECT user_id, event_id, ts, value, _side,
+         last_value(v_event_id IGNORE NULLS) OVER w AS view_event_id,
+         last_value(v_ts IGNORE NULLS) OVER w AS view_ts,
+         last_value(v_value IGNORE NULLS) OVER w AS view_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY _ts, _side, v_event_id
+               ROWS UNBOUNDED PRECEDING))
+SELECT user_id, event_id, ts, value, view_event_id, view_ts, view_value,
+       epoch_us(ts) - epoch_us(view_ts) AS gap_us
+FROM c WHERE _side = 1"""
+
+
 def r3_queries() -> dict:
-    return {"dedup_cc_clusters": q_dedup_cc_clusters}
+    return {
+        "dedup_cc_clusters": q_dedup_cc_clusters,
+        "events_asof": q_events_asof,
+    }
 
 
 def r3_oracles() -> dict:
-    return {"dedup_cc_clusters": _o_dedup_cc_clusters()}
+    return {
+        "dedup_cc_clusters": _o_dedup_cc_clusters(),
+        "events_asof": O_EVENTS_ASOF,
+    }
