@@ -35,6 +35,7 @@ from sparker_spark.progressive import PPS, GSPSN
 from sparker_spark.feature_generator import FeatureGenerator
 from sparker_spark.supervised import SupervisedMB
 from sparker_spark.asof import AsofJoin
+from sparker_spark.rangejoin import RangeJoin
 from sparker_spark.graph import ConnectedComponents
 from sparker_spark.llm.dedup import Dedup
 from sparker_spark.llm.similarity import IVFIndex, SimilaritySearch
@@ -70,6 +71,7 @@ __all__ = [
     "SupervisedMB",
     # engine extensions (training-data pipeline surface)
     "AsofJoin",
+    "RangeJoin",
     "ConnectedComponents",
     "Dedup",
     "SimilaritySearch",
