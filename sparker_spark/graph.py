@@ -70,9 +70,14 @@ class ConnectedComponents:
             node_rel = node_rel.unionByName(
                 nodes.select(F.col(nodes.columns[0]).cast("long").alias("u"))
             )
+        # seed labels with the direct-neighborhood min (one aggregation)
+        # instead of identity — saves a full propagate+jump round on
+        # every input, since round 1 would otherwise just compute this
+        nbr_min0 = und.groupBy("u").agg(F.min("v").alias("nv"))
         labels = (
             node_rel.distinct()
-            .select("u", F.col("u").alias("c"))
+            .join(nbr_min0, "u", "left")
+            .select("u", F.least("u", F.coalesce("nv", "u")).alias("c"))
             .localCheckpoint(eager=True)
         )
         prev_sum = labels.agg(F.sum("c")).first()[0]
