@@ -36,6 +36,7 @@ from sparker_spark.feature_generator import FeatureGenerator
 from sparker_spark.supervised import SupervisedMB
 from sparker_spark.asof import AsofJoin
 from sparker_spark.rangejoin import RangeJoin
+from sparker_spark.rollup import RollupCascade
 from sparker_spark.sketches import CountMinSketch
 from sparker_spark.graph import ConnectedComponents
 from sparker_spark.llm.dedup import Dedup
@@ -74,6 +75,7 @@ __all__ = [
     "AsofJoin",
     "RangeJoin",
     "CountMinSketch",
+    "RollupCascade",
     "ConnectedComponents",
     "Dedup",
     "SimilaritySearch",

@@ -1,0 +1,73 @@
+"""Hypertable-style rollup cascade.
+
+Multi-resolution time aggregates (minute -> hour -> day ...) where
+every coarser level is computed FROM the next finer level, not from
+the raw events: one scan of the raw data total, and each further level
+aggregates an already-reduced relation — the continuous-aggregate
+design of time-series stores. The cascade is exact for decomposable
+aggregates: count and sum re-aggregate directly; avg is carried as
+(sum, count) and finalized per level; min/max re-aggregate as
+themselves.
+
+Scale shape: level 1 is one shuffle over the events keyed by
+(bucket, dims); every later level shuffles only the previous level's
+output (rows ~ #buckets × #dims — orders of magnitude smaller). For a
+streaming feed, the finest level is exactly what the watermarked
+windowed aggregation in streaming/incremental.py emits; the cascade
+then maintains the coarser levels from it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# supported bucket widths, finest -> coarsest
+_LEVELS = ["minute", "hour", "day", "week", "month"]
+
+
+class RollupCascade:
+    @staticmethod
+    def cascade(
+        events: DataFrame,
+        levels: list[str],
+        ts_col: str = "ts",
+        value_col: str = "value",
+        dims: list[str] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Returns {level: DataFrame(bucket, *dims, n_events, sum_value,
+        min_value, max_value, avg_value)} with each coarser level
+        derived from the finer one. ``levels`` must be ordered finest
+        first and drawn from minute/hour/day/week/month."""
+        assert levels, "need at least one level"
+        order = [_LEVELS.index(lv) for lv in levels]
+        assert order == sorted(order), "levels must be finest -> coarsest"
+        dims = dims or []
+
+        out: dict[str, DataFrame] = {}
+        prev = None
+        for lv in levels:
+            if prev is None:
+                base = events.groupBy(
+                    F.date_trunc(lv, F.col(ts_col)).alias("bucket"), *dims
+                ).agg(
+                    F.count("*").alias("n_events"),
+                    F.sum(value_col).alias("sum_value"),
+                    F.min(value_col).alias("min_value"),
+                    F.max(value_col).alias("max_value"),
+                )
+            else:
+                # re-aggregate the previous level — never the raw data
+                base = prev.groupBy(
+                    F.date_trunc(lv, F.col("bucket")).alias("bucket"), *dims
+                ).agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+            prev = base
+            out[lv] = base.withColumn(
+                "avg_value", F.col("sum_value") / F.col("n_events")
+            )
+        return out
