@@ -1,0 +1,82 @@
+"""Physical-plan health audit over every registered query.
+
+For each entry in the query registry, builds the DataFrame at a small
+SF and inspects the formatted physical plan for scale anti-patterns:
+
+  * BroadcastNestedLoopJoin / CartesianProduct — a raw inequality or
+    cross join that will not survive scale-out (allowed only for the
+    two documented exact-baseline queries that are crossJoin BY DESIGN)
+  * parquet scans reading all columns when the query projects few
+    (column pruning failure) — reported, not fatal
+
+Usage: python tools/audit_plans.py [sf_dir] [query ...]
+Exit code 1 if any query outside the allowlist plans a nested loop.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# crossJoin by design: documented O(n²) exact baselines whose scale
+# path is the IVF/LSH variant graded alongside
+ALLOW_NESTED = {"dedup_embedding_cosine", "ann_topk_cosine"}
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from sparker_spark.entry import QUERIES
+    from sparker_spark.session import get_spark
+
+    spark = get_spark(app_name="audit_plans", master="local[8]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bad = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+        except Exception as e:  # construction failure is itself a finding
+            print(f"ERROR {name}: {type(e).__name__}: {e}")
+            bad.append(name)
+            continue
+        nested = plan.count("BroadcastNestedLoopJoin") + plan.count(
+            "CartesianProduct"
+        )
+        wide_scans = sum(
+            1
+            for m in re.finditer(r"ReadSchema: struct<([^>]*)", plan)
+            if m.group(1).count(",") >= 6
+        )
+        flags = []
+        if nested and name not in ALLOW_NESTED:
+            flags.append(f"NESTED_LOOP x{nested}")
+            bad.append(name)
+        elif nested:
+            flags.append(f"nested-loop (allowed by design) x{nested}")
+        if wide_scans:
+            flags.append(f"wide-scan x{wide_scans}")
+        status = "WARN" if flags else "ok"
+        print(f"{status:4s} {name}: {', '.join(flags) if flags else 'clean'}")
+
+    if bad:
+        print(f"\nFAIL: {len(bad)} queries with scale anti-patterns: {bad}")
+        sys.exit(1)
+    print("\nall plans healthy")
+
+
+if __name__ == "__main__":
+    main()
