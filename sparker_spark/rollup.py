@@ -58,16 +58,28 @@ class RollupCascade:
                 )
             else:
                 # re-aggregate the previous level — never the raw data
-                base = prev.groupBy(
-                    F.date_trunc(lv, F.col("bucket")).alias("bucket"), *dims
-                ).agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("sum_value").alias("sum_value"),
-                    F.min("min_value").alias("min_value"),
-                    F.max("max_value").alias("max_value"),
-                )
+                base = RollupCascade.reaggregate(prev, lv, dims)
             prev = base
             out[lv] = base.withColumn(
                 "avg_value", F.col("sum_value") / F.col("n_events")
             )
         return out
+
+    @staticmethod
+    def reaggregate(
+        level: DataFrame, to_level: str, dims: list[str] | None = None
+    ) -> DataFrame:
+        """Roll a finer level's output (bucket, *dims, n_events,
+        sum_value, min_value, max_value) up to ``to_level`` — the
+        incremental-maintenance entry point when the finest level is
+        produced elsewhere (e.g. the watermarked streaming windowed
+        aggregation in streaming/incremental.py)."""
+        dims = dims or []
+        return level.groupBy(
+            F.date_trunc(to_level, F.col("bucket")).alias("bucket"), *dims
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
