@@ -41,6 +41,7 @@ from sparker_spark.sketches import CountMinSketch
 from sparker_spark.graph import ConnectedComponents
 from sparker_spark.llm.dedup import Dedup
 from sparker_spark.llm.similarity import IVFIndex, SimilaritySearch
+from sparker_spark.llm.search import TextSearch
 from sparker_spark.llm.text import TextAnalysis
 
 __all__ = [
@@ -81,4 +82,5 @@ __all__ = [
     "SimilaritySearch",
     "IVFIndex",
     "TextAnalysis",
+    "TextSearch",
 ]
