@@ -100,11 +100,18 @@ class Dedup:
         shingle_size: int = 3,
         threshold: float = 0.2,
         seed: int = 1234,
+        source_col: str | None = None,
     ) -> DataFrame:
         """MinHash + LSH banding near-dup pairs: signature -> band
         buckets -> bucket-local candidate pairs -> exact Jaccard
         verification >= threshold. The band join is the scale path: at
-        any data size candidates are only same-bucket pairs."""
+        any data size candidates are only same-bucket pairs.
+
+        ``source_col``: when set, only CROSS-source pairs are emitted
+        (the clean-clean shape — "which docs in the new crawl near-dup
+        something in the old crawl"); within-source pairs are filtered
+        at candidate generation, before the verification join pays for
+        them."""
         assert num_hashes % bands == 0
         rows = num_hashes // bands
         # the shingle relation feeds four plan legs (signatures, the
@@ -137,11 +144,26 @@ class Dedup:
                 "bucket"
             ),
         )
-        a = buckets.select(F.col("doc_id").alias("p1"), "bucket")
-        b = buckets.select(F.col("doc_id").alias("p2"), "bucket")
-        cand = (
-            a.join(b, "bucket").where(F.col("p1") < F.col("p2")).select("p1", "p2")
-        ).distinct()
+        if source_col is not None:
+            src_map = documents.select("doc_id", F.col(source_col).alias("_src"))
+            buckets = buckets.join(src_map, "doc_id")
+            a = buckets.select(
+                F.col("doc_id").alias("p1"), F.col("_src").alias("_s1"), "bucket"
+            )
+            b = buckets.select(
+                F.col("doc_id").alias("p2"), F.col("_src").alias("_s2"), "bucket"
+            )
+            cand = (
+                a.join(b, "bucket")
+                .where((F.col("p1") < F.col("p2")) & (F.col("_s1") != F.col("_s2")))
+                .select("p1", "p2")
+            ).distinct()
+        else:
+            a = buckets.select(F.col("doc_id").alias("p1"), "bucket")
+            b = buckets.select(F.col("doc_id").alias("p2"), "bucket")
+            cand = (
+                a.join(b, "bucket").where(F.col("p1") < F.col("p2")).select("p1", "p2")
+            ).distinct()
         # Verify with exact jaccard computed ONLY for the candidate
         # pairs: route each candidate's two shingle sets through an
         # equi-join on (doc, shingle) instead of re-enumerating every

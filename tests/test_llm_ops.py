@@ -54,6 +54,26 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 1) in pairs
 
 
+def test_minhash_lsh_cross_source(spark, sf_dir):
+    """source_col restricts to cross-source pairs — exactly the
+    all-pairs result minus within-source pairs (new-crawl-vs-old-crawl
+    dedup)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "crawl", (F.col("doc_id") % 2).cast("int")
+    )
+    all_pairs = {
+        (r["p1"], r["p2"])
+        for r in Dedup.minhash_lsh_pairs(docs).collect()
+    }
+    cross = {
+        (r["p1"], r["p2"])
+        for r in Dedup.minhash_lsh_pairs(docs, source_col="crawl").collect()
+    }
+    want = {(p1, p2) for p1, p2 in all_pairs if p1 % 2 != p2 % 2}
+    assert cross == want
+    assert len(cross) > 0 and cross < all_pairs
+
+
 def test_minhash_lsh_subset_of_exact(docs):
     lsh = {
         (r["p1"], r["p2"])
