@@ -74,6 +74,44 @@ def test_asof_no_match_is_null_and_key_isolation(spark):
     assert out == {100: None, 200: 7}
 
 
+def test_asof_matches_naive_on_random_data(spark):
+    """Union+window rewrite must equal the brute-force per-row scan on
+    random data with duplicate timestamps across keys."""
+    import random
+
+    rng = random.Random(11)
+    lrows = [
+        (rng.randrange(4), 100 + i, rng.randrange(0, 50))
+        for i in range(40)
+    ]
+    rrows = [
+        (rng.randrange(4), 500 + i, rng.randrange(0, 50))
+        for i in range(40)
+    ]
+    left = spark.createDataFrame(lrows, "k long, lid long, t long").withColumn(
+        "ts", F.timestamp_micros("t")
+    )
+    right = spark.createDataFrame(rrows, "k long, rid long, t long").withColumn(
+        "ts", F.timestamp_micros("t")
+    )
+    got = {
+        r["lid"]: r["r_rid"]
+        for r in AsofJoin.asof_join(
+            left, right, on="k", right_tiebreak="rid"
+        ).collect()
+    }
+    want = {}
+    for lk, lid, lt in lrows:
+        best = None
+        for rk, rid, rt in rrows:
+            if rk == lk and rt <= lt and (
+                best is None or (rt, rid) > (best[0], best[1])
+            ):
+                best = (rt, rid)
+        want[lid] = best[1] if best else None
+    assert got == want
+
+
 def test_asof_tolerance(spark):
     left = _mk(
         spark,
