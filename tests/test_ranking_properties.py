@@ -11,7 +11,12 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from sparker_spark.ranking import global_rank, global_topk, release
+from sparker_spark.ranking import (
+    global_cumsum,
+    global_rank,
+    global_topk,
+    release,
+)
 
 ROWS = st.lists(
     st.tuples(
@@ -57,6 +62,24 @@ def test_global_topk_matches_sort_limit(spark, rows, k):
     got = sorted((r["a"], r["b"]) for r in out.collect())
     release(out)
     want = sorted(sorted(rows, key=lambda t: (-t[0], t[1]))[:k])
+    assert got == want
+
+
+@given(rows=ROWS, desc=st.booleans())
+@settings(**_SETTINGS)
+def test_global_cumsum_matches_running_total(spark, rows, desc):
+    rows = sorted(set(rows))
+    df = spark.createDataFrame(rows, "a long, b long") if rows else (
+        spark.createDataFrame([], "a long, b long")
+    )
+    out = global_cumsum(df, ["a", "b"], value="b", out="cum", descending=desc)
+    got = {(r["a"], r["b"]): r["cum"] for r in out.collect()}
+    release(out)
+    ordered = sorted(rows, reverse=desc)
+    acc, want = 0, {}
+    for a, b in ordered:
+        acc += b
+        want[(a, b)] = acc
     assert got == want
 
 
