@@ -290,6 +290,111 @@ class EdgeWeighting:
         )
 
     @staticmethod
+    def all_weights(
+        blocks: BlockCollection, profile_blocks_filtered: DataFrame
+    ) -> DataFrame:
+        """All six weight types in ONE enumeration pass.
+
+        The per-type ``weighted_edges`` builds are independent pipelines
+        — calling all six repeats the Σ size² co-occurrence enumeration
+        shuffle six times. When a user wants the full weight matrix
+        (comparing pruning schemes, feature generation, weight-scheme
+        selection), this computes it with exactly one enumeration +
+        one per-profile-stats join tree: the marginal cost of each
+        extra weight is a column expression, not a shuffle.
+
+        Returns the DIRECTED relation
+        ``(src, dst, cbs, js, ecbs, log_arcs, chi2, ejs)`` where
+        ``log_arcs`` is the log-domain reference-ARCS weight
+        (ln cbs − Σ ln comparisons over the SOURCE profile's blocks —
+        see the ARCS note in the module docstring; the linear-domain
+        weight underflows for block-rich profiles).
+
+        Reference parity: each column equals the corresponding
+        ``weighted_edges(weight_type)`` output
+        (common_node_pruning.py:149-263); pinned by the
+        ``er_all_weight_edges`` oracle and tests.
+        """
+        # co feeds the edge join, the EJS stats aggregate and the
+        # distinct-edge count — checkpoint once (same reasoning as the
+        # EJS branch of weighted_edges)
+        co = EdgeWeighting.co_occurrence(blocks).localCheckpoint(eager=True)
+        num_blocks = blocks.meta.count()
+        B = F.lit(float(num_blocks))
+
+        sizes = EdgeWeighting.profile_num_blocks(profile_blocks_filtered)
+        logden = EdgeWeighting.arcs_log_denominator(blocks)
+        per_profile = co.groupBy("src").agg(F.count("*").alias("e_cnt"))
+        num_edges = co.where(F.col("src") < F.col("dst")).count()
+        E = F.lit(float(num_edges))
+
+        e = (
+            co.join(
+                sizes.select(
+                    F.col("profile_id").alias("src"),
+                    F.col("num_blocks").alias("src_blocks"),
+                ),
+                "src",
+            )
+            .join(
+                sizes.select(
+                    F.col("profile_id").alias("dst"),
+                    F.col("num_blocks").alias("dst_blocks"),
+                ),
+                "dst",
+            )
+            .join(
+                logden.select(
+                    F.col("profile_id").alias("src"),
+                    F.col("logden").alias("src_logden"),
+                ),
+                "src",
+            )
+            .join(
+                per_profile.select(
+                    F.col("src"), F.col("e_cnt").alias("src_edges")
+                ),
+                "src",
+                "left",
+            )
+            .join(
+                per_profile.select(
+                    F.col("src").alias("dst"), F.col("e_cnt").alias("dst_edges")
+                ),
+                "dst",
+                "left",
+            )
+        )
+
+        cbs = F.col("cbs")
+        js = cbs / (F.col("src_blocks") + F.col("dst_blocks") - cbs)
+        ecbs = (
+            cbs
+            * F.log10(B / F.col("src_blocks"))
+            * F.log10(B / F.col("dst_blocks"))
+        )
+        log_arcs = F.log(cbs) - F.col("src_logden")
+        chi2 = EdgeWeighting._chi_square(
+            cbs, F.col("dst_blocks"), F.col("src_blocks"), B
+        )
+        e_src = F.coalesce(F.col("src_edges").cast("double"), F.lit(0.0)) + EPS
+        e_dst = F.coalesce(F.col("dst_edges").cast("double"), F.lit(EPS))
+        den = e_dst * F.log10(E / e_src)
+        ejs = F.coalesce(
+            F.when(den > 0, js * F.log10(E / den)).otherwise(0.0), F.lit(0.0)
+        )
+        return e.select(
+            "src",
+            "dst",
+            cbs.alias("cbs"),
+            js.cast("double").alias("js"),
+            ecbs.cast("double").alias("ecbs"),
+            log_arcs.cast("double").alias("log_arcs"),
+            chi2.cast("double").alias("chi2"),
+            ejs.cast("double").alias("ejs"),
+        )
+
+    @staticmethod
     def _chi_square(cbs, dst_blocks, src_blocks, total_blocks):
         """2x2 chi-square, exactly common_node_pruning.py:6-35.
 

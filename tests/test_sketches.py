@@ -53,3 +53,75 @@ def test_cms_absent_value_estimates_small(spark):
     values = spark.createDataFrame([("never_seen",)], ["k"])
     est = CMS.estimate(sketch, values, "k", width=1024, depth=4).first()
     assert est["estimate"] <= 2  # collisions only
+
+
+def test_cms_portable_hash_family_exact_when_wide(spark):
+    """portable=True (md5-affine family): same CM semantics — with a
+    width far above the key count every estimate is the exact
+    frequency, and the family is reproducible in plain SQL (the
+    engine-portability contract the countmin_users oracle relies on)."""
+    rows = ["a"] * 7 + ["b"] * 3 + ["c"] * 1
+    df = spark.createDataFrame([(v,) for v in rows], "v string")
+    sk = CMS.build(df, "v", width=4096, depth=4, seed=99, portable=True)
+    vals = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "v string")
+    est = {
+        r["v"]: r["estimate"]
+        for r in CMS.estimate(
+            sk, vals, "v", width=4096, depth=4, seed=99, portable=True
+        ).collect()
+    }
+    assert est == {"a": 7, "b": 3, "c": 1, "zz": 0}
+
+
+def test_cms_portable_one_sided_under_collisions(spark):
+    """Narrow width forces collisions; the one-sided guarantee
+    (estimate >= true) must hold for every key in both hash families."""
+    rng = random.Random(11)
+    rows = [f"k{rng.randint(0, 40)}" for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in rows], "v string")
+    truth = _freqs(rows)
+    vals = spark.createDataFrame([(k,) for k in truth], "v string")
+    for portable in (False, True):
+        sk = CMS.build(df, "v", width=16, depth=3, seed=5, portable=portable)
+        est = {
+            r["v"]: r["estimate"]
+            for r in CMS.estimate(
+                sk, vals, "v", width=16, depth=3, seed=5, portable=portable
+            ).collect()
+        }
+        for k, n in truth.items():
+            assert est[k] >= n, (portable, k)
+
+
+def test_cms_portable_matches_duckdb_replay(spark):
+    """The portable family's counter table is bit-identical when
+    DuckDB replays the same hash SQL — the cross-engine merge/grading
+    contract."""
+    import duckdb
+
+    from sparker_spark.llm.hashing import minhash_coefficients
+    from sparker_spark.sketches import _portable_h31, portable_bucket_sql
+
+    rows = [f"u{i % 13}" for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in rows], "v string")
+    sk = sorted(
+        (r["j"], r["bucket"], r["n"])
+        for r in CMS.build(df, "v", width=32, depth=3, seed=7, portable=True).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in rows])
+    coeffs = minhash_coefficients(3, 7)
+    h31 = _portable_h31("v", "duck")
+    union = " UNION ALL ".join(
+        f"SELECT {j} AS j, {portable_bucket_sql(coeffs[j], 32, 'h31')} AS bucket FROM vals"
+        for j in range(3)
+    )
+    duck = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"WITH vals AS (SELECT {h31} AS h31 FROM t) "
+            f"SELECT j, bucket, count(*) AS n FROM ({union}) GROUP BY 1, 2"
+        ).fetchall()
+    )
+    assert sk == duck
