@@ -22,6 +22,7 @@ HEADLINE = [
     "er_token_blocks",
     "er_block_filtering",
     "er_cbs_edges",
+    "er_all_weight_edges",
     "er_wnp_cbs_avg_or",
     "er_cep_cbs",
     "er_cluster_blocks",
@@ -34,6 +35,11 @@ HEADLINE = [
     "text_quality",
     "events_sessionize",
     "events_hourly",
+    "events_asof",
+    "range_join_events",
+    "rollup_day",
+    "countmin_users",
+    "bm25_search",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5ish",
@@ -146,11 +152,25 @@ def pipeline_gsmb_e2e(spark, sf_dir):
     # scheduling/scan overhead (measured 77 s at sf0.1 vs 7 s total for
     # collect+local fit). 400 rows is driver-safe at any scale — the
     # sample size is fixed, not data-dependent.
-    train_pd = (
-        labeled.where("is_match = 1")
-        .limit(200)
-        .unionByName(labeled.where("is_match = 0").limit(200))
-        .toPandas()
+    #
+    # Positives are pulled with a parallel full filter, NOT limit():
+    # CollectLimit scans partitions sequentially (1, 4, 16, ...) until
+    # it finds enough rows, and when the filtered class is rare that
+    # serializes a scan of most of the pair relation on one thread at a
+    # time (measured 9.7 s vs 0.8 s at sf0.1, where only 8 positive
+    # pairs exist). The count guard keeps the driver pull bounded if a
+    # label source ever makes positives dense — in that case limit()'s
+    # first partition has plenty and IS the fast path.
+    pos = labeled.where("is_match = 1")
+    if pos.count() <= 10_000:
+        pos_pd = pos.toPandas().sort_values(["p1", "p2"]).head(200)
+    else:
+        pos_pd = pos.limit(200).toPandas()
+    import pandas as pd
+
+    train_pd = pd.concat(
+        [pos_pd, labeled.where("is_match = 0").limit(200).toPandas()],
+        ignore_index=True,
     )
     train = spark.createDataFrame(train_pd).coalesce(1)
     va = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features")
