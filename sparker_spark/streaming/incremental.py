@@ -363,3 +363,42 @@ def _duration_us(spec: str) -> int:
         "days": 86_400_000_000,
     }[unit]
     return int(n) * mult
+
+
+def streaming_countmin(
+    value_stream: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 1234,
+) -> DataFrame:
+    """Continuously-maintained count-min sketch over a stream.
+
+    The sketch's cell-wise-sum merge (sketches.CountMinSketch.merge) is
+    exactly a streaming count aggregation keyed by (j, bucket): each
+    micro-batch's cells add into the running counters, and the state is
+    BOUNDED at d·w rows regardless of stream cardinality — no watermark
+    needed, no per-key state growth. This is the streaming answer to
+    "which blocking keys / tokens are heavy right now" that the batch
+    sketch answers per-snapshot; estimates read from the sink with
+    CountMinSketch.estimate against the latest counter table.
+
+    Run with outputMode("complete") (the counter relation is tiny) or
+    "update" (emit only touched cells per batch).
+    """
+    from sparker_spark.sketches import _bucket_col
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                _bucket_col(col, j, width, depth, seed, portable=False),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        value_stream.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )

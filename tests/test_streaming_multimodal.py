@@ -281,3 +281,39 @@ def test_arrow_batch_rows_restores_conf(spark):
         out = {r["media_id"]: r["n_bytes"] for r in feats.collect()}
     assert out == {i: i + 1 for i in range(10)}
     assert spark.conf.get(_ARROW_BATCH_CONF, None) == prev
+
+
+def test_streaming_countmin_equals_batch_sketch(spark, tmp_path):
+    """Complete-mode streaming sketch over two files == the batch
+    sketch over their union: the cell-wise-sum merge is what the
+    streaming count aggregation computes incrementally."""
+    from sparker_spark.sketches import CountMinSketch
+    from sparker_spark.streaming.incremental import streaming_countmin
+
+    src = tmp_path / "cm_stream"
+    src.mkdir()
+    rows1 = [(f"k{i % 7}",) for i in range(100)]
+    rows2 = [(f"k{i % 11}",) for i in range(80)]
+    spark.createDataFrame(rows1, "v string").write.parquet(str(src / "a.parquet"))
+    spark.createDataFrame(rows2, "v string").write.parquet(str(src / "b.parquet"))
+
+    stream = spark.readStream.schema("v string").parquet(str(src / "*"))
+    out = streaming_countmin(stream, "v", width=32, depth=3, seed=9)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cm_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = sorted(
+        (r["j"], r["bucket"], r["n"])
+        for r in spark.sql("SELECT * FROM cm_cells").collect()
+    )
+    batch_df = spark.createDataFrame(rows1 + rows2, "v string")
+    batch = sorted(
+        (r["j"], r["bucket"], r["n"])
+        for r in CountMinSketch.build(batch_df, "v", width=32, depth=3, seed=9).collect()
+    )
+    assert streamed == batch
