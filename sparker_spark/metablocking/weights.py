@@ -108,21 +108,34 @@ class EdgeWeighting:
             F.col("profile_id").alias("dst"),
             F.col("source_id").alias("dst_source"),
         )
+        # The directed neighborhood is SYMMETRIC in its aggregates: cbs
+        # and the shared-block entropy sum are identical for (p, q) and
+        # (q, p). So enumerate and aggregate only the src < dst half —
+        # the filter runs inside the join's codegen stage, BEFORE the
+        # pair-key exchange, halving shuffled rows and aggregation
+        # input on the hot path of every weight/pruning query — then
+        # mirror the aggregated relation (|edges| rows, tiny next to
+        # the enumeration) to reconstruct both orientations.
+        #
+        # Dirty ER additionally INCLUDES a self-loop per profile —
+        # calc_cbs's enumeration guard is
+        # `(profile_id < neighbor_id) or first_step`
+        # (common_node_pruning.py:139), so with first_step=True the
+        # profile accumulates itself (weight = #blocks). WNP/CNP
+        # thresholds, WEP's global mean and EJS statistics are all
+        # computed over that self-inclusive neighborhood; final edge
+        # sets never contain self-loops (half() takes src < dst). The
+        # self-loop aggregates (cbs = #blocks(p), entropy_sum =
+        # Σ entropy over p's blocks) are per-profile aggregates of the
+        # assignment relation — no enumeration needed. Clean-clean
+        # never sees self (cross-source only, pruning_utils.py:29-53).
         if blocks.clean:
-            cond = F.col("src_source") != F.col("dst_source")
-            pairs = a.join(b, "bid").where(cond)
+            cond = (F.col("src_source") != F.col("dst_source")) & (
+                F.col("src") < F.col("dst")
+            )
         else:
-            # Dirty ER: the full directed neighborhood INCLUDES a
-            # self-loop per profile — calc_cbs's enumeration guard is
-            # `(profile_id < neighbor_id) or first_step`
-            # (common_node_pruning.py:139), so with first_step=True the
-            # profile accumulates itself (weight = #blocks). WNP/CNP
-            # thresholds, WEP's global mean and EJS statistics are all
-            # computed over that self-inclusive neighborhood; final
-            # edge sets never contain self-loops (half() takes
-            # src < dst). Clean-clean never sees self (cross-source
-            # enumeration only, pruning_utils.py:29-53).
-            pairs = a.join(b, "bid")
+            cond = F.col("src") < F.col("dst")
+        pairs = a.join(b, "bid").where(cond)
 
         aggs = [
             F.count("*").cast("double").alias("cbs"),
@@ -140,12 +153,34 @@ class EdgeWeighting:
         # bytes the useless partial output did, and Catalyst elides
         # the post-agg exchange since the distribution is satisfied.
         cols = ["src", "dst", "entropy"] if use_entropy else ["src", "dst"]
-        return (
+        half = (
             pairs.select(*cols)
             .repartition("src", "dst")
             .groupBy("src", "dst")
             .agg(*aggs)
         )
+
+        out_cols = ["src", "dst", "cbs"] + (
+            ["entropy_sum"] if use_entropy else []
+        )
+        mirrored = half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), *out_cols[2:]
+        )
+        directed = half.select(*out_cols).unionByName(mirrored)
+        if blocks.clean:
+            return directed
+
+        self_aggs = [F.count("*").cast("double").alias("cbs")]
+        if use_entropy:
+            self_aggs.append(F.sum("entropy").alias("entropy_sum"))
+        loops = (
+            a.select("src", *(["entropy"] if use_entropy else []))
+            .groupBy("src")
+            .agg(*self_aggs)
+            .select(F.col("src"), F.col("src").alias("dst"), *out_cols[2:])
+            .select(*out_cols)
+        )
+        return directed.unionByName(loops)
 
     @staticmethod
     def arcs_log_denominator(blocks: BlockCollection) -> DataFrame:
