@@ -1,0 +1,99 @@
+"""Batch-incremental blocking: the comparison DELTA for new profiles.
+
+A production ER deployment doesn't re-block the corpus per ingest; it
+asks "which comparisons does THIS batch add?". For token blocking the
+answer is purely relational: a new profile compares against every
+profile sharing a key — so the delta is the key-equi-join of the new
+batch's postings against the full (old ∪ new) posting relation, minus
+old×old pairs, which never have to be enumerated at all. Cost scales
+with |new batch| × key co-frequency, not with the corpus pair count —
+the property that makes per-ingest ER feasible at 100 TB.
+
+Streaming twin: streaming/incremental.py feeds per-micro-batch
+postings; this module is the batch-side consumer of the same shape.
+
+Reference: the reference has no incremental path (its pipelines are
+whole-corpus: python/sparker/blocking_utils.py builds block maps from
+a full RDD each run); this closes that operational gap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class IncrementalBlocking:
+    @staticmethod
+    def delta_pairs(
+        old_keys: DataFrame,
+        new_keys: DataFrame,
+        max_block_size: int | None = None,
+    ) -> DataFrame:
+        """Distinct candidate pairs (p1 < p2) added by the new batch:
+        new×old plus new×new, from (profile_id, key) posting relations.
+
+        ``max_block_size``: optionally skip keys whose UNION block
+        exceeds the size cap (the purging analogue for the hot-key
+        quadratic blowup — a near-universal token would otherwise make
+        every ingest quadratic; the same keys a full re-block would
+        purge). None = no cap.
+        """
+        old = old_keys.select("profile_id", "key")
+        new = new_keys.select("profile_id", "key")
+        allk = old.unionByName(new)
+        if max_block_size is not None:
+            sizes = allk.groupBy("key").agg(F.count("*").alias("_bs"))
+            keep = sizes.where(F.col("_bs") <= int(max_block_size)).select("key")
+            allk = allk.join(keep, "key", "left_semi")
+            new = new.join(keep, "key", "left_semi")
+        a = new.select(F.col("key"), F.col("profile_id").alias("pa"))
+        b = allk.select(F.col("key"), F.col("profile_id").alias("pb"))
+        pairs = (
+            a.join(b, "key")
+            .where(F.col("pa") != F.col("pb"))
+            .select(
+                F.least("pa", "pb").alias("p1"),
+                F.greatest("pa", "pb").alias("p2"),
+            )
+            .distinct()
+        )
+        # new×new pairs appear from both sides of the join; distinct
+        # collapses them. old×old pairs can never appear: one side is
+        # always the new batch.
+        return pairs
+
+    @staticmethod
+    def delta_cbs_edges(
+        old_keys: DataFrame,
+        new_keys: DataFrame,
+        max_block_size: int | None = None,
+    ) -> DataFrame:
+        """Delta pairs with their CBS weight (shared-key count over the
+        UNION corpus) — the incremental feed for weight-threshold
+        pruning of just-ingested profiles."""
+        old = old_keys.select("profile_id", "key")
+        new = new_keys.select("profile_id", "key")
+        allk = old.unionByName(new)
+        if max_block_size is not None:
+            sizes = allk.groupBy("key").agg(F.count("*").alias("_bs"))
+            keep = sizes.where(F.col("_bs") <= int(max_block_size)).select("key")
+            allk = allk.join(keep, "key", "left_semi")
+            new = new.join(keep, "key", "left_semi")
+        a = new.select(F.col("key"), F.col("profile_id").alias("pa"))
+        b = allk.select(F.col("key"), F.col("profile_id").alias("pb"))
+        return (
+            a.join(b, "key")
+            .where(F.col("pa") != F.col("pb"))
+            .select(
+                F.least("pa", "pb").alias("p1"),
+                F.greatest("pa", "pb").alias("p2"),
+                "key",
+            )
+            # a new×new pair is emitted from BOTH orientations for the
+            # same key; distinct on the (pair, key) triple collapses
+            # that so every shared key counts exactly once
+            .distinct()
+            .groupBy("p1", "p2")
+            .agg(F.count("*").cast("double").alias("cbs"))
+        )

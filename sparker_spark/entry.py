@@ -1136,6 +1136,7 @@ def _register_ext() -> None:
         "er_cnp_cbs_and",
         "smb_wep",
         "text_fingerprint",
+        "er_incremental_delta",
     ):
         QUERIES[tail] = QUERIES.pop(tail)
 

@@ -122,6 +122,7 @@ def r3c_queries() -> dict:
         "split_assign": q_split_assign,
         "dedup_embedding_srp": q_dedup_embedding_srp,
         "quantiles_event_value": q_quantiles_event_value,
+        "er_incremental_delta": q_er_incremental_delta,
     }
 
 
@@ -130,4 +131,38 @@ def r3c_oracles() -> dict:
         "split_assign": _o_split_assign(),
         "dedup_embedding_srp": _o_dedup_embedding_srp(),
         "quantiles_event_value": _o_quantiles_event_value(),
+        "er_incremental_delta": _o_er_incremental_delta(),
     }
+
+
+# ------------------------------------------------- incremental blocking
+# Registered past the grading window (the 50 slots hold each operator's
+# primary query); verified by tools/check_entry.py and the
+# delta-vs-full-re-block tests.
+INC_CAP = 100
+
+
+def q_er_incremental_delta(spark, sf_dir):
+    from sparker_spark.blocking.incremental import IncrementalBlocking
+    from sparker_spark.entry import _doc_keys_unigram
+
+    keys = _doc_keys_unigram(spark, sf_dir)
+    old = keys.where("profile_id % 10 != 0")
+    new = keys.where("profile_id % 10 = 0")
+    return IncrementalBlocking.delta_cbs_edges(old, new, max_block_size=INC_CAP)
+
+
+def _o_er_incremental_delta() -> str:
+    from sparker_spark.entry import DUCK_UNIGRAM_KEYS
+
+    return f"""WITH {DUCK_UNIGRAM_KEYS.strip()},
+sizes AS (SELECT key, count(*) AS bs FROM keys GROUP BY key),
+kept AS (SELECT k.profile_id, k.key FROM keys k JOIN sizes s USING (key)
+         WHERE s.bs <= {INC_CAP}),
+new AS (SELECT * FROM kept WHERE profile_id % 10 = 0)
+SELECT least(n.profile_id, a.profile_id) AS p1,
+       greatest(n.profile_id, a.profile_id) AS p2,
+       CAST(count(DISTINCT n.key) AS DOUBLE) AS cbs
+FROM new n JOIN kept a USING (key)
+WHERE n.profile_id <> a.profile_id
+GROUP BY 1, 2"""
