@@ -82,14 +82,30 @@ class EdgeContext:
 class EdgeWeighting:
     @staticmethod
     def co_occurrence(
-        blocks: BlockCollection, use_entropy: bool = False
+        blocks: BlockCollection,
+        use_entropy: bool = False,
+        num_blocks: int | None = None,
     ) -> DataFrame:
         """Directed co-occurrence pairs with shared-block aggregates:
         (src, dst, cbs[, entropy_sum]).
 
         Dirty ER compares everything in a block; clean-clean only
         across sources (pruning_utils.py:29-53 get_all_neighbors).
+
+        ``num_blocks``: caller-supplied count of surviving blocks (an
+        optimizer hint, not a semantic knob). When the collection has
+        <= 63 blocks — the post-purge/filter mega-block regime, where
+        every block is near-universal and the pair aggregate is the
+        bottleneck — the bitmask plan below replaces the shuffle+agg
+        entirely.
         """
+        if (
+            num_blocks is not None
+            and num_blocks <= 63
+            and not use_entropy
+            and not blocks.clean
+        ):
+            return EdgeWeighting._co_occurrence_bitmask(blocks)
         a = blocks.assignments.select(
             F.col("block_id").alias("bid"),
             F.col("profile_id").alias("src"),
@@ -183,6 +199,109 @@ class EdgeWeighting:
         return directed.unionByName(loops)
 
     @staticmethod
+    def _co_occurrence_bitmask(blocks: BlockCollection) -> DataFrame:
+        """Mega-block fast path: <= 63 surviving blocks (dirty ER, no
+        entropy) — block membership per profile fits ONE long bitmask
+        (63, not 64: bit 63 of a signed long is the sign bit and
+        1 << 63 is not a representable positive literal).
+
+        The general plan must shuffle the Σ size² enumeration on the
+        pair key and hash-aggregate it to count shared blocks; with
+        masks, cbs(p, q) = bit_count(m_p & m_q) is computable on any
+        single enumerated row, so each pair is emitted exactly ONCE —
+        from its lowest shared block (bid's bit == lowest set bit of
+        m_p & m_q, a pure codegen filter) — and the exchange + hash
+        aggregate vanish from the plan. Output is identical to the
+        general path (directed relation incl. dirty self-loops, which
+        are just (p, p, bit_count(m_p))). The 64-row block-id
+        collect is a bounded driver scalar, same class as the purge
+        histogram.
+        """
+        ids = [r[0] for r in blocks.meta.select("block_id").collect()]
+        bit_map = F.create_map(
+            *[
+                F.lit(v)
+                for bid, i in ((bid, i) for i, bid in enumerate(ids))
+                for v in (bid, 1 << i)
+            ]
+        )
+        asg = blocks.assignments.select(
+            F.col("block_id").alias("bid"), F.col("profile_id").alias("pid")
+        ).withColumn("bit", bit_map[F.col("bid")])
+        masks = asg.groupBy("pid").agg(
+            F.expr("bit_or(bit)").alias("mask")
+        )
+
+        # Two enumeration strategies, chosen by measured work, both
+        # bounded driver scalars:
+        #   block-join: Σ size(b)² enumerated rows, one survivor per
+        #     pair (lowest-shared-block filter);
+        #   mask nested-loop: n²/2 candidate rows over the n-row mask
+        #     relation.
+        # Near-universal blocks make Σ size² ≈ B·n² — up to B× the
+        # nested loop's work for the SAME Θ(n²) output, so when n² is
+        # smaller the quadratic loop IS the cheaper plan (it is
+        # output-optimal: this regime's co-occurrence relation is
+        # itself quadratic). Everywhere else the block-join wins by
+        # orders of magnitude and remains the scale-out plan.
+        stats = blocks.meta.agg(
+            F.sum(F.col("block_size") * F.col("block_size")).alias("ss"),
+            F.sum("block_size").alias("s"),
+        ).first()
+        sum_sq = stats["ss"] or 0
+        n_profiles = masks.count()
+        if n_profiles * n_profiles < sum_sq:
+            masks = masks.localCheckpoint(eager=True)  # consumed 3×
+            a_m = masks.select(
+                F.col("pid").alias("src"), F.col("mask").alias("m1")
+            )
+            b_m = masks.select(
+                F.col("pid").alias("dst"), F.col("mask").alias("m2")
+            )
+            half = (
+                a_m.crossJoin(b_m)
+                .where(
+                    (F.col("src") < F.col("dst"))
+                    & (F.expr("m1 & m2") != 0)
+                )
+                .select(
+                    "src",
+                    "dst",
+                    F.expr("bit_count(m1 & m2)").cast("double").alias("cbs"),
+                )
+            )
+        else:
+            am = asg.join(masks, "pid").select(
+                "bid", F.col("pid").alias("src"), F.col("bit").alias("bit"),
+                F.col("mask").alias("m1"),
+            )
+            bm = asg.join(masks, "pid").select(
+                "bid", F.col("pid").alias("dst"), F.col("mask").alias("m2")
+            )
+            half = (
+                am.join(bm, "bid")
+                .where(
+                    (F.col("src") < F.col("dst"))
+                    # emit once: only from the lowest shared block
+                    & (F.expr("(m1 & m2) & -(m1 & m2)") == F.col("bit"))
+                )
+                .select(
+                    "src",
+                    "dst",
+                    F.expr("bit_count(m1 & m2)").cast("double").alias("cbs"),
+                )
+            )
+        mirrored = half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cbs"
+        )
+        loops = masks.select(
+            F.col("pid").alias("src"),
+            F.col("pid").alias("dst"),
+            F.expr("bit_count(mask)").cast("double").alias("cbs"),
+        )
+        return half.unionByName(mirrored).unionByName(loops)
+
+    @staticmethod
     def arcs_log_denominator(blocks: BlockCollection) -> DataFrame:
         """Per-profile Σ ln(comparisons) over the profile's surviving
         blocks — the log of the reference's ARCS denominator."""
@@ -215,8 +334,8 @@ class EdgeWeighting:
         if weight_type not in WeightTypes.ALL:
             raise ValueError(f"invalid weight type: {weight_type}")
 
-        co = EdgeWeighting.co_occurrence(blocks, use_entropy)
         num_blocks = blocks.meta.count()  # len(block_index)
+        co = EdgeWeighting.co_occurrence(blocks, use_entropy, num_blocks)
 
         sizes = EdgeWeighting.profile_num_blocks(profile_blocks_filtered)
         src_sz = sizes.select(
@@ -353,8 +472,10 @@ class EdgeWeighting:
         # co feeds the edge join, the EJS stats aggregate and the
         # distinct-edge count — checkpoint once (same reasoning as the
         # EJS branch of weighted_edges)
-        co = EdgeWeighting.co_occurrence(blocks).localCheckpoint(eager=True)
         num_blocks = blocks.meta.count()
+        co = EdgeWeighting.co_occurrence(
+            blocks, num_blocks=num_blocks
+        ).localCheckpoint(eager=True)
         B = F.lit(float(num_blocks))
 
         sizes = EdgeWeighting.profile_num_blocks(profile_blocks_filtered)

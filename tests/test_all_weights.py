@@ -73,3 +73,57 @@ def test_all_weights_arcs_matches_log_domain(graph):
         & (F.abs(F.log("arcs") - F.col("log_arcs")) > 1e-6)
     ).count()
     assert bad == 0
+
+
+def test_bitmask_fast_path_equals_general(spark, sf_dir):
+    """<=63-block dirty collections route co_occurrence through the
+    bitmask plan; its directed relation (incl. self-loops) must equal
+    the general shuffle+agg plan row for row."""
+    from sparker_spark.blocking.blockers import Blocking
+    from sparker_spark.entry import _doc_keys_unigram
+
+    keys = _doc_keys_unigram(spark, sf_dir)
+    blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=False)
+    nb = blocks.meta.count()
+    assert nb <= 63, "fixture regime must be mega-block"
+    fast = {
+        (r["src"], r["dst"]): r["cbs"]
+        for r in EdgeWeighting.co_occurrence(blocks, num_blocks=nb).collect()
+    }
+    general = {
+        (r["src"], r["dst"]): r["cbs"]
+        for r in EdgeWeighting.co_occurrence(blocks).collect()
+    }
+    assert fast == general
+    assert any(s == d for s, d in fast)  # self-loops present
+
+
+def test_bitmask_blockjoin_tier_sparse_blocks(spark):
+    """Sparse <=63-block fixture (n² > Σ size²) exercises the
+    block-join tier of the bitmask path; must equal the general plan."""
+    from sparker_spark.blocking.blockers import Blocking
+
+    rows = []
+    for b in range(40):  # 40 blocks of size 2-3, 100 profiles
+        for p in range(b % 3 + 2):
+            rows.append((((b * 7) + p * 13) % 100, 0, f"k{b}"))
+    keys = spark.createDataFrame(
+        rows, "profile_id long, source_id int, key string"
+    ).distinct()
+    blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=False)
+    nb = blocks.meta.count()
+    assert nb <= 63
+    n = keys.select("profile_id").distinct().count()
+    ss = sum(
+        r["block_size"] ** 2 for r in blocks.meta.select("block_size").collect()
+    )
+    assert n * n > ss, "fixture must route to the block-join tier"
+    fast = {
+        (r["src"], r["dst"]): r["cbs"]
+        for r in EdgeWeighting.co_occurrence(blocks, num_blocks=nb).collect()
+    }
+    general = {
+        (r["src"], r["dst"]): r["cbs"]
+        for r in EdgeWeighting.co_occurrence(blocks).collect()
+    }
+    assert fast == general
