@@ -40,6 +40,10 @@ HEADLINE = [
     "rollup_day",
     "countmin_users",
     "bm25_search",
+    "split_assign",
+    "dedup_embedding_srp",
+    "quantiles_event_value",
+    "er_incremental_delta",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5ish",

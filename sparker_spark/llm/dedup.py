@@ -332,7 +332,12 @@ class Dedup:
         no UDF, no broadcast state.
         """
         assert bits % bands == 0
-        dim = len(embeddings.select("embedding").first()["embedding"])
+        head = embeddings.select("embedding").first()
+        if head is None:  # empty corpus: no pairs
+            return embeddings.sparkSession.createDataFrame(
+                [], "p1 long, p2 long, cosine double"
+            )
+        dim = len(head["embedding"])
         planes = Dedup.srp_hyperplanes(dim, bits, seed)
         rows = bits // bands
 

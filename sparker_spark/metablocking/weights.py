@@ -101,7 +101,8 @@ class EdgeWeighting:
         """
         if (
             num_blocks is not None
-            and num_blocks <= 63
+            and 0 < num_blocks <= 63  # 0 blocks: general path (an empty
+            # create_map is not a valid literal)
             and not use_entropy
             and not blocks.clean
         ):

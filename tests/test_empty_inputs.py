@@ -89,3 +89,47 @@ def test_empty_text_and_ann(spark):
     assert TextAnalysis.token_stats(docs).count() == 0
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert SimilaritySearch.topk_cosine(emb, k=3).count() == 0
+
+
+def test_empty_round3_operators(spark):
+    """Round-3 additions: splits, SRP LSH, quantiles, range join,
+    count-min, rollup, incremental delta on zero rows."""
+    from sparker_spark.blocking.incremental import IncrementalBlocking
+    from sparker_spark.llm.dedup import Dedup
+    from sparker_spark.llm.sampling import Sampling
+    from sparker_spark.rangejoin import RangeJoin
+    from sparker_spark.rollup import RollupCascade
+    from sparker_spark.sketches import CountMinSketch
+    from sparker_spark.stats import GroupStats
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    keys = spark.createDataFrame([], "profile_id long, key string")
+
+    assert Sampling.split(docs, "doc_id", {"a": 0.5, "b": 0.5}).count() == 0
+    assert Sampling.sample(docs, "doc_id", 0.3).count() == 0
+    assert Dedup.embedding_srp_pairs(emb, bits=8, bands=2).count() == 0
+    assert GroupStats.quantiles(ev, ["event_type"], "value", [0.5]).count() == 0
+    assert (
+        RangeJoin.within(
+            ev.select("user_id", F.col("value").alias("val")),
+            ev.select("user_id", F.col("value").alias("val")),
+            on="user_id",
+            radius=1.0,
+        ).count()
+        == 0
+    )
+    sk = CountMinSketch.build(ev, "event_type", width=8, depth=2)
+    assert sk.count() == 0
+    assert (
+        CountMinSketch.estimate(
+            sk, ev.select("event_type"), "event_type", width=8, depth=2
+        ).count()
+        == 0
+    )
+    assert RollupCascade.cascade(ev, ["hour", "day"])["day"].count() == 0
+    assert IncrementalBlocking.delta_pairs(keys, keys).count() == 0
+    assert IncrementalBlocking.delta_cbs_edges(keys, keys, max_block_size=5).count() == 0
