@@ -1137,6 +1137,7 @@ def _register_ext() -> None:
         "smb_wep",
         "text_fingerprint",
         "er_incremental_delta",
+        "attr_profile",
     ):
         QUERIES[tail] = QUERIES.pop(tail)
 

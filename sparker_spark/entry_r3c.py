@@ -123,6 +123,7 @@ def r3c_queries() -> dict:
         "dedup_embedding_srp": q_dedup_embedding_srp,
         "quantiles_event_value": q_quantiles_event_value,
         "er_incremental_delta": q_er_incremental_delta,
+        "attr_profile": q_attr_profile,
     }
 
 
@@ -132,6 +133,7 @@ def r3c_oracles() -> dict:
         "dedup_embedding_srp": _o_dedup_embedding_srp(),
         "quantiles_event_value": _o_quantiles_event_value(),
         "er_incremental_delta": _o_er_incremental_delta(),
+        "attr_profile": _o_attr_profile(),
     }
 
 
@@ -166,3 +168,26 @@ SELECT least(n.profile_id, a.profile_id) AS p1,
 FROM new n JOIN kept a USING (key)
 WHERE n.profile_id <> a.profile_id
 GROUP BY 1, 2"""
+
+
+# ------------------------------------------------- attribute profiling
+def q_attr_profile(spark, sf_dir):
+    from sparker_spark.entry_ext import _customer_eav
+    from sparker_spark.profiling import AttributeProfile
+
+    return AttributeProfile.summary(_customer_eav(spark, sf_dir))
+
+
+def _o_attr_profile() -> str:
+    from sparker_spark.entry_ext import DUCK_CUST_EAV
+
+    return f"""WITH {DUCK_CUST_EAV.strip()},
+cleaned AS (SELECT CAST(source_id AS INTEGER) AS source_id, attr, value
+            FROM eav WHERE value IS NOT NULL AND trim(value) <> ''),
+hist AS (SELECT source_id, attr, value, count(*) AS c,
+                sum(length(value)) AS len_sum
+         FROM cleaned GROUP BY 1, 2, 3)
+SELECT source_id, attr, CAST(sum(c) AS BIGINT) AS n_values, count(*) AS n_distinct,
+       round(CAST(sum(len_sum) AS DOUBLE) / sum(c), 6) AS avg_len,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+FROM hist GROUP BY 1, 2"""
