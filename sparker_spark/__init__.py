@@ -43,6 +43,8 @@ from sparker_spark.llm.dedup import Dedup
 from sparker_spark.llm.similarity import IVFIndex, SimilaritySearch
 from sparker_spark.llm.search import TextSearch
 from sparker_spark.llm.text import TextAnalysis
+from sparker_spark.llm.curation import Decontamination, RepetitionStats
+from sparker_spark.llm.sampling import Sampling
 
 __all__ = [
     # reference export list (python/sparker/__init__.py:1-18)
@@ -83,4 +85,7 @@ __all__ = [
     "IVFIndex",
     "TextAnalysis",
     "TextSearch",
+    "Decontamination",
+    "RepetitionStats",
+    "Sampling",
 ]
