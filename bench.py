@@ -44,6 +44,9 @@ HEADLINE = [
     "dedup_embedding_srp",
     "quantiles_event_value",
     "er_incremental_delta",
+    "decontaminate",
+    "text_repetition",
+    "vocab_topk",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5ish",
