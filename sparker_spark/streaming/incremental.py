@@ -262,6 +262,67 @@ def streaming_near_dup(
     )
 
 
+def streaming_decontaminate(
+    doc_stream: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_eval_ngrams: int = 5_000_000,
+) -> DataFrame:
+    """Stateless stream-static benchmark decontamination: every newly
+    ingested document is checked against a static eval/benchmark set's
+    word-n-gram hashes before it may enter the training corpus (the
+    streaming twin of llm.curation.Decontamination.overlap_ngrams —
+    same shingles, same portable 60-bit hashes, value-identical
+    output columns).
+
+    The eval set's distinct shingle hashes are computed ONCE at
+    graph-build time (one batch pass) and bound into the plan as an
+    array literal: benchmark suites are small by construction —
+    bounded by ``max_eval_ngrams`` (a guard, not a tuning knob; a set
+    that big belongs in the batch join). Each streamed document then
+    computes its distinct shingle-hash array per row and intersects —
+    no state store, no join, no shuffle; cost scales with input rate
+    only, and the plan is identical on any cluster size. For eval
+    sets beyond the literal bound, run the batch operator inside
+    ``foreachBatch`` instead.
+
+    Output: (doc_id, n_ngrams, n_overlap_ngrams, contaminated),
+    append mode.
+    """
+    from sparker_spark.llm.shingles import shingle_hashes
+
+    eval_hashes = sorted(
+        r["h"]
+        for r in shingle_hashes(
+            eval_docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ),
+            n,
+        )
+        .select("h")
+        .distinct()
+        .collect()
+    )
+    if len(eval_hashes) > max_eval_ngrams:
+        raise ValueError(
+            f"eval set has {len(eval_hashes)} distinct n-grams — beyond the "
+            f"array-literal bound ({max_eval_ngrams}); use the batch "
+            "Decontamination.overlap_ngrams via foreachBatch"
+        )
+    h60, _ = _shingle_hash_arrays(text_col, n)
+    ev = F.lit(eval_hashes).cast("array<bigint>")
+    hashes = F.expr(h60)
+    overlap = F.size(F.array_intersect(hashes, ev))
+    return doc_stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(hashes).cast("long").alias("n_ngrams"),
+        overlap.cast("long").alias("n_overlap_ngrams"),
+        (overlap > 0).alias("contaminated"),
+    )
+
+
 def streaming_sessionize(
     event_stream: DataFrame,
     gap: str = "30 minutes",

@@ -317,3 +317,36 @@ def test_streaming_countmin_equals_batch_sketch(spark, tmp_path):
         for r in CountMinSketch.build(batch_df, "v", width=32, depth=3, seed=9).collect()
     )
     assert streamed == batch
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-static decontamination must reproduce the batch
+    Decontamination.overlap_ngrams output value-for-value on the same
+    train/eval split (same n, shingles, hashes)."""
+    from sparker_spark.llm.curation import Decontamination
+    from sparker_spark.streaming.incremental import streaming_decontaminate
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+        .cache()
+    )
+    ev = docs.where("doc_id % 5 = 0")
+    train = docs.where("doc_id % 5 != 0")
+    src = tmp_path / "train_docs"
+    train.write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = streaming_decontaminate(stream, ev, n=3)
+    _run_stream(out, "decon_stream")
+    got = {
+        (r["doc_id"], r["n_ngrams"], r["n_overlap_ngrams"], r["contaminated"])
+        for r in spark.sql("SELECT * FROM decon_stream").collect()
+    }
+    expected = {
+        (r["doc_id"], r["n_ngrams"], r["n_overlap_ngrams"], r["contaminated"])
+        for r in Decontamination.overlap_ngrams(train, ev, 3).collect()
+    }
+    assert got == expected
+    assert any(c for (_, _, _, c) in got)  # split contains real overlaps
