@@ -47,6 +47,8 @@ HEADLINE = [
     "decontaminate",
     "text_repetition",
     "vocab_topk",
+    "events_json_stats",
+    "corpus_mix",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5ish",

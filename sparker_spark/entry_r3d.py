@@ -168,11 +168,104 @@ ORDER BY cnt DESC, tok ASC
 LIMIT {VOCAB_K}"""
 
 
+# --- events_json_stats: semi-structured JSON property extraction ---
+
+
+def q_events_json_stats(spark, sf_dir):
+    """Per-event-type stats over a JSON property column: the
+    semi-structured path (`props` VARCHAR holding JSON) handled with
+    get_json_object — extraction happens inside whole-stage codegen
+    during the scan, then one hash aggregate. At scale the JSON parse
+    is the per-row cost; nothing here shuffles more than the
+    (event_type)-keyed partials."""
+    from sparker_spark.entry import _load_events
+    from sparker_spark.rounding import rnd
+
+    ev = _load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    dec_sum = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    return ev.select("event_type", k.alias("k"), "value").groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+        rnd(F.sum("k").cast("double") / F.count("*"), 6).alias("avg_k"),
+        rnd(dec_sum, 4).alias("sum_value"),
+    )
+
+
+O_EVENTS_JSON_STATS = """
+WITH e AS (
+  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k, value FROM events)
+SELECT event_type,
+       count(*) AS n_events,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS avg_k,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
+FROM e GROUP BY 1"""
+
+
+# --- corpus_mix: per-source data-mixture report ---------------------
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Per-source corpus composition — the data-mixture report a
+    pretraining run is configured from: document/char/token volume,
+    language spread, and mean quality per source. Mean quality sums
+    the (already 6-decimal) per-doc scores in DECIMAL so the
+    aggregate is exact and engine/partition-order independent."""
+    from sparker_spark.llm.text import TextAnalysis
+    from sparker_spark.rounding import rnd
+
+    docs = _load_docs(spark, sf_dir)
+    q = TextAnalysis.quality_score(docs).select("doc_id", "quality_score")
+    toks = F.size(F.split(F.lower(F.col("text")), "\\s+")).cast("long")
+    return (
+        docs.select("doc_id", "source", "lang", "n_chars", toks.alias("n_toks"))
+        .join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_toks").alias("total_tokens_ws"),
+            F.count_distinct("lang").alias("n_langs"),
+            rnd(
+                F.sum(F.col("quality_score").cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_quality"),
+        )
+    )
+
+
+def _o_corpus_mix() -> str:
+    from sparker_spark.entry import _o_text_quality
+
+    return f"""
+WITH q AS ({_o_text_quality()})
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(regexp_split_to_array(lower(text), '\\s+'))) AS BIGINT)
+         AS total_tokens_ws,
+       count(DISTINCT lang) AS n_langs,
+       round(CAST(sum(CAST(quality_score AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*), 6) AS mean_quality
+FROM documents d JOIN q USING (doc_id)
+GROUP BY source"""
+
+
 def r3d_queries() -> dict:
     return {
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "vocab_topk": q_vocab_topk,
+        "events_json_stats": q_events_json_stats,
+        "corpus_mix": q_corpus_mix,
     }
 
 
@@ -181,4 +274,6 @@ def r3d_oracles() -> dict:
         "decontaminate": _o_decontaminate(),
         "text_repetition": O_TEXT_REPETITION,
         "vocab_topk": O_VOCAB_TOPK,
+        "events_json_stats": O_EVENTS_JSON_STATS,
+        "corpus_mix": _o_corpus_mix(),
     }
