@@ -49,6 +49,7 @@ HEADLINE = [
     "vocab_topk",
     "events_json_stats",
     "corpus_mix",
+    "embedding_bucket_purity",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5ish",

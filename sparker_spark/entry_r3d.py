@@ -259,6 +259,44 @@ FROM documents d JOIN q USING (doc_id)
 GROUP BY source"""
 
 
+# --- embedding_bucket_purity: SRP-bucket label coherence ------------
+
+PURITY_BITS = 12  # 2^12 cells over ~5000 vectors keeps buckets non-trivial
+PURITY_SEED = 1234
+
+
+def q_embedding_bucket_purity(spark, sf_dir):
+    from sparker_spark.entry import load
+    from sparker_spark.llm.similarity import EmbeddingDiagnostics
+
+    emb = load(spark, sf_dir, "embeddings")
+    return EmbeddingDiagnostics.srp_bucket_purity(
+        emb, bits=PURITY_BITS, seed=PURITY_SEED
+    )
+
+
+def _o_embedding_bucket_purity(dim: int = 64) -> str:
+    from sparker_spark.llm.dedup import Dedup
+
+    planes = Dedup.srp_hyperplanes(dim, PURITY_BITS, PURITY_SEED)
+    bit_exprs = ", ".join(
+        "CASE WHEN list_dot_product(emb, [%s]::DOUBLE[]) >= 0 THEN 1 ELSE 0 END"
+        % ", ".join(repr(x) for x in planes[j])
+        for j in range(PURITY_BITS)
+    )
+    return f"""
+WITH v AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+sig AS (SELECT label, concat_ws('_', {bit_exprs}) AS bucket FROM v),
+per_label AS (SELECT bucket, label, count(*) AS n FROM sig GROUP BY 1, 2)
+SELECT bucket,
+       CAST(sum(n) AS BIGINT) AS n_vecs,
+       count(*) AS n_labels,
+       CAST(max(n) AS BIGINT) AS majority_n,
+       round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS purity
+FROM per_label GROUP BY bucket"""
+
+
 def r3d_queries() -> dict:
     return {
         "decontaminate": q_decontaminate,
@@ -266,6 +304,7 @@ def r3d_queries() -> dict:
         "vocab_topk": q_vocab_topk,
         "events_json_stats": q_events_json_stats,
         "corpus_mix": q_corpus_mix,
+        "embedding_bucket_purity": q_embedding_bucket_purity,
     }
 
 
@@ -276,4 +315,5 @@ def r3d_oracles() -> dict:
         "vocab_topk": O_VOCAB_TOPK,
         "events_json_stats": O_EVENTS_JSON_STATS,
         "corpus_mix": _o_corpus_mix(),
+        "embedding_bucket_purity": _o_embedding_bucket_purity(),
     }

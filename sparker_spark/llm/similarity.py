@@ -235,3 +235,64 @@ class IVFIndex:
             .where(F.col("rank") <= F.lit(int(k)))
             .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
         )
+
+
+class EmbeddingDiagnostics:
+    """Embedding-space quality diagnostics over a labeled corpus."""
+
+    @staticmethod
+    def srp_bucket_purity(
+        embeddings: DataFrame,
+        bits: int = 16,
+        seed: int = 1234,
+        label_col: str = "label",
+    ) -> DataFrame:
+        """Label purity of full-signature SRP buckets: vectors sharing
+        all ``bits`` sign bits sit in one Hamming-0 bucket; per bucket
+        report size, distinct labels, the majority label's count and
+        its share. High purity = the embedding space separates the
+        labels at SRP resolution — the standard cheap health check
+        before trusting embeddings for dedup/retrieval at corpus scale.
+
+        One codegen signature pass + two hash aggregates keyed by
+        (bucket[, label]) — no joins, no windows; integers + one
+        per-row division, so the output is exactly reproducible by any
+        engine (DuckDB oracle in entry_r3d). Hyperplanes are the same
+        seeded family as Dedup.embedding_srp_pairs.
+        """
+        from sparker_spark.llm.dedup import Dedup
+
+        head = embeddings.select("embedding").first()
+        if head is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], "bucket string, n_vecs long, n_labels long,"
+                " majority_n long, purity double"
+            )
+        dim = len(head["embedding"])
+        planes = Dedup.srp_hyperplanes(dim, bits, seed)
+
+        v = embeddings.select(
+            F.col(label_col).alias("label"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+
+        def bit(j: int):
+            plane = F.array(*[F.lit(x) for x in planes[j]])
+            dot = F.aggregate(
+                F.zip_with(F.col("emb"), plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+        sig = v.select(
+            "label",
+            F.concat_ws("_", *[bit(j) for j in range(bits)]).alias("bucket"),
+        )
+        per_label = sig.groupBy("bucket", "label").agg(F.count("*").alias("n"))
+        return per_label.groupBy("bucket").agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.count("*").cast("long").alias("n_labels"),
+            F.max("n").cast("long").alias("majority_n"),
+            rnd(F.max("n") / F.sum("n"), 6).alias("purity"),
+        )

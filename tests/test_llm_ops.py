@@ -222,3 +222,32 @@ def test_quality_monotone(docs):
         assert 0.0 <= r["quality_score"] <= 1.0
     # doc with stopwords + alpha tokens scores above the 2-word fragment
     assert out[0]["quality_score"] > out[4]["quality_score"]
+
+
+def test_srp_bucket_purity(spark):
+    from sparker_spark.llm.similarity import EmbeddingDiagnostics
+
+    # two orthogonal directions -> with 2 SRP bits the +x/-x and +y/-y
+    # groups land in distinct sign buckets; purity is exact per fixture
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.8, -0.1], 1),  # minority label in the +x bucket region
+        (3, [-1.0, 0.0], 1),
+        (4, [-0.9, -0.2], 1),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = EmbeddingDiagnostics.srp_bucket_purity(emb, bits=2, seed=1234)
+    rows_out = out.collect()
+    assert sum(r["n_vecs"] for r in rows_out) == 5
+    for r in rows_out:
+        assert r["majority_n"] <= r["n_vecs"]
+        assert abs(r["purity"] - round(r["majority_n"] / r["n_vecs"], 6)) < 1e-9
+        assert r["n_labels"] >= 1
+
+
+def test_srp_bucket_purity_empty(spark):
+    from sparker_spark.llm.similarity import EmbeddingDiagnostics
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>, label int")
+    assert EmbeddingDiagnostics.srp_bucket_purity(emb).count() == 0
