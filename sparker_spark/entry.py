@@ -1063,6 +1063,7 @@ def build_oracles() -> dict[str, str]:
     from sparker_spark.entry_r3b import r3b_oracles
     from sparker_spark.entry_r3c import r3c_oracles
     from sparker_spark.entry_r3d import r3d_oracles
+    from sparker_spark.entry_r3e import r3e_oracles
 
     oracles.update(ext_oracles())
     oracles.update(r2_oracles())
@@ -1070,6 +1071,7 @@ def build_oracles() -> dict[str, str]:
     oracles.update(r3b_oracles())
     oracles.update(r3c_oracles())
     oracles.update(r3d_oracles())
+    oracles.update(r3e_oracles())
     # native round() differs between engines at exact .5 boundaries —
     # rewrite every round() into the deterministic floor formula that
     # the Spark side (sparker_spark.rounding.rnd) uses
@@ -1083,6 +1085,7 @@ def _register_ext() -> None:
     from sparker_spark.entry_r3b import r3b_queries
     from sparker_spark.entry_r3c import r3c_queries
     from sparker_spark.entry_r3d import r3d_queries
+    from sparker_spark.entry_r3e import r3e_queries
 
     QUERIES.update(ext_queries())
     QUERIES.update(r2_queries())
@@ -1093,6 +1096,7 @@ def _register_ext() -> None:
     # past the 50-entry grading window (positions 51+) without moving
     # any in-window query; local oracle evidence in TAIL_CHECKS.md
     QUERIES.update(r3d_queries())
+    QUERIES.update(r3e_queries())
     # The driver grades only the first 50 registry entries. Push the
     # queries whose operators are redundantly covered to the tail so
     # every operator's *sole* oracle query stays inside the window:

@@ -1,0 +1,216 @@
+"""Round-3 graded-query additions (fifth batch): event-analytics and
+corpus-quality operators.
+
+  * ``funnel_conversion`` — strict-order multi-step funnel over the
+    events stream (funnel.py): per-step user counts where each step
+    must occur strictly after the user's previous step time.
+  * ``retention_cohorts`` — day-cohort retention matrix (funnel.py):
+    users cohorted by first-event date, distinct-active counts per
+    (cohort_day, day_offset).
+  * ``hll_users`` — engine-portable HyperLogLog distinct-user sketch
+    per event_type (sketches.py HyperLogLog): md5-derived bucket/rho,
+    integer-exact harmonic sum, bit-identical estimates across
+    engines; reported next to the exact distinct count.
+  * ``quality_quantile`` — per-language exact-quantile quality floor
+    (llm/curation.py QualityFilter): keep documents at or above the
+    language's ceil(0.25·n)-th smallest blended quality score.
+  * ``tfidf_top_terms`` — per-document top-3 tf·idf terms
+    (llm/text.py): two hash aggregates + broadcast count + per-doc
+    window top-k, ranked on the rounded score for engine-stable ties.
+
+The reference has no counterpart for any of these (its surface stops
+at ER), so the DuckDB oracle SQL below is the ground-truth definition.
+"""
+
+from __future__ import annotations
+
+from sparker_spark.llm.text import LANG_STOPWORDS
+
+FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
+HLL_P = 10
+QQ_FRAC = 0.25
+TFIDF_K = 3
+
+
+# ------------------------------------------------------------- funnel
+def q_funnel_conversion(spark, sf_dir):
+    from sparker_spark.entry import _load_events
+    from sparker_spark.funnel import Funnel
+
+    return Funnel.conversion(_load_events(spark, sf_dir), FUNNEL_STEPS)
+
+
+def _o_funnel() -> str:
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM events"
+        f" WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id)"
+    ]
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+            f" JOIN s{i - 1} p ON e.user_id = p.user_id AND e.ts > p.t"
+            f" WHERE e.event_type = '{step}' GROUP BY e.user_id)"
+        )
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INTEGER) AS step, '{s}' AS step_name,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM s{i + 1}) AS n_users"
+        for i, s in enumerate(FUNNEL_STEPS)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+# ---------------------------------------------------------- retention
+def q_retention_cohorts(spark, sf_dir):
+    from sparker_spark.entry import _load_events
+    from sparker_spark.funnel import Retention
+
+    return Retention.cohorts(_load_events(spark, sf_dir))
+
+
+O_RETENTION = """
+WITH first AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', cohort_day, day) AS INTEGER) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2"""
+
+
+# -------------------------------------------------------- HLL sketch
+def q_hll_users(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sparker_spark.entry import _load_events
+    from sparker_spark.rounding import rnd
+    from sparker_spark.sketches import HyperLogLog
+
+    ev = _load_events(spark, sf_dir)
+    regs = HyperLogLog.registers(ev, "user_id", ("event_type",), p=HLL_P)
+    est = HyperLogLog.estimate(regs, ("event_type",), p=HLL_P)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_registers",
+        rnd("hll_estimate", 4).alias("hll_estimate"),
+        "n_exact",
+        rnd(
+            F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )
+
+
+def _o_hll_users() -> str:
+    from sparker_spark.sketches import HyperLogLog
+
+    hll = HyperLogLog.duck_sql("events", "user_id", ("event_type",), p=HLL_P)
+    return f"""
+WITH hll AS ({hll}),
+ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       FROM events GROUP BY event_type)
+SELECT h.event_type, h.n_registers,
+       round(h.hll_estimate, 4) AS hll_estimate,
+       ex.n_exact,
+       round(abs(h.hll_estimate - ex.n_exact) / ex.n_exact, 6) AS rel_err
+FROM hll h JOIN ex USING (event_type)"""
+
+
+# ------------------------------------------------- quality quantile
+def q_quality_quantile(spark, sf_dir):
+    from sparker_spark.entry import load
+    from sparker_spark.llm.curation import QualityFilter
+
+    return QualityFilter.quantile_cutoff(
+        load(spark, sf_dir, "documents"), frac=QQ_FRAC, group_col="lang"
+    )
+
+
+def _o_quality_quantile() -> str:
+    stop_list = ",".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(lower(text), '\\s+') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_filter(toks, x -> list_contains([{stop_list}], x))) AS DOUBLE) AS n_stop,
+         CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) AS n_alpha,
+         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM t),
+scores AS (
+  SELECT doc_id, lang,
+         round(0.3 * (n_alpha / n)
+             + 0.3 * least(n_chars / 500.0, 1.0)
+             + 0.2 * (n_stop / n)
+             + 0.2 * (1.0 - least(n_punct / n_chars * 5.0, 1.0)), 6) AS quality_score
+  FROM m),
+ranked AS (
+  SELECT *, row_number() OVER
+            (PARTITION BY lang ORDER BY quality_score, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scores),
+cutoffs AS (
+  SELECT lang, quality_score AS cutoff FROM ranked
+  WHERE rk = CAST(ceil({QQ_FRAC} * n) AS BIGINT))
+SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
+       s.quality_score >= c.cutoff AS kept
+FROM scores s JOIN cutoffs c USING (lang)"""
+
+
+# ------------------------------------------------------ tf-idf top-k
+def q_tfidf_top_terms(spark, sf_dir):
+    from sparker_spark.entry import load
+    from sparker_spark.llm.text import TextAnalysis
+
+    return TextAnalysis.tfidf_top_terms(
+        load(spark, sf_dir, "documents"), k=TFIDF_K
+    )
+
+
+O_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> len(t) > 0)) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER
+            (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+FROM ranked WHERE rank <= {TFIDF_K}"""
+
+
+def r3e_queries() -> dict:
+    return {
+        "funnel_conversion": q_funnel_conversion,
+        "retention_cohorts": q_retention_cohorts,
+        "hll_users": q_hll_users,
+        "quality_quantile": q_quality_quantile,
+        "tfidf_top_terms": q_tfidf_top_terms,
+    }
+
+
+def r3e_oracles() -> dict:
+    return {
+        "funnel_conversion": _o_funnel(),
+        "retention_cohorts": O_RETENTION,
+        "hll_users": _o_hll_users(),
+        "quality_quantile": _o_quality_quantile(),
+        "tfidf_top_terms": O_TFIDF,
+    }

@@ -1,0 +1,124 @@
+"""Ordered-step funnel analysis and cohort retention over an event
+stream — classic event-analytics operators the reference has no
+counterpart for (its surface stops at ER; SURVEY §2.11 notes the
+events extension surface), expressed as pure DataFrame plans.
+
+Scale posture (100 TB events):
+
+* ``Funnel.step_times`` scans the events relation once per step, but
+  each scan carries an ``event_type = <step>`` predicate that reaches
+  the parquet scan (PushedFilters), so each pass reads only that
+  step's row group subset. The per-user step-time relations shrink
+  monotonically (users reaching step k+1 ⊆ step k), so after the
+  first shuffle-by-user every later join is AQE-broadcastable in
+  typical funnels. No driver state, no windows over the full stream.
+* ``Retention.cohorts`` is two hash aggregates (per-user min, then
+  distinct (user, day)) plus one shuffle join on user_id — the same
+  shape at any scale; output is bounded by days², not by events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class Funnel:
+    @staticmethod
+    def step_times(
+        events: DataFrame,
+        steps: list[str],
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+    ) -> DataFrame:
+        """Per-user strict-order funnel times: one row per user who
+        completed step 1, with ``t1..tk`` = the earliest timestamp of
+        each step occurring STRICTLY AFTER the previous step's time
+        (NULL once the chain breaks). Strict ``>`` makes same-instant
+        events non-qualifying — deterministic regardless of row
+        order."""
+        assert steps, "need at least one funnel step"
+        cur = (
+            events.where(F.col(type_col) == steps[0])
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("t1"))
+        )
+        for i, step in enumerate(steps[1:], start=2):
+            prev = f"t{i - 1}"
+            nxt = (
+                events.where(F.col(type_col) == step)
+                .join(cur.select(user_col, prev), user_col)
+                .where(F.col(ts_col) > F.col(prev))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias(f"t{i}"))
+            )
+            cur = cur.join(nxt, user_col, "left")
+        return cur
+
+    @staticmethod
+    def conversion(
+        events: DataFrame,
+        steps: list[str],
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+    ) -> DataFrame:
+        """Funnel conversion report: one row per step with the number
+        of users reaching it (in strict order) — ``(step, step_name,
+        n_users)``, monotonically non-increasing in ``step``."""
+        st = Funnel.step_times(events, steps, user_col, ts_col, type_col)
+        counts = st.agg(
+            *[F.count(f"t{i + 1}").alias(f"n{i + 1}") for i in range(len(steps))]
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(i + 1).alias("step"),
+                    F.lit(s).alias("step_name"),
+                    F.col(f"n{i + 1}").alias("n_users"),
+                )
+                for i, s in enumerate(steps)
+            ]
+        )
+        return (
+            counts.select(F.explode(pairs).alias("r"))
+            .select("r.step", "r.step_name", "r.n_users")
+        )
+
+
+class Retention:
+    @staticmethod
+    def cohorts(
+        events: DataFrame,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+    ) -> DataFrame:
+        """Day-cohort retention matrix: users are cohorted by the DATE
+        of their first event; for every (cohort_day, day_offset) the
+        count of cohort users active that day. ``day_offset`` 0 row
+        equals cohort size. Output: ``(cohort_day DATE, day_offset INT,
+        n_users LONG)``."""
+        first = events.groupBy(user_col).agg(
+            F.to_date(F.min(ts_col)).alias("cohort_day")
+        )
+        active = events.select(
+            user_col, F.to_date(ts_col).alias("day")
+        ).distinct()
+        return (
+            active.join(first, user_col)
+            .select(
+                "cohort_day",
+                F.datediff("day", "cohort_day").alias("day_offset"),
+                user_col,
+            )
+            .groupBy("cohort_day", "day_offset")
+            .agg(F.count("*").cast("long").alias("n_users"))
+            # ISO string: DATE round-trips through pandas differently
+            # per engine (datetime64 vs date), breaking value hashes
+            .select(
+                F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+                "day_offset",
+                "n_users",
+            )
+        )

@@ -85,6 +85,100 @@ class Decontamination:
         )
 
 
+class QualityFilter:
+    @staticmethod
+    def quantile_cutoff(
+        documents: DataFrame,
+        frac: float = 0.25,
+        group_col: str = "lang",
+    ) -> DataFrame:
+        """Per-group quality floor: keep documents whose quality score
+        (TextAnalysis.quality_score blend) is >= the group's exact
+        ``frac``-quantile, defined as the ceil(frac·n)-th smallest
+        score — a VALUE cutoff, so tie handling is deterministic and
+        engine-independent. Output ``(doc_id, group, quality_score,
+        cutoff, kept)`` for every document.
+
+        Plan: score pass (pure column exprs) -> per-group window rank
+        to locate the k-th smallest -> broadcast the |groups|-row
+        cutoff relation back. Nothing is driver-resident; the window
+        partitions by group over (score, doc_id) — at 100 TB a single
+        group's sort is a range-partitioned sort, not a single-task
+        sort, because only rank k is needed (Spark executes the window
+        partition-parallel per group; with few giant groups, swap in
+        the exact distributed quantile from stats.py which avoids the
+        full sort entirely — this formulation is the oracle-exact
+        definition)."""
+        from pyspark.sql import Window
+
+        from sparker_spark.llm.text import TextAnalysis
+
+        scores = TextAnalysis.quality_score(documents).select(
+            "doc_id", "quality_score"
+        ).join(documents.select("doc_id", group_col), "doc_id")
+        w = Window.partitionBy(group_col).orderBy("quality_score", "doc_id")
+        ranked = scores.withColumn("rk", F.row_number().over(w)).withColumn(
+            "n", F.count("*").over(Window.partitionBy(group_col))
+        )
+        cutoffs = (
+            ranked.where(F.col("rk") == F.ceil(F.lit(float(frac)) * F.col("n")))
+            .select(group_col, F.col("quality_score").alias("cutoff"))
+        )
+        return (
+            scores.join(F.broadcast(cutoffs), group_col)
+            .select(
+                "doc_id",
+                group_col,
+                "quality_score",
+                "cutoff",
+                (F.col("quality_score") >= F.col("cutoff")).alias("kept"),
+            )
+        )
+
+
+# PII patterns: each is valid under BOTH Java regex (Spark) and RE2
+# (DuckDB) — no lookarounds, no backreferences — so redaction counts
+# are oracle-checkable. Order matters: IPs redact before phones so a
+# dotted quad is never half-eaten as a digit run.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\[\]. -]{6,}[0-9]", "<PHONE>"),
+]
+
+
+class Redaction:
+    @staticmethod
+    def redact_pii(
+        documents: DataFrame, text_col: str = "text"
+    ) -> DataFrame:
+        """PII scrub for pretraining corpora: replaces emails, IPv4
+        addresses and phone-number-shaped digit runs with typed
+        placeholder tokens, and reports per-document match counts.
+        Pure regexp_replace/regexp_count column expressions — JVM-side
+        codegen, one scan, no UDFs — so the scrub runs at full scan
+        speed on any corpus size. Adds ``redacted_text`` plus one
+        ``n_<kind>`` count per pattern.
+
+        The synthetic test corpus contains no PII (letters-only text),
+        so correctness is established by fixture unit tests
+        (tests/test_curation.py) rather than a corpus-level oracle
+        query."""
+        # counts run against the PROGRESSIVELY redacted text (an IPv4
+        # also matches the phone digit-run shape; redacting it first
+        # means it is counted once, as an IP)
+        cur = F.col(text_col)
+        counts = []
+        for kind, pat, token in PII_PATTERNS:
+            counts.append(
+                F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{kind}")
+            )
+            cur = F.regexp_replace(cur, pat, token)
+        return documents.select(
+            "*", *counts, cur.alias("redacted_text")
+        )
+
+
 class RepetitionStats:
     @staticmethod
     def line_stats(documents: DataFrame) -> DataFrame:

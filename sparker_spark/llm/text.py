@@ -124,6 +124,53 @@ class TextAnalysis:
         )
 
     @staticmethod
+    def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+        """Per-document top-k terms by tf·idf (tf = in-doc count,
+        idf = ln(N/df)), rank ties broken by term ascending. The rank
+        is computed over the ROUNDED score so both engines order
+        identically even when mathematically-equal scores arrive via
+        different ln() call trees. Plan: explode -> two hash aggregates
+        (term counts per doc; doc frequency per term) -> window top-k
+        per doc. N is a driver-collected scalar (one column-pruned
+        count job — the repo's documented driver-scalar pattern, fine
+        at any scale). The df relation is |vocabulary| rows — orders of
+        magnitude smaller than the corpus — and the window partitions
+        by doc_id, so nothing concentrates on one key at scale."""
+        from pyspark.sql import Window
+
+        toks = documents.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("term"),
+        ).where(F.length("term") > 0)
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+        n_docs = documents.count()
+        scored = tf.join(df, "term").select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            rnd(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("tfidf"), F.asc("term")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "doc_id",
+                F.col("rank").cast("int").alias("rank"),
+                "term",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"),
+                "tfidf",
+            )
+        )
+
+    @staticmethod
     def fingerprint(documents: DataFrame, shingle_size: int = 3) -> DataFrame:
         """Document fingerprint: min/max word-shingle hash (a 1-hash
         MinHash) — the cheap container for incremental dedup joins."""

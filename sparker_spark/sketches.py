@@ -35,6 +35,15 @@ def _portable_h31(col: str, dialect: str) -> str:
     return f"({hash60(cast, dialect)} % {MERSENNE_31})"
 
 
+def _portable_h60(col: str, dialect: str) -> str:
+    """Engine-portable full 60-bit base hash (string-cast first, as
+    _portable_h31)."""
+    cast = (
+        f"CAST({col} AS STRING)" if dialect == "spark" else f"CAST({col} AS VARCHAR)"
+    )
+    return f"({hash60(cast, dialect)})"
+
+
 def portable_bucket_sql(j_a_b: tuple[int, int], width: int, h31: str = "_h31") -> str:
     """Affine row hash over a pre-reduced 31-bit base hash — valid in
     both Spark SQL and DuckDB (a·x fits in int64 since a, x < 2^31)."""
@@ -51,6 +60,127 @@ def _bucket_col(col: str, j: int, width: int, depth: int, seed: int, portable: b
     coeffs = minhash_coefficients(depth, seed)
     expr = portable_bucket_sql(coeffs[j], width, _portable_h31(col, "spark"))
     return F.expr(expr).cast("long").alias("bucket")
+
+
+class HyperLogLog:
+    """Distributed HyperLogLog distinct-count sketch, engine-portable.
+
+    The register relation is ``(groups..., bucket, r)`` with at most
+    m = 2**p rows per group and EXACT merge semantics — cell-wise max —
+    so per-partition/per-day register sets combine associatively
+    (same reason CountMinSketch scales: one pass, constant-size state).
+
+    Everything is deterministic and expressible in BOTH Spark SQL and
+    DuckDB SQL: the base hash is the shared 60-bit md5 hash
+    (llm/hashing.py), bucket = h mod m, and rho is computed from the
+    remaining 50-bit word via integer bit-length (``length(bin(w))`` in
+    both dialects) — no floating-point log in the hot path. The
+    estimator keeps the harmonic sum EXACT by accumulating the integer
+    numerators ``2^(51-r)`` (sum <= m·2^51 < 2^63) and dividing once,
+    so two engines produce bit-identical estimates. The classic
+    small-range linear-counting correction is deliberately OMITTED
+    (documented spec choice: raw-HLL estimator only) to keep the
+    cross-engine contract exact; expect the usual raw-HLL low-range
+    bias below ~2.5·m distinct values.
+    """
+
+    @staticmethod
+    def _rho_sql(w: str) -> str:
+        # position of the highest set bit of the 50-bit word, counted
+        # from the top (1-based); w = 0 -> 51 (all zeros). Valid in
+        # Spark SQL and DuckDB: both ship bin(BIGINT) -> VARCHAR
+        # without leading zeros.
+        return f"(CASE WHEN {w} = 0 THEN 51 ELSE 51 - length(bin({w})) END)"
+
+    @staticmethod
+    def registers(
+        df: DataFrame,
+        col: str,
+        group_cols: tuple[str, ...] = (),
+        p: int = 10,
+    ) -> DataFrame:
+        """One pass -> register relation (groups..., bucket, r)."""
+        m = 1 << p
+        h = _portable_h60(col, "spark")
+        bucket = f"({h} % {m})"
+        w = f"({h} div {m})"
+        return (
+            df.select(
+                *group_cols,
+                F.expr(bucket).cast("long").alias("bucket"),
+                F.expr(HyperLogLog._rho_sql(w)).cast("int").alias("rho"),
+            )
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").alias("r"))
+        )
+
+    @staticmethod
+    def merge(*register_sets: DataFrame) -> DataFrame:
+        """Cell-wise max — exact, associative, commutative."""
+        out = register_sets[0]
+        for s in register_sets[1:]:
+            out = out.unionByName(s)
+        group_cols = [c for c in out.columns if c not in ("r",)]
+        return out.groupBy(*group_cols).agg(F.max("r").alias("r"))
+
+    @staticmethod
+    def estimate(
+        registers: DataFrame,
+        group_cols: tuple[str, ...] = (),
+        p: int = 10,
+    ) -> DataFrame:
+        """Registers -> (groups..., n_registers, hll_estimate). The
+        harmonic mean is assembled from exact integer numerators; the
+        single final division is the only floating-point step."""
+        m = 1 << p
+        alpha = 0.7213 / (1 + 1.079 / m)
+        # numerator constant alpha * m^2 * 2^51 as one Python double —
+        # both engines then evaluate the identical literal / Z division
+        c = alpha * float(m) * float(m) * float(1 << 51)
+        z_present = F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - r)"))
+        n_regs = F.count("*")
+        return registers.groupBy(*group_cols).agg(
+            n_regs.cast("long").alias("n_registers"),
+            (
+                F.lit(c)
+                / (
+                    z_present
+                    + (F.lit(m) - n_regs) * F.lit(1 << 51)
+                ).cast("double")
+            ).alias("hll_estimate"),
+        )
+
+    @staticmethod
+    def duck_sql(
+        table: str,
+        col: str,
+        group_cols: tuple[str, ...] = (),
+        p: int = 10,
+    ) -> str:
+        """The DuckDB oracle replay of registers() + estimate()."""
+        m = 1 << p
+        alpha = 0.7213 / (1 + 1.079 / m)
+        c = alpha * float(m) * float(m) * float(1 << 51)
+        h = _portable_h60(col, "duck")
+        gsel = "".join(f"{g}, " for g in group_cols)
+        gby = f"GROUP BY {', '.join(group_cols)}" if group_cols else ""
+        gby_regs = (
+            f"GROUP BY {', '.join(group_cols)}, bucket"
+            if group_cols
+            else "GROUP BY bucket"
+        )
+        rho = HyperLogLog._rho_sql(f"({h} // {m})")
+        return f"""
+WITH cells AS (
+  SELECT {gsel}({h} % {m}) AS bucket, {rho} AS rho
+  FROM {table}),
+regs AS (
+  SELECT {gsel}bucket, max(rho) AS r FROM cells {gby_regs})
+SELECT {gsel}CAST(count(*) AS BIGINT) AS n_registers,
+       {c!r} / CAST(sum((1::BIGINT << (51 - r)))
+                    + ({m} - count(*)) * (1::BIGINT << 51) AS DOUBLE)
+         AS hll_estimate
+FROM regs {gby}"""
 
 
 class CountMinSketch:

@@ -86,3 +86,82 @@ def test_ngram_stats(spark):
     assert out[1]["top_ngram_frac"] == round(1 / 3, 6)
     assert out[1]["dup_ngram_frac"] == 0.0
     assert out[2]["n_ngrams"] == 0 and out[2]["top_ngram_frac"] == 0.0
+
+
+def test_quality_quantile_cutoff(spark):
+    from sparker_spark.llm.curation import QualityFilter
+
+    # 8 docs in one lang with strictly increasing quality (longer text
+    # with more stopwords scores higher); frac=0.25 -> cutoff is the
+    # 2nd smallest score, so exactly one doc is dropped
+    rows = [
+        (i, "the a of and to in is that it for word " * (i + 1), "en")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = QualityFilter.quantile_cutoff(docs, frac=0.25, group_col="lang")
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 8
+    dropped = [d for d, r in got.items() if not r["kept"]]
+    scores = {d: r["quality_score"] for d, r in got.items()}
+    cutoff = got[0]["cutoff"]
+    # value-based rule: kept iff score >= cutoff (the 2nd smallest)
+    assert cutoff == sorted(scores.values())[1]
+    assert dropped == [min(scores, key=scores.get)]
+
+
+def test_quality_quantile_per_group(spark):
+    from sparker_spark.llm.curation import QualityFilter
+
+    # two langs with different score ranges -> independent cutoffs
+    rows = [(i, "the a of and " * (i + 1), "en") for i in range(4)] + [
+        (10 + i, "zz qq " * (i + 1), "de") for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = QualityFilter.quantile_cutoff(docs, frac=0.25, group_col="lang")
+    cuts = {r["lang"]: r["cutoff"] for r in out.collect()}
+    assert len(cuts) == 2 and cuts["en"] != cuts["de"]
+
+
+def test_redact_pii(spark):
+    from sparker_spark.llm.curation import Redaction
+
+    rows = [
+        (0, "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567 now"),
+        (1, "server at 192.168.0.1 and 10.0.0.255 rebooted"),
+        (2, "no pii here at all"),
+        (3, "a@b.io mailed c.d@e-f.org twice"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in Redaction.redact_pii(docs).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1
+    assert out[0]["redacted_text"] == "contact <EMAIL> or call <PHONE> now"
+    # IPs are redacted as IPs, never half-eaten as phone digit runs
+    assert out[1]["n_ip"] == 2 and out[1]["n_phone"] == 0
+    assert out[1]["redacted_text"] == "server at <IP> and <IP> rebooted"
+    assert out[2]["redacted_text"] == "no pii here at all"
+    assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[3]["n_email"] == 2
+    assert out[3]["redacted_text"] == "<EMAIL> mailed <EMAIL> twice"
+
+
+def test_tfidf_top_terms(spark):
+    from sparker_spark.llm.text import TextAnalysis
+
+    rows = [
+        (0, "apple apple banana shared"),
+        (1, "banana cherry shared"),
+        (2, "cherry cherry cherry shared"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = TextAnalysis.tfidf_top_terms(docs, k=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    # 'shared' has df=3 -> idf = ln(1) = 0, never ranks above a
+    # doc-specific term; doc 0's top term is apple (tf=2, df=1)
+    assert sorted(got[0])[0] == (1, "apple")
+    assert sorted(got[2])[0] == (1, "cherry")
+    # every doc gets at most k rows, ranks are 1..k
+    for d, pairs in got.items():
+        assert [p[0] for p in sorted(pairs)] == list(range(1, len(pairs) + 1))

@@ -1,0 +1,145 @@
+"""Hand-computed fixtures for the event-analytics operators: ordered
+funnels, cohort retention, and the portable HyperLogLog sketch."""
+
+import datetime as dt
+
+import pytest
+
+from sparker_spark.funnel import Funnel, Retention
+from sparker_spark.sketches import HyperLogLog
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    rows = [
+        # user 1 completes view -> click -> buy in order
+        (1, ts(0), "view"),
+        (1, ts(1), "click"),
+        (1, ts(2), "buy"),
+        # user 2: click BEFORE view -> chain stops after view
+        (2, ts(0), "click"),
+        (2, ts(1), "view"),
+        # user 3: view and click at the SAME instant -> strict > fails
+        (3, ts(0), "view"),
+        (3, ts(0), "click"),
+        (3, ts(5), "buy"),
+        # user 4: never views -> not in funnel at all
+        (4, ts(0), "click"),
+        (4, ts(1), "buy"),
+        # user 5: view, then a later click from a SECOND view cycle
+        (5, ts(0), "view"),
+        (5, ts(9), "view"),
+        (5, ts(10), "click"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_funnel_strict_order(funnel_events):
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in Funnel.conversion(
+            funnel_events, ["view", "click", "buy"]
+        ).collect()
+    }
+    # views: users 1,2,3,5; clicks strictly after first view: 1,5
+    # (2 clicked before viewing, 3 clicked at the same instant);
+    # buys strictly after the qualifying click: only 1
+    assert out == {"view": 4, "click": 2, "buy": 1}
+
+
+def test_funnel_step_times_earliest_qualifying(funnel_events):
+    row = (
+        Funnel.step_times(funnel_events, ["view", "click"])
+        .where("user_id = 5")
+        .collect()[0]
+    )
+    # first view at t0 qualifies; click at t10 counts even though it
+    # belongs to the second browsing cycle (earliest-after semantics)
+    assert row["t1"] == ts(0) and row["t2"] == ts(10)
+
+
+def test_funnel_monotone_counts(funnel_events):
+    rows = sorted(
+        (r["step"], r["n_users"])
+        for r in Funnel.conversion(
+            funnel_events, ["view", "click", "buy"]
+        ).collect()
+    )
+    counts = [n for _, n in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_retention_cohorts(spark):
+    day = 24 * 60
+    rows = [
+        # user 1 first seen day 0, active days 0, 1, 3
+        (1, ts(10), "e"),
+        (1, ts(day + 5), "e"),
+        (1, ts(3 * day), "e"),
+        # user 2 first seen day 0, active day 0 only (two events)
+        (2, ts(20), "e"),
+        (2, ts(30), "e"),
+        # user 3 first seen day 1, active days 1 and 3
+        (3, ts(day), "e"),
+        (3, ts(3 * day + 1), "e"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in Retention.cohorts(ev).collect()
+    }
+    assert out == {
+        ("2026-01-01", 0): 2,
+        ("2026-01-01", 1): 1,
+        ("2026-01-01", 3): 1,
+        ("2026-01-02", 0): 1,
+        ("2026-01-02", 2): 1,
+    }
+
+
+def test_hll_accuracy_and_registers(spark):
+    n = 20_000
+    df = spark.range(n).selectExpr("id AS v", "'g' AS grp")
+    regs = HyperLogLog.registers(df, "v", ("grp",), p=10)
+    est = HyperLogLog.estimate(regs, ("grp",), p=10).collect()[0]
+    # raw-HLL relative error ~1.04/sqrt(1024) = 3.25%; allow 4 sigma
+    assert est["n_registers"] <= 1024
+    assert abs(est["hll_estimate"] - n) / n < 0.13
+    # duplicated input must not change the sketch at all
+    dup = df.union(df)
+    est2 = HyperLogLog.estimate(
+        HyperLogLog.registers(dup, "v", ("grp",), p=10), ("grp",), p=10
+    ).collect()[0]
+    assert est2["hll_estimate"] == est["hll_estimate"]
+
+
+def test_hll_merge_equals_single_pass(spark):
+    a = spark.range(0, 3000).selectExpr("id AS v")
+    b = spark.range(2000, 5000).selectExpr("id AS v")  # overlapping
+    merged = HyperLogLog.merge(
+        HyperLogLog.registers(a, "v"), HyperLogLog.registers(b, "v")
+    )
+    single = HyperLogLog.registers(a.union(b), "v")
+    est_m = HyperLogLog.estimate(merged).collect()[0]["hll_estimate"]
+    est_s = HyperLogLog.estimate(single).collect()[0]["hll_estimate"]
+    assert est_m == est_s  # exact merge semantics, not approximate
+
+
+def test_hll_matches_duckdb_replay(spark):
+    import duckdb
+
+    df = spark.range(500).selectExpr("CAST(id AS STRING) AS v")
+    est = HyperLogLog.estimate(HyperLogLog.registers(df, "v")).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT CAST(range AS VARCHAR) AS v FROM range(500)")
+    got = con.execute(HyperLogLog.duck_sql("t", "v")).fetchone()
+    assert got[0] == est["n_registers"]
+    assert got[1] == est["hll_estimate"]  # bit-identical across engines
