@@ -253,7 +253,13 @@ class EdgeWeighting:
         n_profiles = masks.count()
         if n_profiles * n_profiles < sum_sq:
             masks = masks.localCheckpoint(eager=True)  # consumed 3×
-            a_m = masks.select(
+            # AQE coalesces the tiny mask aggregate to ONE partition;
+            # left as-is the n²/2 loop (and everything downstream of
+            # it) would run single-task. Re-spread the STREAM side so
+            # the loop parallelizes; the build side stays compact for
+            # the broadcast.
+            par = int(masks.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            a_m = masks.repartition(par).select(
                 F.col("pid").alias("src"), F.col("mask").alias("m1")
             )
             b_m = masks.select(
