@@ -15,8 +15,12 @@ corpus-quality operators.
     (llm/curation.py QualityFilter): keep documents at or above the
     language's ceil(0.25·n)-th smallest blended quality score.
   * ``tfidf_top_terms`` — per-document top-3 tf·idf terms
-    (llm/text.py): two hash aggregates + broadcast count + per-doc
+    (llm/text.py): two hash aggregates + driver-scalar count + per-doc
     window top-k, ranked on the rounded score for engine-stable ties.
+  * ``sample_stratified`` — per-source exact-k deterministic sample
+    (llm/sampling.py stratified_bottom_k): k smallest hash coordinates
+    per group, a pure function of the keys — stable across engines,
+    partitionings, and ingestion order.
 
 The reference has no counterpart for any of these (its surface stops
 at ER), so the DuckDB oracle SQL below is the ground-truth definition.
@@ -164,6 +168,35 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# ------------------------------------------- stratified sampling
+STRAT_K = 10
+STRAT_SEED = 11
+
+
+def q_sample_stratified(spark, sf_dir):
+    from sparker_spark.entry import load
+    from sparker_spark.llm.sampling import Sampling
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return Sampling.stratified_bottom_k(
+        docs, "doc_id", "source", STRAT_K, seed=STRAT_SEED
+    )
+
+
+def _o_sample_stratified() -> str:
+    from sparker_spark.llm.sampling import _coord_sql
+
+    coord = _coord_sql("doc_id", STRAT_SEED, "duck")
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER
+              (PARTITION BY source ORDER BY {coord}, doc_id)
+          AS INTEGER) AS sample_rank
+  FROM documents)
+SELECT doc_id, source, sample_rank FROM ranked WHERE sample_rank <= {STRAT_K}"""
+
+
 # ------------------------------------------------------ tf-idf top-k
 def q_tfidf_top_terms(spark, sf_dir):
     from sparker_spark.entry import load
@@ -203,6 +236,7 @@ def r3e_queries() -> dict:
         "hll_users": q_hll_users,
         "quality_quantile": q_quality_quantile,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -213,4 +247,5 @@ def r3e_oracles() -> dict:
         "hll_users": _o_hll_users(),
         "quality_quantile": _o_quality_quantile(),
         "tfidf_top_terms": O_TFIDF,
+        "sample_stratified": _o_sample_stratified(),
     }

@@ -102,3 +102,46 @@ class Sampling:
         if not branches:
             return f"'{names[-1]}'"
         return "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
+
+    @staticmethod
+    def bottom_k(
+        df: DataFrame, key_col: str, k: int, seed: int = 0
+    ) -> DataFrame:
+        """Exact-size deterministic uniform sample WITHOUT replacement:
+        the k rows with the smallest hash coordinate (ties broken by
+        key). Equivalent to a seeded shuffle + LIMIT k, but a pure
+        function of the keys — the same k rows come back on any
+        engine, partitioning, or ingestion order. Plans as
+        TakeOrderedAndProject: a per-partition k-heap plus a k-row
+        driver merge — no global sort, no full shuffle, at any scale."""
+        return (
+            df.withColumn("_coord", Sampling.coord(key_col, seed))
+            .orderBy("_coord", key_col)
+            .limit(int(k))
+            .drop("_coord")
+        )
+
+    @staticmethod
+    def stratified_bottom_k(
+        df: DataFrame,
+        key_col: str,
+        group_col: str,
+        k: int,
+        seed: int = 0,
+    ) -> DataFrame:
+        """Per-group exact-k deterministic sample: within each value of
+        ``group_col``, the k rows with the smallest hash coordinate.
+        One window per group key — the shuffle is by group, so skew
+        follows the group distribution (fine for source/language
+        strata; for a single giant group use bottom_k on the filtered
+        slice). Adds ``sample_rank`` (1-based position within the
+        group's sample)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy("_coord", key_col)
+        return (
+            df.withColumn("_coord", Sampling.coord(key_col, seed))
+            .withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= int(k))
+            .drop("_coord")
+        )

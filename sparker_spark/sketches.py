@@ -77,11 +77,12 @@ class HyperLogLog:
     both dialects) — no floating-point log in the hot path. The
     estimator keeps the harmonic sum EXACT by accumulating the integer
     numerators ``2^(51-r)`` (sum <= m·2^51 < 2^63) and dividing once,
-    so two engines produce bit-identical estimates. The classic
-    small-range linear-counting correction is deliberately OMITTED
-    (documented spec choice: raw-HLL estimator only) to keep the
-    cross-engine contract exact; expect the usual raw-HLL low-range
-    bias below ~2.5·m distinct values.
+    so two engines produce bit-identical raw estimates; the classic
+    linear-counting small-range correction (E <= 2.5m with empty
+    registers -> m·ln(m/V)) branches on that exact raw estimate and
+    integer V, so the branch decision is also engine-identical — the
+    single ln() is the same (<= 1 ulp) cross-engine exposure as every
+    other rounded log output in the oracle surface.
     """
 
     @staticmethod
@@ -131,7 +132,9 @@ class HyperLogLog:
     ) -> DataFrame:
         """Registers -> (groups..., n_registers, hll_estimate). The
         harmonic mean is assembled from exact integer numerators; the
-        single final division is the only floating-point step."""
+        raw estimate's only floating-point step is the final division.
+        Below 2.5m with empty registers, linear counting over the
+        empty-register count replaces the biased raw value."""
         m = 1 << p
         alpha = 0.7213 / (1 + 1.079 / m)
         # numerator constant alpha * m^2 * 2^51 as one Python double —
@@ -139,15 +142,16 @@ class HyperLogLog:
         c = alpha * float(m) * float(m) * float(1 << 51)
         z_present = F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - r)"))
         n_regs = F.count("*")
+        raw = F.lit(c) / (
+            z_present + (F.lit(m) - n_regs) * F.lit(1 << 51)
+        ).cast("double")
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (n_regs < F.lit(m)),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - n_regs)),
+        ).otherwise(raw)
         return registers.groupBy(*group_cols).agg(
             n_regs.cast("long").alias("n_registers"),
-            (
-                F.lit(c)
-                / (
-                    z_present
-                    + (F.lit(m) - n_regs) * F.lit(1 << 51)
-                ).cast("double")
-            ).alias("hll_estimate"),
+            est.alias("hll_estimate"),
         )
 
     @staticmethod
@@ -170,6 +174,10 @@ class HyperLogLog:
             else "GROUP BY bucket"
         )
         rho = HyperLogLog._rho_sql(f"({h} // {m})")
+        raw = (
+            f"{c!r} / CAST(sum((1::BIGINT << (51 - r)))"
+            f" + ({m} - count(*)) * (1::BIGINT << 51) AS DOUBLE)"
+        )
         return f"""
 WITH cells AS (
   SELECT {gsel}({h} % {m}) AS bucket, {rho} AS rho
@@ -177,9 +185,9 @@ WITH cells AS (
 regs AS (
   SELECT {gsel}bucket, max(rho) AS r FROM cells {gby_regs})
 SELECT {gsel}CAST(count(*) AS BIGINT) AS n_registers,
-       {c!r} / CAST(sum((1::BIGINT << (51 - r)))
-                    + ({m} - count(*)) * (1::BIGINT << 51) AS DOUBLE)
-         AS hll_estimate
+       CASE WHEN ({raw}) <= {2.5 * m!r} AND count(*) < {m}
+            THEN {float(m)!r} * ln({float(m)!r} / ({m} - count(*)))
+            ELSE ({raw}) END AS hll_estimate
 FROM regs {gby}"""
 
 

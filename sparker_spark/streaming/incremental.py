@@ -463,3 +463,37 @@ def streaming_countmin(
         .groupBy(F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def streaming_hll(
+    value_stream: DataFrame,
+    col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 10,
+) -> DataFrame:
+    """Continuously-maintained HyperLogLog registers over a stream.
+
+    The register merge (sketches.HyperLogLog.merge) is cell-wise MAX —
+    exactly a streaming max aggregation keyed by (groups..., bucket):
+    each micro-batch raises its touched registers and the state is
+    BOUNDED at 2**p rows per group regardless of stream cardinality —
+    no watermark, no per-key state growth. The streaming counterpart
+    of the batch distinct sketch: read the register table from the
+    sink and apply HyperLogLog.estimate for a live distinct count.
+
+    Run with outputMode("complete") (the register relation is tiny)
+    or "update" (emit only raised registers per batch).
+    """
+    from sparker_spark.sketches import HyperLogLog, _portable_h60
+
+    m = 1 << p
+    h = _portable_h60(col, "spark")
+    return (
+        value_stream.select(
+            *group_cols,
+            F.expr(f"({h} % {m})").cast("long").alias("bucket"),
+            F.expr(HyperLogLog._rho_sql(f"({h} div {m})")).cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )

@@ -143,3 +143,73 @@ def test_hll_matches_duckdb_replay(spark):
     got = con.execute(HyperLogLog.duck_sql("t", "v")).fetchone()
     assert got[0] == est["n_registers"]
     assert got[1] == est["hll_estimate"]  # bit-identical across engines
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """The streaming register table after all batches equals the batch
+    sketch over the same rows — max-merge makes order irrelevant."""
+    src = tmp_path / "vals"
+    df = spark.range(2000).selectExpr("CAST(id % 700 AS STRING) AS v")
+    df.repartition(4).write.parquet(str(src))
+    from sparker_spark.streaming.incremental import streaming_hll
+
+    stream = spark.readStream.schema("v string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        streaming_hll(stream, "v")
+        .writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["bucket"], r["r"])
+        for r in spark.sql("SELECT * FROM hll_regs").collect()
+    }
+    want = {
+        (r["bucket"], r["r"])
+        for r in HyperLogLog.registers(df, "v").collect()
+    }
+    assert got == want
+    est = HyperLogLog.estimate(spark.sql("SELECT * FROM hll_regs")).collect()[0]
+    assert abs(est["hll_estimate"] - 700) / 700 < 0.13
+
+
+def test_sampling_bottom_k(spark):
+    from sparker_spark.llm.sampling import Sampling
+
+    df = spark.range(1000).selectExpr("id AS doc_id", "id % 7 AS grp")
+    s1 = sorted(r["doc_id"] for r in Sampling.bottom_k(df, "doc_id", 25).collect())
+    # deterministic: same rows on re-evaluation and under repartition
+    s2 = sorted(
+        r["doc_id"]
+        for r in Sampling.bottom_k(df.repartition(13), "doc_id", 25).collect()
+    )
+    assert s1 == s2 and len(s1) == 25
+    # different seed -> (almost surely) different sample
+    s3 = sorted(
+        r["doc_id"] for r in Sampling.bottom_k(df, "doc_id", 25, seed=9).collect()
+    )
+    assert s1 != s3
+
+
+def test_sampling_stratified_bottom_k(spark):
+    from sparker_spark.llm.sampling import Sampling
+
+    df = spark.range(1000).selectExpr("id AS doc_id", "CAST(id % 4 AS STRING) AS src")
+    out = Sampling.stratified_bottom_k(df, "doc_id", "src", 10).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["src"], []).append(r["sample_rank"])
+    assert set(by_grp) == {"0", "1", "2", "3"}
+    for ranks in by_grp.values():
+        assert sorted(ranks) == list(range(1, 11))
+    # per-group sample is the global bottom_k of that group's slice
+    g0 = sorted(
+        r["doc_id"]
+        for r in Sampling.bottom_k(df.where("src = '0'"), "doc_id", 10).collect()
+    )
+    assert g0 == sorted(r["doc_id"] for r in out if r["src"] == "0")
