@@ -53,6 +53,12 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5ish",
+    "funnel_conversion",
+    "retention_cohorts",
+    "hll_users",
+    "quality_quantile",
+    "tfidf_top_terms",
+    "sample_stratified",
 ]
 
 

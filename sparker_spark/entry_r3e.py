@@ -197,6 +197,40 @@ WITH ranked AS (
 SELECT doc_id, source, sample_rank FROM ranked WHERE sample_rank <= {STRAT_K}"""
 
 
+# -------------------------------------- prefix-filtered set join
+SETJOIN_T = 0.5
+
+
+def q_jaccard_prefix_join(spark, sf_dir):
+    from sparker_spark.entry import load
+    from sparker_spark.llm.setjoin import SetSimilarityJoin
+
+    return SetSimilarityJoin.jaccard_prefix_join(
+        load(spark, sf_dir, "documents"), SETJOIN_T
+    )
+
+
+O_JACCARD_PREFIX = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> len(x) > 0)) AS tok
+        FROM documents)),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS p1, b.doc_id AS p2, count(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p1, p2, CAST(inter AS BIGINT) AS inter,
+       CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+       round(inter / (s1.n + s2.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON p1 = s1.doc_id
+JOIN sizes s2 ON p2 = s2.doc_id
+WHERE inter / (s1.n + s2.n - inter) >= {SETJOIN_T}"""
+
+
 # ------------------------------------------------------ tf-idf top-k
 def q_tfidf_top_terms(spark, sf_dir):
     from sparker_spark.entry import load
@@ -237,6 +271,7 @@ def r3e_queries() -> dict:
         "quality_quantile": q_quality_quantile,
         "tfidf_top_terms": q_tfidf_top_terms,
         "sample_stratified": q_sample_stratified,
+        "jaccard_prefix_join": q_jaccard_prefix_join,
     }
 
 
@@ -248,4 +283,5 @@ def r3e_oracles() -> dict:
         "quality_quantile": _o_quality_quantile(),
         "tfidf_top_terms": O_TFIDF,
         "sample_stratified": _o_sample_stratified(),
+        "jaccard_prefix_join": O_JACCARD_PREFIX,
     }

@@ -1,0 +1,116 @@
+"""Prefix-filtered set-similarity join (PPJoin-style candidate
+generation) — exact Jaccard self-join over token sets.
+
+This is the third candidate-generation strategy in the dedup family,
+complementing the shared-shingle equi-join (every shared token is a
+candidate edge — exact but quadratic on hot tokens) and MinHash-LSH
+banding (probabilistic). The prefix filter is EXACT and deterministic:
+order each document's distinct tokens by ascending global frequency
+(rarest first, token string as tiebreak) and keep only the first
+``n - ceil(t·n) + 1`` as its *prefix*; two sets with Jaccard >= t must
+share at least one prefix token (pigeonhole over the
+``inter >= ceil(t/(1+t)·(n1+n2))`` bound, prefix length chosen for the
+symmetric Jaccard case), so joining ONLY on prefix tokens loses no
+true pair while skipping the frequent-token buckets that dominate the
+naive join's cost — the candidate join keys are, by construction, the
+RAREST tokens of each document.
+
+Scale posture: the global token ordering uses the distributed
+two-phase ranker (ranking.global_rank — no single-partition window);
+everything else is equi-joins and hash aggregates keyed by token or by
+pair. No driver state beyond the ranker's per-partition offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparker_spark.rounding import rnd
+
+
+class SetSimilarityJoin:
+    @staticmethod
+    def tokens(documents: DataFrame, text_col: str = "text") -> DataFrame:
+        """(doc_id, tok) — distinct lowercase whitespace tokens."""
+        return (
+            documents.select(
+                "doc_id",
+                F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("tok"),
+            )
+            .where(F.length("tok") > 0)
+            .distinct()
+        )
+
+    @staticmethod
+    def jaccard_prefix_join(
+        documents: DataFrame,
+        threshold: float,
+        text_col: str = "text",
+    ) -> DataFrame:
+        """All pairs (p1 < p2) with exact token-set Jaccard >=
+        ``threshold``: (p1, p2, inter, n1, n2, jaccard). Identical
+        output to the brute-force shared-token join — the prefix
+        filter only prunes candidates that cannot reach the
+        threshold."""
+        from sparker_spark.ranking import global_rank
+
+        t = float(threshold)
+        toks = SetSimilarityJoin.tokens(documents, text_col)
+        # ascending document frequency; token string breaks ties so the
+        # ordering (and therefore each prefix) is fully deterministic
+        freq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+        ranked = global_rank(freq, ["df", "tok"], out="tok_rank").select(
+            "tok", "tok_rank"
+        )
+        ordered = toks.join(ranked, "tok")
+        w = Window.partitionBy("doc_id").orderBy("tok_rank")
+        sized = ordered.withColumn("pos", F.row_number().over(w)).withColumn(
+            "n", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+        # prefix length n - ceil(t*n) + 1
+        prefix = sized.where(
+            F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+        ).select("doc_id", "tok")
+
+        cand = (
+            prefix.select(F.col("doc_id").alias("p1"), "tok")
+            .join(prefix.select(F.col("doc_id").alias("p2"), "tok"), "tok")
+            .where(F.col("p1") < F.col("p2"))
+            .select("p1", "p2")
+            .distinct()
+        )
+
+        # exact verification: intersection via the token equi-join
+        # restricted to candidate pairs (left-semi shrinks each side
+        # to candidate docs first)
+        sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+        t1 = toks.select(F.col("doc_id").alias("p1"), "tok").join(
+            cand.select("p1").distinct(), "p1", "left_semi"
+        )
+        t2 = toks.select(F.col("doc_id").alias("p2"), "tok").join(
+            cand.select("p2").distinct(), "p2", "left_semi"
+        )
+        inter = (
+            cand.join(t1, "p1")
+            .join(t2, ["p2", "tok"])
+            .groupBy("p1", "p2")
+            .agg(F.count("*").alias("inter"))
+        )
+        return (
+            inter.join(sizes.select(F.col("doc_id").alias("p1"), F.col("n").alias("n1")), "p1")
+            .join(sizes.select(F.col("doc_id").alias("p2"), F.col("n").alias("n2")), "p2")
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
+            )
+            .where(F.col("jaccard") >= t)
+            .select(
+                "p1",
+                "p2",
+                F.col("inter").cast("long").alias("inter"),
+                F.col("n1").cast("long").alias("n1"),
+                F.col("n2").cast("long").alias("n2"),
+                rnd("jaccard", 6).alias("jaccard"),
+            )
+        )
