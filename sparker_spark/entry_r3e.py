@@ -168,6 +168,91 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# --------------------------------------------- time-decayed value
+DECAY_TAU_S = 7 * 86400.0
+
+
+def q_events_decay(spark, sf_dir):
+    from sparker_spark.entry import _load_events
+    from sparker_spark.funnel import Decay
+
+    return Decay.decayed_value(_load_events(spark, sf_dir), DECAY_TAU_S)
+
+
+O_EVENTS_DECAY = f"""
+WITH ref AS (SELECT epoch_us(max(ts)) / 1000000.0 AS t_ref FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(round(value * exp(-(t_ref - epoch_us(ts) / 1000000.0)
+                                             / {DECAY_TAU_S!r}), 8)
+                           AS DECIMAL(30,8))) AS DOUBLE), 6) AS decayed_value
+FROM events CROSS JOIN ref
+GROUP BY user_id"""
+
+
+# ------------------------------------------------- Bloom filter
+BLOOM_M = 4096
+BLOOM_K = 4
+
+
+def q_bloom_purchasers(spark, sf_dir):
+    """Semi-join pruning with a portable Bloom filter: membership of
+    every user against the filter built over purchase-event users,
+    with the exact answer alongside (no false negatives; false
+    positives at the documented rate)."""
+    from pyspark.sql import functions as F
+
+    from sparker_spark.entry import _load_events
+    from sparker_spark.sketches import BloomFilter
+
+    ev = _load_events(spark, sf_dir)
+    buyers = ev.where("event_type = 'purchase'").select("user_id")
+    bloom = BloomFilter.build(buyers, "user_id", m=BLOOM_M, k=BLOOM_K)
+    users = ev.select("user_id").distinct()
+    probed = BloomFilter.contains(bloom, users, "user_id", m=BLOOM_M, k=BLOOM_K)
+    actual = buyers.distinct().withColumn("is_purchaser", F.lit(True))
+    return probed.join(actual, "user_id", "left").select(
+        "user_id",
+        "maybe_present",
+        F.coalesce("is_purchaser", F.lit(False)).alias("is_purchaser"),
+    )
+
+
+def _o_bloom_purchasers() -> str:
+    from sparker_spark.sketches import BloomFilter, _portable_h31
+    from sparker_spark.llm.hashing import minhash_coefficients
+    from sparker_spark.sketches import portable_bucket_sql
+
+    bits_sql = BloomFilter.duck_bits_sql(
+        "(SELECT user_id FROM events WHERE event_type = 'purchase')",
+        "user_id",
+        m=BLOOM_M,
+        k=BLOOM_K,
+    )
+    coeffs = minhash_coefficients(BLOOM_K, 1234)
+    h31 = _portable_h31("user_id", "duck")
+    probe_bits = " UNION ALL ".join(
+        f"SELECT user_id, {portable_bucket_sql(coeffs[j], BLOOM_M, h31)} AS bit"
+        f" FROM users"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+WITH bloom AS ({bits_sql}),
+users AS (SELECT DISTINCT user_id FROM events),
+probes AS ({probe_bits}),
+hits AS (
+  SELECT p.user_id,
+         sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = {BLOOM_K}
+           AS maybe_present
+  FROM probes p LEFT JOIN bloom b ON p.bit = b.bit
+  GROUP BY p.user_id),
+actual AS (SELECT DISTINCT user_id, TRUE AS is_purchaser FROM events
+           WHERE event_type = 'purchase')
+SELECT h.user_id, h.maybe_present,
+       COALESCE(a.is_purchaser, FALSE) AS is_purchaser
+FROM hits h LEFT JOIN actual a USING (user_id)"""
+
+
 # ------------------------------------------- stratified sampling
 STRAT_K = 10
 STRAT_SEED = 11
@@ -272,6 +357,8 @@ def r3e_queries() -> dict:
         "tfidf_top_terms": q_tfidf_top_terms,
         "sample_stratified": q_sample_stratified,
         "jaccard_prefix_join": q_jaccard_prefix_join,
+        "bloom_purchasers": q_bloom_purchasers,
+        "events_decay": q_events_decay,
     }
 
 
@@ -284,4 +371,6 @@ def r3e_oracles() -> dict:
         "tfidf_top_terms": O_TFIDF,
         "sample_stratified": _o_sample_stratified(),
         "jaccard_prefix_join": O_JACCARD_PREFIX,
+        "bloom_purchasers": _o_bloom_purchasers(),
+        "events_decay": O_EVENTS_DECAY,
     }

@@ -122,3 +122,42 @@ class Retention:
                 "n_users",
             )
         )
+
+
+class Decay:
+    @staticmethod
+    def decayed_value(
+        events: DataFrame,
+        tau_seconds: float,
+        ref_ts=None,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        value_col: str = "value",
+    ) -> DataFrame:
+        """Per-user exponentially time-decayed value: the recency-
+        weighted activity score sum(value·e^{-(T_ref - t)/tau}) used
+        for engagement ranking and feature freshness. ``ref_ts``
+        defaults to the dataset's max timestamp (one column-pruned
+        aggregate, driver scalar).
+
+        Determinism: a sum of irrational terms is order-dependent in
+        IEEE doubles, so each term is rounded to 8 decimals and summed
+        as exact DECIMAL — any engine, any partitioning, any row order
+        produces the identical total (the same trick the sessionize
+        oracle uses for its value sums). One groupBy, no windows —
+        scan-shaped at any scale."""
+        from sparker_spark.rounding import rnd
+
+        if ref_ts is None:
+            ref_ts = events.agg(F.max(ts_col)).first()[0]
+        age_s = (
+            F.lit(ref_ts).cast("timestamp").cast("double")
+            - F.col(ts_col).cast("double")
+        )
+        term = rnd(
+            F.col(value_col) * F.exp(-age_s / F.lit(float(tau_seconds))), 8
+        ).cast("decimal(30,8)")
+        return events.groupBy(user_col).agg(
+            F.count("*").cast("long").alias("n_events"),
+            rnd(F.sum(term).cast("double"), 6).alias("decayed_value"),
+        )

@@ -266,3 +266,76 @@ class CountMinSketch:
             .groupBy(col)
             .agg(F.min("n").alias("estimate"))
         )
+
+
+class BloomFilter:
+    """Distributed Bloom filter as a relation of set bit positions.
+
+    ``build`` -> at most ``m`` rows of (bit BIGINT); merge is plain
+    union-distinct (bitwise OR), so per-partition/per-day filters
+    combine associatively like the other sketches. ``contains`` probes
+    are k broadcast-joined lookups per value: no false negatives, false
+    positives at the classic (1 - e^{-kn/m})^k rate. The k row hashes
+    come from the same engine-portable md5-affine family as the
+    count-min sketch, so a DuckDB oracle (or any other engine) replays
+    the filter bit-for-bit — and at scale the materialized filter is a
+    kilobyte-class broadcast standing in for a join against the full
+    keyed relation (the classic semi-join pruning pattern).
+    """
+
+    @staticmethod
+    def _bit_cols(col: str, m: int, k: int, seed: int, dialect: str) -> list[str]:
+        coeffs = minhash_coefficients(k, seed)
+        h31 = _portable_h31(col, dialect)
+        return [portable_bucket_sql(coeffs[j], m, h31) for j in range(k)]
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        col: str,
+        m: int = 8192,
+        k: int = 4,
+        seed: int = 1234,
+    ) -> DataFrame:
+        """One pass -> (bit,) distinct set positions."""
+        bits = BloomFilter._bit_cols(col, m, k, seed, "spark")
+        arr = F.array(*[F.expr(b).cast("long") for b in bits])
+        return df.select(F.explode(arr).alias("bit")).distinct()
+
+    @staticmethod
+    def merge(*filters: DataFrame) -> DataFrame:
+        out = filters[0]
+        for f in filters[1:]:
+            out = out.unionByName(f)
+        return out.distinct()
+
+    @staticmethod
+    def contains(
+        bloom: DataFrame,
+        values: DataFrame,
+        col: str,
+        m: int = 8192,
+        k: int = 4,
+        seed: int = 1234,
+    ) -> DataFrame:
+        """Adds ``maybe_present``: true iff ALL k probed bits are set.
+        The filter side is <= m rows — broadcast-joined."""
+        bits = BloomFilter._bit_cols(col, m, k, seed, "spark")
+        arr = F.array(*[F.expr(b).cast("long") for b in bits])
+        probes = values.select(col, F.explode(arr).alias("bit"))
+        hit = (
+            probes.join(F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit", "left")
+            .groupBy(col)
+            .agg((F.sum(F.coalesce("_set", F.lit(0))) == F.lit(k)).alias("maybe_present"))
+        )
+        return values.join(hit, col, "left").fillna({"maybe_present": False})
+
+    @staticmethod
+    def duck_bits_sql(table: str, col: str, m: int = 8192, k: int = 4,
+                      seed: int = 1234) -> str:
+        """DuckDB replay of build(): SELECT DISTINCT bit FROM ..."""
+        bits = BloomFilter._bit_cols(col, m, k, seed, "duck")
+        sel = " UNION ALL ".join(
+            f"SELECT {b} AS bit FROM {table}" for b in bits
+        )
+        return f"SELECT DISTINCT bit FROM ({sel})"

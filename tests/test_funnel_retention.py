@@ -213,3 +213,34 @@ def test_sampling_stratified_bottom_k(spark):
         for r in Sampling.bottom_k(df.where("src = '0'"), "doc_id", 10).collect()
     )
     assert g0 == sorted(r["doc_id"] for r in out if r["src"] == "0")
+
+
+def test_decayed_value_fixture(spark):
+    import math
+
+    from sparker_spark.funnel import Decay
+
+    rows = [
+        (1, ts(0), 10.0),
+        (1, ts(60), 5.0),   # newest -> ref_ts, weight 1
+        (2, ts(30), 4.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["user_id"]: r for r in Decay.decayed_value(ev, 3600.0).collect()}
+    exp1 = round(10.0 * math.exp(-3600 / 3600.0), 8) + round(5.0 * 1.0, 8)
+    exp2 = round(4.0 * math.exp(-1800 / 3600.0), 8)
+    assert out[1]["decayed_value"] == pytest.approx(round(exp1, 6), abs=1e-9)
+    assert out[2]["decayed_value"] == pytest.approx(round(exp2, 6), abs=1e-9)
+    assert out[1]["n_events"] == 2
+
+
+def test_decayed_value_order_invariant(spark):
+    from sparker_spark.funnel import Decay
+
+    rows = [(1, ts(i), 0.1 + i * 0.01) for i in range(200)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    a = Decay.decayed_value(ev, 1234.0).collect()[0]["decayed_value"]
+    b = Decay.decayed_value(ev.repartition(17), 1234.0).collect()[0][
+        "decayed_value"
+    ]
+    assert a == b  # DECIMAL term sum: partitioning cannot change the total

@@ -125,3 +125,64 @@ def test_cms_portable_matches_duckdb_replay(spark):
         ).fetchall()
     )
     assert sk == duck
+
+
+def test_bloom_no_false_negatives(spark):
+    from sparker_spark.sketches import BloomFilter
+
+    members = spark.range(500).selectExpr("CAST(id AS STRING) AS v")
+    bloom = BloomFilter.build(members, "v", m=8192, k=4)
+    out = {
+        r["v"]: r["maybe_present"]
+        for r in BloomFilter.contains(bloom, members, "v", m=8192, k=4).collect()
+    }
+    assert all(out.values()) and len(out) == 500
+
+
+def test_bloom_false_positive_rate(spark):
+    from sparker_spark.sketches import BloomFilter
+
+    members = spark.range(500).selectExpr("CAST(id AS STRING) AS v")
+    bloom = BloomFilter.build(members, "v", m=8192, k=4)
+    others = spark.range(10_000, 12_000).selectExpr("CAST(id AS STRING) AS v")
+    fp = sum(
+        1
+        for r in BloomFilter.contains(bloom, others, "v", m=8192, k=4).collect()
+        if r["maybe_present"]
+    )
+    # theoretical FP ~ (1 - e^(-4*500/8192))^4 ~ 0.06% ; allow 10x
+    assert fp / 2000 < 0.01
+
+
+def test_bloom_merge_equals_single_pass(spark):
+    from sparker_spark.sketches import BloomFilter
+
+    a = spark.range(0, 300).selectExpr("CAST(id AS STRING) AS v")
+    b = spark.range(200, 600).selectExpr("CAST(id AS STRING) AS v")
+    merged = BloomFilter.merge(
+        BloomFilter.build(a, "v"), BloomFilter.build(b, "v")
+    )
+    single = BloomFilter.build(a.union(b), "v")
+    assert {r["bit"] for r in merged.collect()} == {
+        r["bit"] for r in single.collect()
+    }
+
+
+def test_bloom_matches_duckdb_replay(spark):
+    import duckdb
+
+    from sparker_spark.sketches import BloomFilter
+
+    df = spark.range(400).selectExpr("CAST(id AS STRING) AS v")
+    got = {r["bit"] for r in BloomFilter.build(df, "v", m=2048, k=3).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT CAST(range AS VARCHAR) AS v FROM range(400)"
+    )
+    want = {
+        r[0]
+        for r in con.execute(
+            BloomFilter.duck_bits_sql("t", "v", m=2048, k=3)
+        ).fetchall()
+    }
+    assert got == want
