@@ -21,6 +21,16 @@ corpus-quality operators.
     (llm/sampling.py stratified_bottom_k): k smallest hash coordinates
     per group, a pure function of the keys — stable across engines,
     partitionings, and ingestion order.
+  * ``jaccard_prefix_join`` — prefix-filtered exact set-similarity
+    join (llm/setjoin.py): PPJoin-style lossless candidate pruning on
+    globally frequency-ordered tokens, verified pairs identical to the
+    brute-force oracle.
+  * ``bloom_purchasers`` — Bloom-filter semi-join pruning
+    (sketches.py BloomFilter): portable bit-position relation with
+    union-distinct merge; probes have no false negatives.
+  * ``events_decay`` — per-user exponentially time-decayed value
+    (funnel.py Decay): per-term rounding + exact DECIMAL summation
+    makes the irrational-term sum order- and engine-invariant.
 
 The reference has no counterpart for any of these (its surface stops
 at ER), so the DuckDB oracle SQL below is the ground-truth definition.
@@ -166,6 +176,52 @@ cutoffs AS (
 SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
        s.quality_score >= c.cutoff AS kept
 FROM scores s JOIN cutoffs c USING (lang)"""
+
+
+# --------------------------------------------- rate anomaly scores
+ANOM_TRAILING = 24
+ANOM_MIN_HIST = 8
+
+
+def q_events_anomaly(spark, sf_dir):
+    from sparker_spark.entry import _load_events
+    from sparker_spark.funnel import Anomaly
+
+    return Anomaly.hourly_zscores(
+        _load_events(spark, sf_dir), ANOM_TRAILING, ANOM_MIN_HIST
+    )
+
+
+O_EVENTS_ANOMALY = f"""
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+win AS (
+  SELECT event_type, hour, n,
+         sum(n) OVER w AS s1,
+         sum(n * n) OVER w AS s2,
+         count(n) OVER w AS cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {ANOM_TRAILING} PRECEDING AND 1 PRECEDING))
+SELECT event_type, hour, n,
+       round(CASE WHEN cnt >= {ANOM_MIN_HIST}
+                  THEN CAST(s1 AS DOUBLE) / cnt END, 6) AS mean_trailing,
+       round(CASE WHEN cnt >= {ANOM_MIN_HIST}
+                  AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt)
+                      / (cnt - 1) > 0
+                  THEN (n - CAST(s1 AS DOUBLE) / cnt)
+                       / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt)
+                              / (cnt - 1)) END, 6) AS z,
+       COALESCE(abs(CASE WHEN cnt >= {ANOM_MIN_HIST}
+                AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt)
+                    / (cnt - 1) > 0
+                THEN (n - CAST(s1 AS DOUBLE) / cnt)
+                     / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt)
+                            / (cnt - 1)) END) > 3.0, FALSE) AS is_anomaly
+FROM win"""
 
 
 # --------------------------------------------- time-decayed value
@@ -359,6 +415,7 @@ def r3e_queries() -> dict:
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "bloom_purchasers": q_bloom_purchasers,
         "events_decay": q_events_decay,
+        "events_anomaly": q_events_anomaly,
     }
 
 
@@ -373,4 +430,5 @@ def r3e_oracles() -> dict:
         "jaccard_prefix_join": O_JACCARD_PREFIX,
         "bloom_purchasers": _o_bloom_purchasers(),
         "events_decay": O_EVENTS_DECAY,
+        "events_anomaly": O_EVENTS_ANOMALY,
     }

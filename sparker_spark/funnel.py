@@ -161,3 +161,60 @@ class Decay:
             F.count("*").cast("long").alias("n_events"),
             rnd(F.sum(term).cast("double"), 6).alias("decayed_value"),
         )
+
+
+class Anomaly:
+    @staticmethod
+    def hourly_zscores(
+        events: DataFrame,
+        trailing: int = 24,
+        min_history: int = 8,
+        type_col: str = "event_type",
+        ts_col: str = "ts",
+    ) -> DataFrame:
+        """Per-(type, hour) event-rate anomaly score: z of the hour's
+        count against the trailing ``trailing`` OBSERVED hours
+        (rows, not wall hours — a documented spec choice that makes
+        gaps harmless). The mean/variance come from exact integer
+        window sums (Σn, Σn², count), so the score is deterministic
+        and engine-identical; hours with < ``min_history`` history get
+        NULL. Output: (event_type, hour, n, mean_trailing, z,
+        is_anomaly[|z|>3]).
+
+        Plan: one hash aggregate + one window partitioned by type —
+        the window key is the type, so parallelism follows the type
+        cardinality; for few giant types pre-aggregate per (type,
+        hour) first (done here: the window input is already the hourly
+        rollup, bounded by types x hours, NOT by raw events)."""
+        from pyspark.sql import Window
+
+        from sparker_spark.rounding import rnd
+
+        hourly = events.groupBy(
+            type_col,
+            F.date_format(
+                F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:00:00"
+            ).alias("hour"),
+        ).agg(F.count("*").cast("long").alias("n"))
+        w = (
+            Window.partitionBy(type_col)
+            .orderBy("hour")
+            .rowsBetween(-trailing, -1)
+        )
+        s1 = F.sum("n").over(w)
+        s2 = F.sum(F.col("n") * F.col("n")).over(w)
+        cnt = F.count("n").over(w)
+        mu = s1.cast("double") / cnt
+        var = (s2.cast("double") - s1.cast("double") * s1 / cnt) / (cnt - 1)
+        z = F.when(
+            (cnt >= min_history) & (var > 0),
+            (F.col("n") - mu) / F.sqrt(var),
+        )
+        return hourly.select(
+            type_col,
+            "hour",
+            "n",
+            rnd(F.when(cnt >= min_history, mu), 6).alias("mean_trailing"),
+            rnd(z, 6).alias("z"),
+            F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+        )

@@ -244,3 +244,45 @@ def test_decayed_value_order_invariant(spark):
         "decayed_value"
     ]
     assert a == b  # DECIMAL term sum: partitioning cannot change the total
+
+
+def test_anomaly_zscores(spark):
+    import math
+
+    from sparker_spark.funnel import Anomaly
+
+    # 12 quiet hours of exactly 2 events, then one burst hour of 40
+    rows = []
+    eid = 0
+    for h in range(12):
+        for _ in range(2):
+            rows.append((eid, ts(h * 60), 1, "click")); eid += 1
+    for _ in range(40):
+        rows.append((eid, ts(12 * 60), 1, "click")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["hour"]: r for r in Anomaly.hourly_zscores(ev, 24, 8).collect()}
+    assert len(out) == 13
+    burst = out["2026-01-01 12:00:00"]
+    # trailing window: 12 hours of n=2 -> mean 2, var 0 -> z undefined?
+    # no: var==0 means z is NULL but flagged false
+    assert burst["mean_trailing"] == 2.0
+    assert burst["z"] is None and burst["is_anomaly"] is False
+    # add one hour of 3 so variance > 0, then the burst z is huge
+    rows.append((eid, ts(5 * 60 + 1), 1, "click"))
+    ev2 = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out2 = {r["hour"]: r for r in Anomaly.hourly_zscores(ev2, 24, 8).collect()}
+    b2 = out2["2026-01-01 12:00:00"]
+    n = 12
+    vals = [2] * 11 + [3]
+    mu = sum(vals) / n
+    var = sum((v - mu) ** 2 for v in vals) / (n - 1)
+    assert b2["z"] == pytest.approx((40 - mu) / math.sqrt(var), rel=1e-5)
+    assert b2["is_anomaly"] is True
+    # first hours have no history -> everything null/false
+    first = out2["2026-01-01 00:00:00"]
+    assert first["z"] is None and first["mean_trailing"] is None
+    assert first["is_anomaly"] is False
