@@ -45,6 +45,11 @@ from sparker_spark.llm.search import TextSearch
 from sparker_spark.llm.text import TextAnalysis
 from sparker_spark.llm.curation import Decontamination, RepetitionStats
 from sparker_spark.llm.sampling import Sampling
+from sparker_spark.llm.setjoin import SetSimilarityJoin
+from sparker_spark.llm.curation import QualityFilter, Redaction
+from sparker_spark.funnel import Anomaly, Decay, Funnel, Retention
+from sparker_spark.sketches import BloomFilter, HyperLogLog
+from sparker_spark.dedupe import dedupe
 
 __all__ = [
     # reference export list (python/sparker/__init__.py:1-18)
@@ -88,4 +93,14 @@ __all__ = [
     "Decontamination",
     "RepetitionStats",
     "Sampling",
+    "SetSimilarityJoin",
+    "QualityFilter",
+    "Redaction",
+    "Funnel",
+    "Retention",
+    "Decay",
+    "Anomaly",
+    "HyperLogLog",
+    "BloomFilter",
+    "dedupe",
 ]

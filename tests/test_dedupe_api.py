@@ -1,0 +1,59 @@
+"""The one-call dedupe() wrapper (SURVEY §7.1 M8): arbitrary
+DataFrames in, caller-keyed matches out, for dirty and clean-clean ER
+and every pruner."""
+
+import pytest
+
+from sparker_spark.dedupe import dedupe
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        ("a1", "john smith", "12 oak street", "portland"),
+        ("a2", "jon smith", "12 oak street", "portland"),     # dup of a1
+        ("a3", "mary jones", "9 pine road", "salem"),
+        ("a4", "mary jones", "9 pine rd", "salem"),           # dup of a3
+        ("a5", "bob brown", "77 elm avenue", "eugene"),
+        ("a6", "alice white", "3 birch lane", "bend"),
+    ]
+    return spark.createDataFrame(rows, ["rid", "name", "addr", "city"])
+
+
+def test_dedupe_dirty_finds_planted_dups(people):
+    out = dedupe(people, "rid", purge_smooth=None)
+    pairs = {tuple(sorted((r["id1"], r["id2"]))) for r in out.collect()}
+    assert ("a1", "a2") in pairs
+    assert ("a3", "a4") in pairs
+    # fully unrelated records never pair
+    assert ("a5", "a6") not in pairs
+
+
+def test_dedupe_clean_clean_cross_only(people, spark):
+    crawl2 = spark.createDataFrame(
+        [
+            ("b1", "jon smith", "12 oak street", "portland"),  # matches a1/a2
+            ("b2", "new person", "unknown", "nowhere"),
+        ],
+        ["rid", "name", "addr", "city"],
+    )
+    out = dedupe(people, "rid", df2=crawl2, purge_smooth=None)
+    got = [(r["id1"], r["id2"]) for r in out.collect()]
+    # every pair crosses the two frames
+    assert got and all(a.startswith("a") and b.startswith("b") for a, b in got)
+    assert ("a1", "b1") in got
+
+
+@pytest.mark.parametrize("pruning", ["wep", "cep", "cnp", "none"])
+def test_dedupe_pruner_matrix(people, pruning):
+    out = dedupe(people, "rid", purge_smooth=None, pruning=pruning)
+    assert {"id1", "id2", "weight"} == set(out.columns)
+    assert out.count() > 0
+
+
+def test_dedupe_column_subset_and_ngrams(people):
+    out = dedupe(
+        people, "rid", columns=["name"], blocking="ngram", purge_smooth=None
+    )
+    pairs = {tuple(sorted((r["id1"], r["id2"]))) for r in out.collect()}
+    assert ("a3", "a4") in pairs  # identical names
