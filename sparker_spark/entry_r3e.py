@@ -178,6 +178,72 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# ------------------------------------------ transitions + latency
+LAT_QS = [0.5, 0.9]
+
+
+def q_event_transitions(spark, sf_dir):
+    from sparker_spark.entry import _load_events
+    from sparker_spark.funnel import Transitions
+
+    return Transitions.event_transitions(_load_events(spark, sf_dir))
+
+
+O_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM counts"""
+
+
+def q_funnel_latency(spark, sf_dir):
+    from sparker_spark.entry import _load_events
+    from sparker_spark.funnel import Funnel
+
+    return Funnel.step_latency(_load_events(spark, sf_dir), FUNNEL_STEPS, LAT_QS)
+
+
+def _o_funnel_latency() -> str:
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM events"
+        f" WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id)"
+    ]
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+            f" JOIN s{i - 1} p ON e.user_id = p.user_id AND e.ts > p.t"
+            f" WHERE e.event_type = '{step}' GROUP BY e.user_id)"
+        )
+    legs = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, '{FUNNEL_STEPS[i - 1]}' AS from_step,"
+        f" '{FUNNEL_STEPS[i]}' AS to_step,"
+        f" (epoch_us(s{i + 1}.t) - epoch_us(s{i}.t)) / 1000000.0 AS dt"
+        f" FROM s{i} JOIN s{i + 1} USING (user_id)"
+        for i in range(1, len(FUNNEL_STEPS))
+    )
+    q_cols = ", ".join(
+        f"round(quantile_cont(dt, {q!r}), 6)"
+        f" AS q_{str(q).replace('0.', '').replace('.', '_')}"
+        for q in LAT_QS
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f",\ndeltas AS ({legs})\n"
+        + "SELECT CAST(step AS INTEGER) AS step, from_step, to_step,"
+        + " CAST(count(*) AS BIGINT) AS n, "
+        + q_cols
+        + "\nFROM deltas GROUP BY step, from_step, to_step"
+    )
+
+
 # --------------------------------------------- rate anomaly scores
 ANOM_TRAILING = 24
 ANOM_MIN_HIST = 8
@@ -416,6 +482,8 @@ def r3e_queries() -> dict:
         "bloom_purchasers": q_bloom_purchasers,
         "events_decay": q_events_decay,
         "events_anomaly": q_events_anomaly,
+        "event_transitions": q_event_transitions,
+        "funnel_latency": q_funnel_latency,
     }
 
 
@@ -431,4 +499,6 @@ def r3e_oracles() -> dict:
         "bloom_purchasers": _o_bloom_purchasers(),
         "events_decay": O_EVENTS_DECAY,
         "events_anomaly": O_EVENTS_ANOMALY,
+        "event_transitions": O_EVENT_TRANSITIONS,
+        "funnel_latency": _o_funnel_latency(),
     }

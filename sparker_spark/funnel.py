@@ -86,6 +86,43 @@ class Funnel:
             .select("r.step", "r.step_name", "r.n_users")
         )
 
+    @staticmethod
+    def step_latency(
+        events: DataFrame,
+        steps: list[str],
+        qs: list[float],
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+    ) -> DataFrame:
+        """Per consecutive funnel transition, exact quantiles of the
+        seconds between the two step times (users who reached the
+        later step only). Reuses step_times + the engine's exact
+        linear-interpolation percentile (stats.GroupStats parity with
+        quantile_cont)."""
+        from sparker_spark.stats import GroupStats
+
+        st = Funnel.step_times(events, steps, user_col, ts_col, type_col)
+        legs = []
+        for i in range(1, len(steps)):
+            dt = (
+                F.unix_micros(F.col(f"t{i + 1}")) - F.unix_micros(F.col(f"t{i}"))
+            ) / 1e6
+            legs.append(
+                st.where(F.col(f"t{i + 1}").isNotNull()).select(
+                    F.lit(i).alias("step"),
+                    F.lit(steps[i - 1]).alias("from_step"),
+                    F.lit(steps[i]).alias("to_step"),
+                    dt.alias("dt"),
+                )
+            )
+        deltas = legs[0]
+        for leg in legs[1:]:
+            deltas = deltas.unionByName(leg)
+        return GroupStats.quantiles(
+            deltas, ["step", "from_step", "to_step"], "dt", qs
+        )
+
 
 class Retention:
     @staticmethod
@@ -218,3 +255,45 @@ class Anomaly:
             rnd(z, 6).alias("z"),
             F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
         )
+
+
+class Transitions:
+    @staticmethod
+    def event_transitions(
+        events: DataFrame,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+        order_cols: tuple[str, ...] = ("event_id",),
+    ) -> DataFrame:
+        """First-order Markov transition matrix over each user's
+        event sequence: (from_type, to_type, n, p) where p is the
+        row-normalized transition probability. The per-user ordering
+        is (ts, *order_cols) — the extra columns break same-instant
+        ties deterministically. One lag window partitioned by user +
+        one hash aggregate; n is integer-exact so p = n/row_total is a
+        single deterministic division."""
+        from pyspark.sql import Window
+
+        from sparker_spark.rounding import rnd
+
+        w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+        pairs = (
+            events.withColumn("_next", F.lead(type_col).over(w))
+            .where(F.col("_next").isNotNull())
+            .select(
+                F.col(type_col).alias("from_type"),
+                F.col("_next").alias("to_type"),
+            )
+        )
+        counts = pairs.groupBy("from_type", "to_type").agg(
+            F.count("*").cast("long").alias("n")
+        )
+        totals = Window.partitionBy("from_type")
+        return counts.select(
+            "from_type",
+            "to_type",
+            "n",
+            rnd(F.col("n") / F.sum("n").over(totals), 6).alias("p"),
+        )
+

@@ -286,3 +286,45 @@ def test_anomaly_zscores(spark):
     first = out2["2026-01-01 00:00:00"]
     assert first["z"] is None and first["mean_trailing"] is None
     assert first["is_anomaly"] is False
+
+
+def test_event_transitions(spark):
+    from sparker_spark.funnel import Transitions
+
+    rows = [
+        (1, 1, ts(0), "a"),
+        (2, 1, ts(1), "b"),
+        (3, 1, ts(2), "a"),
+        (4, 2, ts(0), "a"),
+        (5, 2, ts(1), "c"),
+        (6, 3, ts(0), "a"),  # single event -> no transition
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in Transitions.event_transitions(ev).collect()
+    }
+    # from 'a': a->b (u1), a->c (u2); from 'b': b->a (u1)
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("a", "c"): (1, 0.5),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_funnel_step_latency(spark):
+    from sparker_spark.funnel import Funnel
+
+    rows = [
+        (1, ts(0), "view"), (1, ts(10), "click"),   # 600 s
+        (2, ts(0), "view"), (2, ts(30), "click"),   # 1800 s
+        (3, ts(0), "view"),                          # never clicks
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = Funnel.step_latency(ev, ["view", "click"], [0.5]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["step"], r["from_step"], r["to_step"], r["n"]) == (1, "view", "click", 2)
+    assert r["q_5"] == 1200.0  # interpolated median of {600, 1800}
