@@ -178,6 +178,66 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# ----------------------------------------------- PMI collocations
+PMI_MIN_PAIRS = 5
+PMI_K = 20
+
+
+def q_token_pmi(spark, sf_dir):
+    from sparker_spark.entry import load
+    from sparker_spark.llm.text import Collocations
+
+    return Collocations.pmi_top(
+        load(spark, sf_dir, "documents"), PMI_MIN_PAIRS, PMI_K
+    )
+
+
+O_TOKEN_PMI = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> len(x) > 0)) AS tok
+        FROM documents)),
+pc AS (
+  SELECT a.tok AS t1, b.tok AS t2, count(*) AS n_ab
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_PAIRS}),
+marg AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT t1, t2, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(m1.n AS BIGINT) AS n_a, CAST(m2.n AS BIGINT) AS n_b,
+       round(ln(n_docs * n_ab / (m1.n * m2.n)), 6) AS pmi
+FROM pc JOIN marg m1 ON t1 = m1.tok JOIN marg m2 ON t2 = m2.tok CROSS JOIN nd
+ORDER BY pmi DESC, t1, t2 LIMIT {PMI_K}"""
+
+
+# --------------------------------------------- sliding windows
+SLIDE_WINDOW = "1 hour"
+SLIDE_STEP = "15 minutes"
+
+
+def q_events_sliding(spark, sf_dir):
+    from sparker_spark.entry import _load_events
+    from sparker_spark.rollup import SlidingWindows
+
+    return SlidingWindows.counts(
+        _load_events(spark, sf_dir), SLIDE_WINDOW, SLIDE_STEP
+    )
+
+
+O_EVENTS_SLIDING = """
+WITH expanded AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '15 minutes', ts)
+           - j * INTERVAL '15 minutes' AS w_start
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j))
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM expanded
+GROUP BY 1, 2"""
+
+
 # ------------------------------------------ transitions + latency
 LAT_QS = [0.5, 0.9]
 
@@ -484,6 +544,8 @@ def r3e_queries() -> dict:
         "events_anomaly": q_events_anomaly,
         "event_transitions": q_event_transitions,
         "funnel_latency": q_funnel_latency,
+        "token_pmi": q_token_pmi,
+        "events_sliding": q_events_sliding,
     }
 
 
@@ -501,4 +563,6 @@ def r3e_oracles() -> dict:
         "events_anomaly": O_EVENTS_ANOMALY,
         "event_transitions": O_EVENT_TRANSITIONS,
         "funnel_latency": _o_funnel_latency(),
+        "token_pmi": O_TOKEN_PMI,
+        "events_sliding": O_EVENTS_SLIDING,
     }

@@ -182,3 +182,69 @@ class TextAnalysis:
             F.max("h").alias("max_shingle_hash"),
             F.count_distinct("h").alias("n_shingles"),
         )
+
+
+class Collocations:
+    @staticmethod
+    def pmi_top(
+        documents: DataFrame,
+        min_pairs: int = 5,
+        k: int = 20,
+    ) -> DataFrame:
+        """Top-k token collocations by document-level PMI:
+        pmi(a,b) = ln(N·n_ab / (n_a·n_b)) over distinct-token doc
+        co-occurrence, ties broken by (t1, t2). ``min_pairs`` floors
+        the support so rare accidental pairs don't dominate.
+
+        The within-doc token self-join is quadratic in DISTINCT tokens
+        per document — fine for natural documents (hundreds of distinct
+        tokens); for giant documents cap the per-doc token set first
+        (e.g. tfidf_top_terms) or switch to windowed co-occurrence.
+        N is a driver-scalar count (documented pattern)."""
+        from sparker_spark.rounding import rnd
+
+        toks = (
+            documents.select(
+                "doc_id",
+                F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("tok"),
+            )
+            .where(F.length("tok") > 0)
+            .distinct()
+        )
+        n_docs = documents.count()
+        a = toks.select("doc_id", F.col("tok").alias("t1"))
+        b = toks.select("doc_id", F.col("tok").alias("t2"))
+        pair_counts = (
+            a.join(b, "doc_id")
+            .where(F.col("t1") < F.col("t2"))
+            .groupBy("t1", "t2")
+            .agg(F.count("*").alias("n_ab"))
+            .where(F.col("n_ab") >= int(min_pairs))
+        )
+        marg = toks.groupBy("tok").agg(F.count("*").alias("n"))
+        scored = (
+            pair_counts.join(
+                marg.select(F.col("tok").alias("t1"), F.col("n").alias("n_a")), "t1"
+            )
+            .join(
+                marg.select(F.col("tok").alias("t2"), F.col("n").alias("n_b")), "t2"
+            )
+            .select(
+                "t1",
+                "t2",
+                F.col("n_ab").cast("long").alias("n_ab"),
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"),
+                rnd(
+                    F.log(
+                        F.lit(float(n_docs))
+                        * F.col("n_ab")
+                        / (F.col("n_a") * F.col("n_b"))
+                    ),
+                    6,
+                ).alias("pmi"),
+            )
+        )
+        return scored.orderBy(
+            F.desc("pmi"), F.asc("t1"), F.asc("t2")
+        ).limit(int(k))

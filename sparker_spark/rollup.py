@@ -83,3 +83,33 @@ class RollupCascade:
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
         )
+
+
+class SlidingWindows:
+    @staticmethod
+    def counts(
+        events,
+        window: str = "1 hour",
+        slide: str = "15 minutes",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+    ):
+        """Overlapping sliding-window counts per type — the batch twin
+        of the Structured-Streaming windowed aggregation (identical
+        ``F.window`` semantics, epoch-aligned): each event lands in
+        window/slide overlapping windows. One explode + one hash
+        aggregate; output bounded by types x windows."""
+        from pyspark.sql import functions as F
+
+        w = F.window(ts_col, window, slide)
+        return (
+            events.groupBy(w.alias("w"), type_col)
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                type_col,
+                "n",
+            )
+        )

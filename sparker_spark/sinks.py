@@ -55,3 +55,42 @@ class BucketedSink:
         catalog; requires ``spark.sql.sources.bucketing.enabled``,
         on by default)."""
         return spark.table(table)
+
+
+class PartitionedSink:
+    """Hive-style partitioned parquet writer — the layout-level twin of
+    bucketing: equality/range predicates on the partition columns
+    become PartitionFilters (directory pruning — files outside the
+    predicate are never opened, let alone scanned). Use for the
+    columns queries slice on (source, lang, event date), bucketing for
+    the columns they join on."""
+
+    @staticmethod
+    def write(
+        df: DataFrame,
+        path: str,
+        partition_cols: list[str] | str,
+        mode: str = "overwrite",
+    ) -> None:
+        cols = (
+            [partition_cols]
+            if isinstance(partition_cols, str)
+            else list(partition_cols)
+        )
+        df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+    @staticmethod
+    def compact(
+        spark: SparkSession,
+        path: str,
+        target_partitions: int,
+        out_path: str,
+    ) -> None:
+        """Small-files compaction: rewrite a parquet directory into
+        ``target_partitions`` files. Streaming sinks and incremental
+        ingests accrete tiny files whose per-file open/footer cost
+        eventually dominates scans; periodic compaction is standard
+        table maintenance."""
+        spark.read.parquet(path).repartition(int(target_partitions)).write.mode(
+            "overwrite"
+        ).parquet(out_path)

@@ -253,3 +253,22 @@ def separator_ids(profiles: DataFrame) -> list[int]:
         .collect()
     )
     return [r["max_id"] for r in rows[:-1]]
+
+
+class ORCWrapper:
+    """ORC source — same melt path as ParquetWrapper; ORC ships in
+    Spark's default distribution with predicate pushdown and column
+    pruning, so existing ORC lakes load without conversion."""
+
+    @staticmethod
+    def load_profiles(
+        spark: SparkSession,
+        file_path: str,
+        start_id_from: int = 0,
+        real_id_field: str = "",
+        source_id: int = 0,
+    ) -> DataFrame:
+        df = spark.read.orc(file_path)
+        return DataFrameWrapper.load_profiles(
+            df, start_id_from, real_id_field, source_id
+        )

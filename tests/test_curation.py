@@ -165,3 +165,44 @@ def test_tfidf_top_terms(spark):
     # every doc gets at most k rows, ranks are 1..k
     for d, pairs in got.items():
         assert [p[0] for p in sorted(pairs)] == list(range(1, len(pairs) + 1))
+
+
+def test_pmi_collocations(spark):
+    import math
+
+    from sparker_spark.llm.text import Collocations
+
+    # 'x y' always co-occur (4 docs); 'x z' once; singles elsewhere
+    rows = [
+        (0, "x y a"), (1, "x y b"), (2, "x y c"), (3, "x y d"),
+        (4, "x z"), (5, "q r"), (6, "q s"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = Collocations.pmi_top(docs, min_pairs=2, k=5).collect()
+    top = out[0]
+    assert (top["t1"], top["t2"]) == ("x", "y")
+    # pmi(x,y) = ln(7 * 4 / (5 * 4))
+    assert top["pmi"] == pytest.approx(round(math.log(7 * 4 / 20), 6), abs=1e-9)
+    pairs = [(r["t1"], r["t2"]) for r in out]
+    assert ("x", "z") not in pairs  # below min_pairs
+
+
+def test_sliding_window_counts(spark):
+    import datetime as dt
+
+    from sparker_spark.rollup import SlidingWindows
+
+    t = dt.datetime(2026, 1, 1, 12, 7, 0)  # inside bucket 12:00
+    ev = spark.createDataFrame(
+        [(1, t, "click")], "event_id long, ts timestamp, event_type string"
+    )
+    got = sorted(
+        r["window_start"] for r in SlidingWindows.counts(ev).collect()
+    )
+    # one event -> exactly 4 overlapping 1h/15m windows
+    assert got == [
+        "2026-01-01 11:15:00",
+        "2026-01-01 11:30:00",
+        "2026-01-01 11:45:00",
+        "2026-01-01 12:00:00",
+    ]

@@ -48,3 +48,56 @@ def test_bucketed_roundtrip_values(spark, sf_dir, bucketed_tables):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     orig = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
     assert back == orig
+
+
+def test_orc_wrapper_matches_dataframe_wrapper(spark, tmp_path):
+    from sparker_spark.wrappers import DataFrameWrapper, ORCWrapper
+
+    df = spark.createDataFrame(
+        [("r1", "alice", "pdx"), ("r2", "bob", "sea")], ["rid", "name", "city"]
+    )
+    p = str(tmp_path / "orc_src")
+    df.write.orc(p)
+    via_orc = ORCWrapper.load_profiles(spark, p, real_id_field="rid")
+    direct = DataFrameWrapper.load_profiles(spark.read.orc(p), real_id_field="rid")
+    assert sorted(map(tuple, via_orc.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert via_orc.count() == 4  # 2 rows x 2 non-id attrs
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    from sparker_spark.sinks import PartitionedSink
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}", float(i)) for i in range(30)],
+        ["id", "source", "v"],
+    )
+    p = str(tmp_path / "part")
+    PartitionedSink.write(df, p, "source")
+    back = spark.read.parquet(p)
+    q = back.where("source = 'src1'")
+    assert q.count() == 10
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain(True)
+    plan = buf.getvalue()
+    # the predicate must prune DIRECTORIES, not filter rows post-scan
+    assert "PartitionFilters" in plan and "src1" in plan
+
+
+def test_compaction(spark, tmp_path):
+    from sparker_spark.sinks import PartitionedSink
+
+    src = str(tmp_path / "many")
+    spark.range(1000).repartition(64).write.parquet(src)
+    out = str(tmp_path / "few")
+    PartitionedSink.compact(spark, src, 4, out)
+    import glob
+
+    files = glob.glob(out + "/part-*")
+    assert len(files) == 4
+    assert spark.read.parquet(out).count() == 1000
