@@ -59,6 +59,13 @@ HEADLINE = [
     "quality_quantile",
     "tfidf_top_terms",
     "sample_stratified",
+    "events_decay",
+    "events_anomaly",
+    "event_transitions",
+    "funnel_latency",
+    "events_sliding",
+    "bloom_purchasers",
+    "token_pmi",
 ]
 
 

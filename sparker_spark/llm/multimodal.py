@@ -151,8 +151,61 @@ def decode_ppm(payload: bytes) -> list[float]:
     ]
 
 
+def decode_wav(payload: bytes) -> list[float]:
+    """Real (dependency-free) audio decoder for PCM WAV (RIFF).
+
+    Parses the RIFF/WAVE chunk structure — fmt (PCM code, channels,
+    sample rate, bits per sample) and data — and returns
+    ``[n_channels, sample_rate, duration_s, mean_abs_amplitude]`` with
+    amplitude normalized to [0, 1] (8-bit unsigned and 16-bit signed
+    little-endian PCM supported). The audio twin of decode_ppm: a real
+    codec through the same DecodeRegistry plug point.
+    """
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    bytes_per_sample = bits // 8
+    n_frames = len(data) // (bytes_per_sample * n_channels)
+    n_samples = n_frames * n_channels
+    if n_samples == 0:
+        return [float(n_channels), float(sample_rate), 0.0, 0.0]
+    total = 0.0
+    if bits == 8:  # unsigned, midpoint 128
+        for b in data[: n_samples]:
+            total += abs(b - 128) / 127.0
+    else:
+        for (v,) in struct.iter_unpack("<h", data[: 2 * n_samples]):
+            total += abs(v) / 32768.0
+    return [
+        float(n_channels),
+        float(sample_rate),
+        n_frames / float(sample_rate),
+        total / n_samples,
+    ]
+
+
 DecodeRegistry.register("", _fake_byte_histogram)  # default fallback
 DecodeRegistry.register("image/x-portable-pixmap", decode_ppm)
+DecodeRegistry.register("audio/wav", decode_wav)
 
 
 def extract_features(

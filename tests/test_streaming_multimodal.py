@@ -140,7 +140,7 @@ def test_windowed_event_counts(spark, tmp_path):
 def test_multimodal_extract_features(spark):
     rows = [
         (0, bytearray(b"\x00\x10\x20\x30"), "image/png"),
-        (1, bytearray(b"\xff" * 8), "audio/wav"),
+        (1, bytearray(b"\xff" * 8), "audio/ogg"),  # no registered codec -> histogram
     ]
     media = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
     out = {r["media_id"]: r for r in extract_features(media).collect()}
@@ -350,3 +350,41 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path, sf_dir):
     }
     assert got == expected
     assert any(c for (_, _, _, c) in got)  # split contains real overlaps
+
+
+def test_wav_decoder_end_to_end(spark):
+    """A real dependency-free audio codec through DecodeRegistry:
+    PCM WAV rows decode via RIFF chunk parse while other mimes keep
+    their registered behavior — mixed in one extract_features pass."""
+    import struct
+
+    # 16-bit mono 8000 Hz, 4 frames: 0, +16384, -16384, +32767
+    samples = [0, 16384, -16384, 32767]
+    data = b"".join(struct.pack("<h", v) for v in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rows = [
+        (0, bytearray(wav), "audio/wav"),
+        (1, bytearray(b"\x00\x10"), "application/octet-stream"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    ch, sr, dur, amp = out[0]["feature"]
+    assert (ch, sr) == (1.0, 8000.0)
+    assert dur == pytest.approx(4 / 8000.0)
+    want = (0 + 16384 / 32768 + 16384 / 32768 + 32767 / 32768) / 4
+    assert amp == pytest.approx(want)
+    assert len(out[1]["feature"]) == 16  # histogram fallback
+
+
+def test_wav_decoder_rejects_garbage():
+    from sparker_spark.llm.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS....")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
