@@ -37,17 +37,27 @@ class AsofJoin:
         tolerance_us: int | None = None,
         right_prefix: str = "r_",
         right_tiebreak: str | None = None,
+        direction: str = "backward",
     ) -> DataFrame:
-        """For each left row: the right row (same ``on`` key) with the
-        greatest ``right_ts`` <= ``left_ts``, or nulls if none (left
-        outer semantics). ``tolerance_us`` additionally nulls matches
-        older than the tolerance (microseconds). Right columns come
-        back prefixed with ``right_prefix``; the right timestamp as
+        """For each left row: the matching right row (same ``on`` key)
+        by ``direction`` — ``"backward"`` (default): greatest
+        ``right_ts`` <= ``left_ts``; ``"forward"``: smallest
+        ``right_ts`` >= ``left_ts``; ``"nearest"``: whichever of the
+        two is closer in time (exact tie -> the backward match) — or
+        nulls if none (left outer semantics, pandas merge_asof
+        parity). ``tolerance_us`` additionally nulls matches farther
+        than the tolerance (microseconds). Right columns come back
+        prefixed with ``right_prefix``; the right timestamp as
         ``{right_prefix}{right_ts}``. ``right_tiebreak`` names a right
         column that deterministically picks among right rows sharing
         the same (key, ts) — the row with the GREATEST tiebreak value
-        wins; without it that choice is partition-order dependent.
+        wins in every direction; without it that choice is
+        partition-order dependent. All directions cost the same ONE
+        shuffle on the key (nearest adds a second per-partition sort,
+        no extra exchange).
         """
+        if direction not in ("backward", "forward", "nearest"):
+            raise ValueError(f"invalid direction: {direction}")
         keys = [on] if isinstance(on, str) else list(on)
         lcols = [c for c in left.columns if c not in keys]
         rcols = [c for c in right.columns if c not in keys]
@@ -72,32 +82,73 @@ class AsofJoin:
             ).alias("_lrow"),
             rrow,
         )
-        order = [F.col("_ts"), F.col("_side")]
+        union = lunion.unionByName(runion)
+
+        # backward carry: right (side 0) sorts BEFORE left at equal ts,
+        # so a same-ts right row is inside the trailing window; the
+        # tiebreak orders ascending (last non-null = greatest wins).
+        # Left rows carry null there; the column only discriminates
+        # WITHIN a (ts, side) group, and left/right never share one.
+        border = [F.col("_ts"), F.col("_side")]
+        # forward carry: left must sort BEFORE right at equal ts so a
+        # same-ts right row is inside the leading window; tiebreak
+        # orders DESCENDING so first non-null = greatest wins.
+        forder = [F.col("_ts"), -F.col("_side")]
         if right_tiebreak is not None:
-            # right rows order ascending on the tiebreak (last one =
-            # greatest wins); left rows carry null there, but the
-            # column only discriminates WITHIN a (ts, side) group, and
-            # left/right rows never share one
-            order.append(F.col(f"_rrow.{right_tiebreak}"))
-        w = (
+            border.append(F.col(f"_rrow.{right_tiebreak}").asc())
+            forder.append(F.col(f"_rrow.{right_tiebreak}").desc())
+        wb = (
             Window.partitionBy(*keys)
-            .orderBy(*order)
+            .orderBy(*border)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        carried = lunion.unionByName(runion).withColumn(
-            "_last_r", F.last("_rrow", ignorenulls=True).over(w)
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy(*forder)
+            .rowsBetween(0, Window.unboundedFollowing)
         )
+
+        carried = union
+        picks = {}
+        if direction in ("backward", "nearest"):
+            carried = carried.withColumn(
+                "_back_r", F.last("_rrow", ignorenulls=True).over(wb)
+            )
+            picks["_back_r"] = F.unix_micros(F.col("_ts")) - F.unix_micros(
+                F.col("_back_r")[right_ts]
+            )
+        if direction in ("forward", "nearest"):
+            carried = carried.withColumn(
+                "_fwd_r", F.first("_rrow", ignorenulls=True).over(wf)
+            )
+            picks["_fwd_r"] = F.unix_micros(
+                F.col("_fwd_r")[right_ts]
+            ) - F.unix_micros(F.col("_ts"))
+
         out = carried.where(F.col("_side") == 1)
         if tolerance_us is not None:
-            too_old = (
-                F.unix_micros(F.col("_ts"))
-                - F.unix_micros(F.col("_last_r")[right_ts])
-            ) > F.lit(int(tolerance_us))
+            for col, dist in picks.items():
+                out = out.withColumn(
+                    col,
+                    F.when(dist > F.lit(int(tolerance_us)), F.lit(None)).otherwise(
+                        F.col(col)
+                    ),
+                )
+        if direction == "backward":
+            out = out.withColumn("_pick_r", F.col("_back_r"))
+        elif direction == "forward":
+            out = out.withColumn("_pick_r", F.col("_fwd_r"))
+        else:
+            back_d, fwd_d = picks["_back_r"], picks["_fwd_r"]
             out = out.withColumn(
-                "_last_r", F.when(too_old, F.lit(None)).otherwise(F.col("_last_r"))
+                "_pick_r",
+                F.when(F.col("_back_r").isNull(), F.col("_fwd_r"))
+                .when(F.col("_fwd_r").isNull(), F.col("_back_r"))
+                .when(fwd_d < back_d, F.col("_fwd_r"))
+                .otherwise(F.col("_back_r")),  # tie -> backward
             )
         return out.select(
             *keys,
             *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
-            *[F.col(f"_last_r.{c}").alias(f"{right_prefix}{c}") for c in rcols],
+            *[F.col(f"_pick_r.{c}").alias(f"{right_prefix}{c}") for c in rcols],
         )

@@ -178,6 +178,61 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# ------------------------------------------- nearest as-of join
+def q_events_asof_nearest(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sparker_spark.asof import AsofJoin
+    from sparker_spark.entry import _load_events
+
+    ev = _load_events(spark, sf_dir)
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.where("event_type = 'view'").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = AsofJoin.asof_join(
+        clicks,
+        views,
+        on="user_id",
+        right_prefix="view_",
+        right_tiebreak="event_id",
+        direction="nearest",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        "view_event_id",
+        "view_ts",
+        "view_value",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
+O_EVENTS_ASOF_NEAREST = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+views AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'view'),
+cand AS (
+  SELECT c.user_id, c.event_id, c.ts, c.value,
+         v.event_id AS view_event_id, v.ts AS view_ts, v.value AS view_value,
+         abs(epoch_us(c.ts) - epoch_us(v.ts)) AS dist,
+         CASE WHEN v.ts <= c.ts THEN 0 ELSE 1 END AS is_fwd
+  FROM clicks c LEFT JOIN views v USING (user_id)),
+ranked AS (
+  SELECT *, row_number() OVER
+            (PARTITION BY user_id, event_id
+             ORDER BY dist, is_fwd, view_event_id DESC) AS rn
+  FROM cand)
+SELECT user_id, event_id, ts, value, view_event_id, view_ts, view_value,
+       epoch_us(ts) - epoch_us(view_ts) AS gap_us
+FROM ranked WHERE rn = 1"""
+
+
 # ----------------------------------------------- PMI collocations
 PMI_MIN_PAIRS = 5
 PMI_K = 20
@@ -546,6 +601,7 @@ def r3e_queries() -> dict:
         "funnel_latency": q_funnel_latency,
         "token_pmi": q_token_pmi,
         "events_sliding": q_events_sliding,
+        "events_asof_nearest": q_events_asof_nearest,
     }
 
 
@@ -565,4 +621,5 @@ def r3e_oracles() -> dict:
         "funnel_latency": _o_funnel_latency(),
         "token_pmi": O_TOKEN_PMI,
         "events_sliding": O_EVENTS_SLIDING,
+        "events_asof_nearest": O_EVENTS_ASOF_NEAREST,
     }

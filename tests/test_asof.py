@@ -131,3 +131,78 @@ def test_asof_tolerance(spark):
     }
     # 10s-old match kept; 5min-old match nulled by the 60s tolerance
     assert out == {100: 7, 101: None}
+
+
+def test_asof_forward_and_nearest(spark):
+    import datetime as dt
+
+    from sparker_spark.asof import AsofJoin
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "L10"), (1, ts(50), "L50"), (2, ts(5), "Lx")],
+        "k long, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(8), "R8"), (1, ts(12), "R12"), (1, ts(100), "R100")],
+        "k long, ts timestamp, rv string",
+    )
+    fwd = {
+        (r["k"], r["lv"]): r["r_rv"]
+        for r in AsofJoin.asof_join(
+            left, right, on="k", direction="forward"
+        ).collect()
+    }
+    # L10 -> first right at/after t=10 is R12; L50 -> R100; k=2 -> none
+    assert fwd == {(1, "L10"): "R12", (1, "L50"): "R100", (2, "Lx"): None}
+
+    near = {
+        (r["k"], r["lv"]): r["r_rv"]
+        for r in AsofJoin.asof_join(
+            left, right, on="k", direction="nearest"
+        ).collect()
+    }
+    # L10: back R8 (d=2) vs fwd R12 (d=2) -> tie -> backward R8
+    # L50: back R12 (d=38) vs fwd R100 (d=50) -> R12
+    assert near == {(1, "L10"): "R8", (1, "L50"): "R12", (2, "Lx"): None}
+
+
+def test_asof_forward_tolerance_and_same_ts(spark):
+    import datetime as dt
+
+    from sparker_spark.asof import AsofJoin
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "L")], "k long, ts timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 1, "Rsame_a"), (1, ts(10), 2, "Rsame_b"), (1, ts(99), 3, "Rfar")],
+        "k long, ts timestamp, rid long, rv string",
+    )
+    # same-instant right row qualifies in forward mode; greatest
+    # tiebreak wins in every direction
+    got = AsofJoin.asof_join(
+        left, right, on="k", direction="forward", right_tiebreak="rid"
+    ).collect()[0]
+    assert got["r_rv"] == "Rsame_b"
+    # tolerance nulls the far match
+    far_left = spark.createDataFrame(
+        [(1, ts(20), "L2")], "k long, ts timestamp, lv string"
+    )
+    got2 = AsofJoin.asof_join(
+        far_left,
+        right.where("rid = 3"),
+        on="k",
+        direction="forward",
+        tolerance_us=1_000_000,
+    ).collect()[0]
+    assert got2["r_rv"] is None
