@@ -178,6 +178,80 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# --------------------------------------------- relational spine +
+def q_tpch_q6ish(spark, sf_dir):
+    """Q6 shape: scan-only filter + aggregate, the pure predicate-
+    pushdown probe (filters reach the parquet scan; exact-DECIMAL
+    revenue sum)."""
+    from pyspark.sql import functions as F
+
+    from sparker_spark.entry import load
+    from sparker_spark.rounding import rnd
+
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        rnd(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            ).cast("double"),
+            4,
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+O_TPCH_Q6ISH = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 24"""
+
+
+def q_tpch_q4ish(spark, sf_dir):
+    """Q4 shape: EXISTS decorrelated to a left-semi join with a
+    non-equi residual (late-shipped lineitem for the order)."""
+    from pyspark.sql import functions as F
+
+    from sparker_spark.entry import load
+
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+O_TPCH_Q4ISH = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority"""
+
+
 # ------------------------------------------- nearest as-of join
 def q_events_asof_nearest(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -602,6 +676,8 @@ def r3e_queries() -> dict:
         "token_pmi": q_token_pmi,
         "events_sliding": q_events_sliding,
         "events_asof_nearest": q_events_asof_nearest,
+        "tpch_q6ish": q_tpch_q6ish,
+        "tpch_q4ish": q_tpch_q4ish,
     }
 
 
@@ -622,4 +698,6 @@ def r3e_oracles() -> dict:
         "token_pmi": O_TOKEN_PMI,
         "events_sliding": O_EVENTS_SLIDING,
         "events_asof_nearest": O_EVENTS_ASOF_NEAREST,
+        "tpch_q6ish": O_TPCH_Q6ISH,
+        "tpch_q4ish": O_TPCH_Q4ISH,
     }
