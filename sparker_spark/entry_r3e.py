@@ -178,6 +178,91 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# ---------------------------------- streaming under the oracle gate
+STREAM_GAP = "30 minutes"
+STREAM_GAP_US = 30 * 60 * 1_000_000
+
+import itertools as _itertools
+
+_SINK_SEQ = _itertools.count()
+
+
+def q_stream_sessions(spark, sf_dir):
+    """A REAL Structured Streaming query under the value-hash gate:
+    applyInPandasWithState sessionization run with availableNow over
+    the events file, emitted rows compared against a batch SQL oracle.
+
+    Determinism contract: the watermark is set beyond the data's time
+    range so the event-time timeout never fires, making the emitted
+    set exactly "every session except each user's open last one" —
+    independent of micro-batch boundaries. total_value is a
+    sequential float64 sum over gap-bounded sessions of 2-dp values,
+    so rounding to 4 decimals equals the oracle's exact-DECIMAL sum.
+    """
+    from pyspark.sql import functions as F
+
+    from sparker_spark.rounding import rnd
+    from sparker_spark.streaming.incremental import streaming_sessionize
+
+    path = f"{sf_dir}/events.parquet"
+    # the file streaming source requires a DIRECTORY; stage the single
+    # testdata file into a temp dir (tiny at test SF; on a cluster the
+    # stream would point at the ingest directory to begin with)
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="stream_sessions_")
+    shutil.copy(path, f"{stage}/events.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(batch_schema).parquet(stage)
+    # the parquet ts is TIMESTAMP_NTZ; watermarks require session-TZ
+    # TimestampType (session TZ is pinned UTC, instant-preserving)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = streaming_sessionize(stream, gap=STREAM_GAP, watermark="3650 days")
+    # unique sink per invocation: a finished availableNow query leaves
+    # its memory table behind, and re-registering the same name in one
+    # session is an error
+    sink = f"stream_sessions_sink_{next(_SINK_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        rnd("total_value", 4).alias("total_value"),
+    )
+
+
+O_STREAM_SESSIONS = f"""
+WITH w AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > {STREAM_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM w),
+sess AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+           AS total_value,
+         max(sid) OVER (PARTITION BY user_id) AS last_sid
+  FROM s GROUP BY user_id, sid)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM sess WHERE sid < last_sid"""
+
+
 # --------------------------------------------- relational spine +
 def q_tpch_q6ish(spark, sf_dir):
     """Q6 shape: scan-only filter + aggregate, the pure predicate-
@@ -678,6 +763,7 @@ def r3e_queries() -> dict:
         "events_asof_nearest": q_events_asof_nearest,
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q4ish": q_tpch_q4ish,
+        "stream_sessions": q_stream_sessions,
     }
 
 
@@ -700,4 +786,5 @@ def r3e_oracles() -> dict:
         "events_asof_nearest": O_EVENTS_ASOF_NEAREST,
         "tpch_q6ish": O_TPCH_Q6ISH,
         "tpch_q4ish": O_TPCH_Q4ISH,
+        "stream_sessions": O_STREAM_SESSIONS,
     }
