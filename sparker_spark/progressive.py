@@ -159,7 +159,7 @@ class GSPSN:
         self.mini_batch = mini_batch
         self.queue: PriorityQueue = PriorityQueue()
         self._comparisons: DataFrame | None = None
-        self._cursor: tuple | None = None
+        self._rows_iter = None
         self._exhausted = False
 
     def compute_comparisons(self) -> DataFrame:
@@ -237,49 +237,41 @@ class GSPSN:
         )
 
     def initialize(self):
-        """Cache the comparison relation and pull the first page. Each
-        page is an ``orderBy(...).limit(mini_batch)`` — compiled to
-        TakeOrderedAndProject, a distributed partial top-k — after a
-        keyset-cursor filter (strictly after the last emitted
-        (weight desc, p1, p2) key), so the driver never holds more
-        than one page beyond what it already emitted. Cursor equality
-        on weight is exact: collected doubles round-trip bit-identical
-        through ``lit``."""
+        """Cache the comparison relation and pull the first page.
+        Pages stream from one globally-sorted local iterator (see
+        _refill), so the driver never holds more than one page beyond
+        what it already emitted and a full drain is one sort + one
+        scan."""
         self._comparisons = self.compute_comparisons().cache()
-        self._cursor = None
+        self._rows_iter = None
         self._exhausted = False
         self._refill()
 
     def _refill(self) -> bool:
+        """Pull the next ``mini_batch`` rows from ONE globally-sorted
+        pass over the comparison relation. ``toLocalIterator`` streams
+        the range-partitioned sort output partition-by-partition in
+        order, so a full drain costs one sort + one scan — the
+        keyset-cursor predecessor re-filtered and re-sorted the cached
+        relation once per page (O(pages × scan)). Emission order is
+        the identical total order (weight desc, p1, p2), so page size
+        remains observation-free."""
         if self._exhausted or self._comparisons is None:
             return False
-        df = self._comparisons
-        if self._cursor is not None:
-            w0, p1_, p2_ = self._cursor
-            df = df.where(
-                (F.col("weight") < F.lit(w0))
-                | (
-                    (F.col("weight") == F.lit(w0))
-                    & (
-                        (F.col("p1") > F.lit(p1_))
-                        | ((F.col("p1") == F.lit(p1_)) & (F.col("p2") > F.lit(p2_)))
-                    )
-                )
+        if self._rows_iter is None:
+            self._rows_iter = (
+                self._comparisons.orderBy(F.col("weight").desc(), "p1", "p2")
+                .toLocalIterator(prefetchPartitions=True)
             )
-        rows = (
-            df.orderBy(F.col("weight").desc(), "p1", "p2")
-            .limit(self.mini_batch)
-            .collect()
-        )
-        if not rows:
+        n = 0
+        for r in self._rows_iter:
+            self.queue.put((-r["weight"], r["p1"], r["p2"]))
+            n += 1
+            if n >= self.mini_batch:
+                break
+        if n == 0:
             self._exhausted = True
             return False
-        for r in rows:
-            self.queue.put((-r["weight"], r["p1"], r["p2"]))
-        last = rows[-1]
-        self._cursor = (last["weight"], last["p1"], last["p2"])
-        if len(rows) < self.mini_batch:
-            self._exhausted = True
         return True
 
     def get_next(self):
