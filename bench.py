@@ -278,10 +278,55 @@ def pipeline_curation_e2e(spark, sf_dir):
     return deduped.join(clean, "doc_id", "left_semi").select("doc_id", "text")
 
 
+def pipeline_events_e2e(spark, sf_dir):
+    """Event-analytics end-to-end: one cached scan of the events table
+    feeds sessionization, the strict-order funnel, day-cohort
+    retention, the per-user decay score, hourly anomaly z-scores, and
+    the Markov transition matrix; the result is the per-user
+    engagement report an analytics warehouse would serve. Every stage
+    is a window or hash aggregate over the SAME cached relation — the
+    scan and the shuffle-by-user are paid once across the per-user
+    stages."""
+    from pyspark.sql import functions as F
+
+    from sparker_spark.entry import QUERIES, _load_events
+    from sparker_spark.funnel import Anomaly, Decay, Funnel, Transitions
+
+    ev = _load_events(spark, sf_dir).cache()
+    steps = ["view", "click", "signup", "purchase"]
+
+    sessions = QUERIES["events_sessionize"](spark, sf_dir)
+    per_user_sessions = sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )
+    stage = Funnel.step_times(ev, steps).select(
+        "user_id",
+        sum(
+            F.when(F.col(f"t{i + 1}").isNotNull(), 1).otherwise(0)
+            for i in range(len(steps))
+        ).alias("funnel_stage"),
+    )
+    decay = Decay.decayed_value(ev, 7 * 86400.0).select(
+        "user_id", "decayed_value"
+    )
+    report = (
+        per_user_sessions.join(stage, "user_id", "left")
+        .join(decay, "user_id", "left")
+        .fillna({"funnel_stage": 0})
+    )
+    # corpus-level companions: counts force their plans
+    n_anom = Anomaly.hourly_zscores(ev).where("is_anomaly").count()
+    n_trans = Transitions.event_transitions(ev).count()
+    return report.withColumn("n_anomalous_hours", F.lit(n_anom)).withColumn(
+        "n_transition_kinds", F.lit(n_trans)
+    )
+
+
 PIPELINES = {
     "pipeline_blast_e2e": pipeline_blast_e2e,
     "pipeline_gsmb_e2e": pipeline_gsmb_e2e,
     "pipeline_curation_e2e": pipeline_curation_e2e,
+    "pipeline_events_e2e": pipeline_events_e2e,
 }
 
 
