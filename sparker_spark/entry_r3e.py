@@ -38,9 +38,15 @@ at ER), so the DuckDB oracle SQL below is the ground-truth definition.
 
 from __future__ import annotations
 
+import itertools as _itertools
+
 from sparker_spark.llm.text import LANG_STOPWORDS
 
+_SINK_SEQ = _itertools.count()
+
 FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
+STREAM_GAP = "30 minutes"
+STREAM_GAP_US = 30 * 60 * 1_000_000
 HLL_P = 10
 QQ_FRAC = 0.25
 TFIDF_K = 3
@@ -178,13 +184,99 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# ------------------------------- built-in session_window parity
+def q_events_session_window(spark, sf_dir):
+    """Sessionization via Spark's BUILT-IN session_window (the
+    streaming-compatible gap window), next to the hand-rolled lag-rule
+    sessionizer (events_sessionize). Semantics note: session_window
+    starts a NEW session when the gap is >= the threshold (the lag
+    rule uses strictly >); the oracle replicates the built-in's rule.
+    """
+    from pyspark.sql import functions as F
+
+    from sparker_spark.entry import _load_events
+    from sparker_spark.rounding import rnd
+
+    ev = _load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            rnd(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+O_EVENTS_SESSION_WINDOW = f"""
+WITH w AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) >= {STREAM_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM w)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+FROM s GROUP BY user_id, sid"""
+
+
+# ---------------------------------------- ROLLUP / grouping sets
+def q_events_rollup_cube(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sparker_spark.entry import _load_events
+    from sparker_spark.rounding import rnd
+
+    ev = _load_events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").cast("long").alias("n"),
+            rnd(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "gid",
+            "n",
+            "total_value",
+        )
+    )
+
+
+O_EVENTS_ROLLUP = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(day, 'ALL') AS day,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day) AS INTEGER) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+GROUP BY ROLLUP (event_type, day)"""
+
+
 # ---------------------------------- streaming under the oracle gate
-STREAM_GAP = "30 minutes"
-STREAM_GAP_US = 30 * 60 * 1_000_000
-
-import itertools as _itertools
-
-_SINK_SEQ = _itertools.count()
 
 
 def q_stream_sessions(spark, sf_dir):
@@ -764,6 +856,8 @@ def r3e_queries() -> dict:
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q4ish": q_tpch_q4ish,
         "stream_sessions": q_stream_sessions,
+        "events_session_window": q_events_session_window,
+        "events_rollup_cube": q_events_rollup_cube,
     }
 
 
@@ -787,4 +881,6 @@ def r3e_oracles() -> dict:
         "tpch_q6ish": O_TPCH_Q6ISH,
         "tpch_q4ish": O_TPCH_Q4ISH,
         "stream_sessions": O_STREAM_SESSIONS,
+        "events_session_window": O_EVENTS_SESSION_WINDOW,
+        "events_rollup_cube": O_EVENTS_ROLLUP,
     }
