@@ -184,6 +184,38 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# --------------------------------------- PageRank over dedup graph
+PR_DAMPING = 0.85
+PR_ITER = 5
+
+
+def q_pagerank_dedup(spark, sf_dir):
+    """Fixed-iteration PageRank over the n-gram-Jaccard near-dup
+    graph: node centrality identifies the 'canonical-est' documents
+    inside duplicate clusters."""
+    from sparker_spark.entry import JACCARD_T, SHINGLE, load
+    from sparker_spark.graph import PageRank
+    from sparker_spark.llm.dedup import Dedup
+
+    edges = Dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), SHINGLE, JACCARD_T
+    ).select("p1", "p2")
+    return PageRank.run(edges, PR_DAMPING, PR_ITER).withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
+def _o_pagerank_dedup() -> str:
+    from sparker_spark.entry import O_DEDUP_NGRAM_JACCARD
+    from sparker_spark.graph import PageRank
+
+    edges_cte = f"SELECT p1, p2 FROM ({O_DEDUP_NGRAM_JACCARD})"
+    sql = PageRank.duck_sql(edges_cte, PR_DAMPING, PR_ITER)
+    return sql.replace(
+        "SELECT node, round(pr,", "SELECT node AS doc_id, round(pr,"
+    )
+
+
 # ------------------------------- built-in session_window parity
 def q_events_session_window(spark, sf_dir):
     """Sessionization via Spark's BUILT-IN session_window (the
@@ -858,6 +890,7 @@ def r3e_queries() -> dict:
         "stream_sessions": q_stream_sessions,
         "events_session_window": q_events_session_window,
         "events_rollup_cube": q_events_rollup_cube,
+        "pagerank_dedup": q_pagerank_dedup,
     }
 
 
@@ -883,4 +916,5 @@ def r3e_oracles() -> dict:
         "stream_sessions": O_STREAM_SESSIONS,
         "events_session_window": O_EVENTS_SESSION_WINDOW,
         "events_rollup_cube": O_EVENTS_ROLLUP,
+        "pagerank_dedup": _o_pagerank_dedup(),
     }

@@ -130,3 +130,129 @@ class ConnectedComponents:
             "cluster_size",
             (F.col("node") == F.col("component")).alias("is_canonical"),
         )
+
+
+class PageRank:
+    @staticmethod
+    def run(
+        edges: DataFrame,
+        damping: float = 0.85,
+        iterations: int = 5,
+        undirected: bool = True,
+        ndigits: int = 6,
+    ) -> DataFrame:
+        """Fixed-iteration PageRank over an edge list (p1, p2):
+        pr_{t+1}(v) = (1-d)/N + d·Σ_{u->v} pr_t(u)/outdeg(u).
+
+        Each iteration is one join + one hash aggregate over the edge
+        relation — the standard scale-out plan (no driver state, no
+        per-node Python). ``undirected`` mirrors each edge so the walk
+        is symmetric (the near-dup graph case). Determinism: every
+        iteration's scores are rounded to ``ndigits + 4`` decimals
+        before the next propagation, so the fixed point of the
+        computation — and therefore the oracle replay — is exact
+        regardless of aggregation order, and the final output rounds
+        to ``ndigits``. Dangling nodes (no out-edges) keep only the
+        teleport term, matching the simple formulation the oracle
+        replays. Output: (node, pagerank)."""
+        from sparker_spark.rounding import rnd
+
+        d = float(damping)
+        if undirected:
+            directed = edges.select(
+                F.col("p1").alias("src"), F.col("p2").alias("dst")
+            ).unionByName(
+                edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+            )
+        else:
+            directed = edges.select(
+                F.col("p1").alias("src"), F.col("p2").alias("dst")
+            )
+        directed = directed.distinct().cache()
+        nodes = (
+            directed.select(F.col("src").alias("node"))
+            .unionByName(directed.select(F.col("dst").alias("node")))
+            .distinct()
+            .cache()
+        )
+        n = nodes.count()
+        outdeg = directed.groupBy("src").agg(F.count("*").alias("deg"))
+        base = (1.0 - d) / n
+        inter_digits = ndigits + 4
+        # initial score via the same floor-formula rounding the oracle
+        # uses (Python's round() is banker's — would diverge at .5)
+        scale = float(10 ** inter_digits)
+        import math
+
+        pr = nodes.withColumn(
+            "pr", F.lit(math.floor((1.0 / n) * scale + 0.5) / scale)
+        )
+        for _ in range(int(iterations)):
+            contrib = (
+                directed.join(pr, directed.src == pr.node)
+                .join(outdeg, "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("pr") / F.col("deg")).alias("c"),
+                )
+                .groupBy("node")
+                # exact DECIMAL sum of pre-rounded terms: aggregation
+                # order cannot change the total (same trick as Decay)
+                .agg(
+                    F.sum(
+                        rnd(F.col("c"), inter_digits).cast("decimal(30,12)")
+                    ).cast("double").alias("in_sum")
+                )
+            )
+            pr = nodes.join(contrib, "node", "left").select(
+                "node",
+                rnd(
+                    F.lit(base) + F.lit(d) * F.coalesce("in_sum", F.lit(0.0)),
+                    inter_digits,
+                ).alias("pr"),
+            )
+            pr = pr.localCheckpoint(eager=False)
+        return pr.select("node", rnd("pr", ndigits).alias("pagerank"))
+
+    @staticmethod
+    def duck_sql(
+        edges_cte: str,
+        damping: float = 0.85,
+        iterations: int = 5,
+        ndigits: int = 6,
+    ) -> str:
+        """Unrolled-CTE DuckDB replay of run(undirected=True) over an
+        edge CTE named ``e(p1, p2)``."""
+        d = float(damping)
+        inter = ndigits + 4
+        parts = [
+            f"e AS ({edges_cte})",
+            "dir AS (SELECT p1 AS src, p2 AS dst FROM e"
+            " UNION SELECT p2, p1 FROM e)",
+            "nodes AS (SELECT DISTINCT src AS node FROM dir"
+            " UNION SELECT DISTINCT dst FROM dir)",
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM (SELECT DISTINCT node FROM nodes))",
+            "outdeg AS (SELECT src, count(*) AS deg FROM dir GROUP BY src)",
+            f"pr0 AS (SELECT node, round(1.0 / n, {inter}) AS pr"
+            " FROM (SELECT DISTINCT node FROM nodes) CROSS JOIN nn)",
+        ]
+        for t in range(int(iterations)):
+            parts.append(
+                f"c{t} AS (SELECT dir.dst AS node,"
+                f" CAST(sum(CAST(round(pr{t}.pr / outdeg.deg, {inter})"
+                f" AS DECIMAL(30,12))) AS DOUBLE) AS in_sum"
+                f" FROM dir JOIN pr{t} ON dir.src = pr{t}.node"
+                f" JOIN outdeg ON dir.src = outdeg.src GROUP BY dir.dst)"
+            )
+            parts.append(
+                f"pr{t + 1} AS (SELECT nodes.node,"
+                f" round((1.0 - {d!r}) / nn.n"
+                f" + {d!r} * COALESCE(c{t}.in_sum, 0.0), {inter}) AS pr"
+                f" FROM (SELECT DISTINCT node FROM nodes) nodes"
+                f" CROSS JOIN nn LEFT JOIN c{t} ON nodes.node = c{t}.node)"
+            )
+        return (
+            "WITH " + ",\n".join(parts)
+            + f"\nSELECT node, round(pr, {ndigits}) AS pagerank"
+            f" FROM pr{int(iterations)}"
+        )

@@ -93,3 +93,55 @@ def test_cc_canonical_groups(spark):
 def test_cc_empty_edges(spark):
     edges = spark.createDataFrame([], "p1 long, p2 long")
     assert ConnectedComponents.run(edges).count() == 0
+
+
+def test_pagerank_star(spark):
+    from sparker_spark.graph import PageRank
+
+    # undirected star: center 0 <-> leaves 1..4; center must dominate
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], ["p1", "p2"]
+    )
+    pr = {r["node"]: r["pagerank"] for r in PageRank.run(edges).collect()}
+    assert len(pr) == 5
+    leaves = [pr[i] for i in range(1, 5)]
+    assert all(pr[0] > v for v in leaves)
+    assert max(leaves) - min(leaves) < 1e-9  # symmetric leaves tie
+    assert abs(sum(pr.values()) - 1.0) < 1e-3  # mass conserved
+
+
+def test_pagerank_matches_power_iteration_model(spark):
+    import math
+    import random
+
+    from sparker_spark.graph import PageRank
+
+    rng = random.Random(4)
+    edges = list({(a, b) for _ in range(40)
+                  for a, b in [sorted(rng.sample(range(12), 2))]})
+    df = spark.createDataFrame(edges, ["p1", "p2"])
+    got = {r["node"]: r["pagerank"] for r in PageRank.run(df).collect()}
+
+    # sequential model with the SAME per-iteration rounding contract
+    inter = 10
+    scale = 10.0 ** inter
+
+    def rnd(x):
+        return math.floor(x * scale + 0.5) / scale
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    n = len(nodes)
+    pr = {v: rnd(1.0 / n) for v in nodes}
+    for _ in range(5):
+        contrib = {v: 0.0 for v in nodes}
+        for u in nodes:
+            share = pr[u] / len(adj[u])
+            for v in adj[u]:
+                contrib[v] += rnd(share)
+        pr = {v: rnd((1.0 - 0.85) / n + 0.85 * contrib[v]) for v in nodes}
+    want = {v: math.floor(pr[v] * 1e6 + 0.5) / 1e6 for v in nodes}
+    assert got == want
