@@ -31,6 +31,24 @@ corpus-quality operators.
   * ``events_decay`` — per-user exponentially time-decayed value
     (funnel.py Decay): per-term rounding + exact DECIMAL summation
     makes the irrational-term sum order- and engine-invariant.
+  * ``events_anomaly`` — hourly rate z-scores from exact integer
+    window sums (funnel.py Anomaly).
+  * ``event_transitions`` / ``funnel_latency`` — first-order Markov
+    matrix and exact step-latency quantiles (funnel.py).
+  * ``token_pmi`` / ``events_sliding`` — document-level PMI
+    collocations (llm/text.py Collocations) and epoch-aligned
+    sliding-window counts (rollup.py SlidingWindows).
+  * ``events_asof_nearest`` — the as-of join's nearest direction
+    (asof.py), oracle = brute-force ranked candidates.
+  * ``tpch_q6ish`` / ``tpch_q4ish`` — scan-filter-aggregate and
+    EXISTS-as-residual-semi-join relational shapes.
+  * ``stream_sessions`` — the stateful STREAMING sessionizer run
+    with availableNow under the full value-hash gate (watermark
+    pinned past the data so the emitted set is batch-derivable).
+  * ``events_session_window`` / ``events_rollup_cube`` — built-in
+    session_window parity and ROLLUP grouping sets.
+  * ``pagerank_dedup`` — bit-reproducible fixed-iteration PageRank
+    over the near-dup graph (graph.py PageRank).
 
 The reference has no counterpart for any of these (its surface stops
 at ER), so the DuckDB oracle SQL below is the ground-truth definition.

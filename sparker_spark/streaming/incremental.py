@@ -497,3 +497,42 @@ def streaming_hll(
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def streaming_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key: str,
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner interval join: left rows pair with right
+    rows of the same key whose timestamp lies in
+    ``[left_ts - interval, left_ts]`` — "attach the recent right-side
+    context to each left event" as both sides flow.
+
+    Both sides carry watermarks, and the join condition range-bounds
+    the right timestamp, so Spark can size the join state: each side
+    buffers only rows younger than watermark + interval (the
+    documented state-cleanup contract for stream-stream joins). This
+    is the streaming twin of rangejoin.py's banded batch join; the
+    batch-parity test drives both over the same rows.
+    """
+    lw = left_stream.withWatermark(left_ts, watermark)
+    rw = right_stream.withWatermark(right_ts, watermark)
+    lcols = [F.col(f"l.{c}").alias(c) for c in left_stream.columns]
+    rcols = [
+        F.col(f"r.{c}").alias(c if c not in left_stream.columns else f"r_{c}")
+        for c in right_stream.columns
+        if c != key
+    ]
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {interval}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return lw.alias("l").join(rw.alias("r"), cond, "inner").select(
+        *lcols, *rcols
+    )

@@ -388,3 +388,43 @@ def test_wav_decoder_rejects_garbage():
         decode_wav(b"OggS....")
     with pytest.raises(ValueError):
         decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join == the batch join with the same
+    range condition over the same rows."""
+    import datetime as dt
+
+    from sparker_spark.streaming.incremental import streaming_interval_join
+
+    t0 = dt.datetime(2026, 2, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    clicks = [(1, ts(60), "c1"), (1, ts(200), "c2"), (2, ts(30), "c3")]
+    views = [
+        (1, ts(10), "v1"),   # 50 min before c1 -> joins c1
+        (1, ts(59), "v2"),   # joins c1
+        (1, ts(130), "v3"),  # 70 min before c2 -> outside 1h window
+        (1, ts(200), "v4"),  # same instant -> joins c2
+        (2, ts(100), "v5"),  # after c3 -> never
+    ]
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(clicks, "user_id long, ts timestamp, cid string").write.parquet(lp)
+    spark.createDataFrame(views, "user_id long, ts timestamp, vid string").write.parquet(rp)
+    ls = spark.readStream.schema("user_id long, ts timestamp, cid string").parquet(lp)
+    rs = spark.readStream.schema("user_id long, ts timestamp, vid string").parquet(rp)
+    out = streaming_interval_join(ls, rs, "user_id", "1 hour", "10 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["cid"], r["vid"]) for r in spark.sql("SELECT * FROM ivj").collect()
+    }
+    assert got == {("c1", "v1"), ("c1", "v2"), ("c2", "v4")}
