@@ -202,6 +202,35 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# ------------------------------------------- weighted sampling
+WSAMPLE_K = 50
+WSAMPLE_SEED = 3
+
+
+def q_sample_weighted(spark, sf_dir):
+    from sparker_spark.entry import load
+    from sparker_spark.llm.sampling import Sampling
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return Sampling.weighted_bottom_k(
+        docs, "doc_id", "n_chars", WSAMPLE_K, seed=WSAMPLE_SEED
+    )
+
+
+def _o_sample_weighted() -> str:
+    from sparker_spark.llm.sampling import _coord_sql
+
+    coord = _coord_sql("doc_id", WSAMPLE_SEED, "duck")
+    return f"""
+SELECT doc_id, n_chars,
+       round(pow({coord}, 1.0 / CAST(n_chars AS DOUBLE)), 12)
+         AS sample_rank_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY sample_rank_key DESC, doc_id ASC
+LIMIT {WSAMPLE_K}"""
+
+
 # --------------------------------------- PageRank over dedup graph
 PR_DAMPING = 0.85
 PR_ITER = 5
@@ -909,6 +938,7 @@ def r3e_queries() -> dict:
         "events_session_window": q_events_session_window,
         "events_rollup_cube": q_events_rollup_cube,
         "pagerank_dedup": q_pagerank_dedup,
+        "sample_weighted": q_sample_weighted,
     }
 
 
@@ -935,4 +965,5 @@ def r3e_oracles() -> dict:
         "events_session_window": O_EVENTS_SESSION_WINDOW,
         "events_rollup_cube": O_EVENTS_ROLLUP,
         "pagerank_dedup": _o_pagerank_dedup(),
+        "sample_weighted": _o_sample_weighted(),
     }

@@ -145,3 +145,37 @@ class Sampling:
             .where(F.col("sample_rank") <= int(k))
             .drop("_coord")
         )
+
+    @staticmethod
+    def weighted_bottom_k(
+        df: DataFrame,
+        key_col: str,
+        weight_col: str,
+        k: int,
+        seed: int = 0,
+        ndigits: int = 12,
+    ) -> DataFrame:
+        """Deterministic weighted sample WITHOUT replacement
+        (Efraimidis–Spirakis A-ES): each row gets rank key
+        u^(1/w) with u = the hash coordinate; the k LARGEST keys are
+        the sample, giving inclusion probability proportional to
+        weight — but, unlike weighted `DataFrame.sample`, as a pure
+        function of (key, weight, seed): stable across engines,
+        partitionings, and reruns, and mergeable (the global top-k of
+        shard-wise top-ks is the sample of the union). Rows with
+        non-positive weight are excluded. The rank key is rounded to
+        ``ndigits`` (ties then break on the key) so any engine orders
+        identically. Plans as TakeOrderedAndProject — per-partition
+        k-heap + k-row driver merge. Adds ``sample_rank_key``."""
+        r = F.pow(
+            Sampling.coord(key_col, seed),
+            F.lit(1.0) / F.col(weight_col).cast("double"),
+        )
+        scale = float(10 ** ndigits)
+        r_rounded = F.floor(r * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+        return (
+            df.where(F.col(weight_col) > 0)
+            .withColumn("sample_rank_key", r_rounded)
+            .orderBy(F.desc("sample_rank_key"), F.asc(key_col))
+            .limit(int(k))
+        )

@@ -328,3 +328,46 @@ def test_funnel_step_latency(spark):
     r = out[0]
     assert (r["step"], r["from_step"], r["to_step"], r["n"]) == (1, "view", "click", 2)
     assert r["q_5"] == 1200.0  # interpolated median of {600, 1800}
+
+
+def test_weighted_sample_matches_python_model(spark):
+    """The Efraimidis-Spirakis sample is a pure function of
+    (key, weight, seed): replicate the md5 coordinate + rank key in
+    plain Python and expect the exact same selection."""
+    import hashlib
+    import math
+
+    from sparker_spark.llm.sampling import Sampling
+
+    rows = [(i, (i % 9) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = [
+        (r["doc_id"], r["sample_rank_key"])
+        for r in Sampling.weighted_bottom_k(df, "doc_id", "w", 20, seed=3).collect()
+    ]
+
+    def coord(key):
+        h = int(hashlib.md5(f"3|{key}".encode()).hexdigest()[:15], 16)
+        return h / float(1 << 60)
+
+    scale = 1e12
+    model = sorted(
+        (
+            (math.floor(coord(d) ** (1.0 / w) * scale + 0.5) / scale, -d)
+            for d, w in rows
+        ),
+        reverse=True,
+    )[:20]
+    want = [(-nd, r) for r, nd in model]
+    assert got == want
+
+
+def test_weighted_sample_biases_toward_heavy(spark):
+    from sparker_spark.llm.sampling import Sampling
+
+    # half the rows weight 1, half weight 50 -> heavy rows dominate
+    rows = [(i, 1) for i in range(500)] + [(1000 + i, 50) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = Sampling.weighted_bottom_k(df, "doc_id", "w", 100).collect()
+    heavy = sum(1 for r in got if r["doc_id"] >= 1000)
+    assert heavy > 80  # expectation ~98 of 100
