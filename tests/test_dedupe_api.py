@@ -57,3 +57,31 @@ def test_dedupe_column_subset_and_ngrams(people):
     )
     pairs = {tuple(sorted((r["id1"], r["id2"]))) for r in out.collect()}
     assert ("a3", "a4") in pairs  # identical names
+
+
+def test_dedupe_on_cora_recall(spark):
+    """The one-call wrapper on a REAL labeled dataset: dedupe() over
+    the reference's cora corpus must recover most groundtruth matches
+    (the same pipeline the parity suite verifies stage-by-stage)."""
+    import os
+
+    cora = "/root/reference/python/datasets/dirty/cora/cora.csv"
+    gt = "/root/reference/python/datasets/dirty/cora/groundtruth.csv"
+    if not os.path.exists(cora):
+        import pytest
+
+        pytest.skip("reference datasets not present")
+    df = spark.read.option("header", True).csv(cora)
+    # the dirty-datasets notebook params (purge 1.025, filter 0.8);
+    # 1.005 is the BLAST setting and over-purges cora's blocks
+    out = dedupe(df, "id", purge_smooth=1.025, filter_r=0.8)
+    pairs = {
+        tuple(sorted((r["id1"], r["id2"]))) for r in out.collect()
+    }
+    gt_pairs = {
+        tuple(sorted((r["id1"], r["id2"])))
+        for r in spark.read.option("header", True).csv(gt).collect()
+    }
+    hits = len(pairs & gt_pairs)
+    recall = hits / len(gt_pairs)
+    assert recall > 0.95  # measured 0.98 PC at these params
