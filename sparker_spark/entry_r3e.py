@@ -202,6 +202,38 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# ----------------------------------------- VariantType JSON path
+def q_events_json_variant(spark, sf_dir):
+    """Semi-structured aggregation through Spark 4's VariantType:
+    parse_json once, typed try_variant_get extraction — the
+    open-schema path (vs events_json_stats' get_json_object string
+    probing). avg is assembled from the exact integer sum."""
+    from pyspark.sql import functions as F
+
+    from sparker_spark.entry import _load_events
+    from sparker_spark.rounding import rnd
+
+    ev = _load_events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    per = ev.select("event_type", k.alias("k")).where(F.col("k").isNotNull())
+    return per.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        rnd(F.sum("k").cast("double") / F.count("*"), 6).alias("avg_k"),
+    )
+
+
+O_EVENTS_JSON_VARIANT = """
+WITH ex AS (
+  SELECT event_type, CAST(props ->> 'k' AS BIGINT) AS k FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       min(k) AS min_k, max(k) AS max_k,
+       round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS avg_k
+FROM ex WHERE k IS NOT NULL
+GROUP BY event_type"""
+
+
 # ------------------------------------------- weighted sampling
 WSAMPLE_K = 50
 WSAMPLE_SEED = 3
@@ -939,6 +971,7 @@ def r3e_queries() -> dict:
         "events_rollup_cube": q_events_rollup_cube,
         "pagerank_dedup": q_pagerank_dedup,
         "sample_weighted": q_sample_weighted,
+        "events_json_variant": q_events_json_variant,
     }
 
 
@@ -966,4 +999,5 @@ def r3e_oracles() -> dict:
         "events_rollup_cube": O_EVENTS_ROLLUP,
         "pagerank_dedup": _o_pagerank_dedup(),
         "sample_weighted": _o_sample_weighted(),
+        "events_json_variant": O_EVENTS_JSON_VARIANT,
     }
