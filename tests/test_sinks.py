@@ -101,3 +101,22 @@ def test_compaction(spark, tmp_path):
     files = glob.glob(out + "/part-*")
     assert len(files) == 4
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_tpch_q3_broadcasts_small_dim(spark):
+    """Join-strategy plan assertion: the BUILDING-segment customer
+    slice is small, so AQE/Catalyst must pick a broadcast hash join
+    somewhere in the q3 plan — a shuffle-everything plan here would be
+    the 100 TB red flag audit_plans can't see (it only checks nested
+    loops)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from sparker_spark.entry import QUERIES
+
+    df = QUERIES["tpch_q3"](spark, "/root/testdata/sf0.001")
+    df.collect()  # let AQE finalize the adaptive plan
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    assert "BroadcastHashJoin" in buf.getvalue()

@@ -428,3 +428,50 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         (r["cid"], r["vid"]) for r in spark.sql("SELECT * FROM ivj").collect()
     }
     assert got == {("c1", "v1"), ("c1", "v2"), ("c2", "v4")}
+
+
+def test_windowed_counts_drop_late_rows(spark, tmp_path):
+    """Watermark semantics: rows older than the watermark at their
+    arrival batch are dropped from windowed aggregation."""
+    import datetime as dt
+
+    from sparker_spark.streaming.incremental import windowed_event_counts
+
+    t0 = dt.datetime(2026, 4, 1)
+    early = [(1, t0 + dt.timedelta(hours=h), "click", 1.0) for h in range(5)]
+    # the watermark computed from a batch takes effect one batch
+    # LATER, so an on-time middle batch locks it in before the late
+    # row (6 h before t0) arrives in the third batch
+    middle = [(2, t0 + dt.timedelta(hours=5), "click", 1.0)]
+    late = [(9, t0 - dt.timedelta(hours=6), "click", 1.0)]
+    p = str(tmp_path / "ev")
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    import glob
+    import os
+    import time
+
+    now = time.time()
+    for i, rows in enumerate([early, middle, late]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(p)
+        newest = max(glob.glob(p + "/part-*"), key=os.path.getmtime)
+        os.utime(newest, (now - 60 + 10 * i, now - 60 + 10 * i))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    out = windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    starts = {
+        str(r["window_start"]) for r in spark.sql("SELECT * FROM late_drop").collect()
+    }
+    # the late row's window never appears; closed early windows do
+    assert "2026-03-31 18:00:00" not in starts
+    assert "2026-04-01 00:00:00" in starts
