@@ -55,26 +55,49 @@ class EdgeContext:
     num_blocks: int
     num_edges: int | None = None  # only computed for EJS
     _materialized: bool = False
+    # For SYMMETRIC weight types (w(src,dst) == w(dst,src): CBS, JS,
+    # ECBS, chi²), the canonical storage is the src <= dst base
+    # relation (undirected half + dirty self-loops); ``edges`` is then
+    # a view = base ∪ mirror(base half). ARCS/EJS are asymmetric in
+    # (src, dst) and keep the full directed relation.
+    _base: DataFrame | None = None
+
+    @staticmethod
+    def _directed_view(base: DataFrame) -> DataFrame:
+        half = base.where(F.col("src") < F.col("dst"))
+        mirrored = half.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "cbs",
+            "weight",
+        )
+        return base.unionByName(mirrored)
 
     def materialize(self) -> "EdgeContext":
-        """Checkpoint the directed edge relation once before
-        multi-consumer pruning. Every pruner reads ``edges`` from
-        several plan legs (thresholds / top-k / the p1<p2 half), and
-        Spark re-runs the Σ size² co-occurrence enumeration + shuffle
-        for each leg — exchange reuse does not survive AQE
-        re-optimization across those subtrees. Materializing costs one
-        write of the aggregated edge relation (|edges| rows, far
-        smaller than the enumeration) and cut the sf0.1 mega-block WNP
-        from 34 s to 16 s. Idempotent."""
+        """Checkpoint the edge relation once before multi-consumer
+        pruning. Every pruner reads ``edges`` from several plan legs
+        (thresholds / top-k / the p1<p2 half), and Spark re-runs the
+        Σ size² co-occurrence enumeration + shuffle for each leg —
+        exchange reuse does not survive AQE re-optimization across
+        those subtrees. Materializing costs one write of the
+        aggregated relation (cut the sf0.1 mega-block WNP from 34 s to
+        16 s). For symmetric weight types only the src <= dst BASE is
+        written — half the rows of the directed relation — and the
+        mirror is a cheap map over the checkpointed data. Idempotent."""
         if not self._materialized:
-            self.edges = self.edges.localCheckpoint(eager=True)
+            if self._base is not None:
+                self._base = self._base.localCheckpoint(eager=True)
+                self.edges = EdgeContext._directed_view(self._base)
+            else:
+                self.edges = self.edges.localCheckpoint(eager=True)
             self._materialized = True
         return self
 
     def half(self) -> DataFrame:
         """The undirected `p1 < p2` half (emit-once convention,
         common_node_pruning.py:139)."""
-        return self.edges.where(F.col("src") < F.col("dst")).select(
+        src_rel = self._base if self._base is not None else self.edges
+        return src_rel.where(F.col("src") < F.col("dst")).select(
             F.col("src").alias("p1"), F.col("dst").alias("p2"), "weight"
         )
 
@@ -85,6 +108,7 @@ class EdgeWeighting:
         blocks: BlockCollection,
         use_entropy: bool = False,
         num_blocks: int | None = None,
+        _parts: bool = False,
     ) -> DataFrame:
         """Directed co-occurrence pairs with shared-block aggregates:
         (src, dst, cbs[, entropy_sum]).
@@ -106,7 +130,7 @@ class EdgeWeighting:
             and not use_entropy
             and not blocks.clean
         ):
-            return EdgeWeighting._co_occurrence_bitmask(blocks)
+            return EdgeWeighting._co_occurrence_bitmask(blocks, _parts)
         a = blocks.assignments.select(
             F.col("block_id").alias("bid"),
             F.col("profile_id").alias("src"),
@@ -180,6 +204,21 @@ class EdgeWeighting:
         out_cols = ["src", "dst", "cbs"] + (
             ["entropy_sum"] if use_entropy else []
         )
+        if _parts:
+            half = half.select(*out_cols)
+            if blocks.clean:
+                return half, None
+            loop_aggs = [F.count("*").cast("double").alias("cbs")]
+            if use_entropy:
+                loop_aggs.append(F.sum("entropy").alias("entropy_sum"))
+            loops = (
+                a.select("src", *(["entropy"] if use_entropy else []))
+                .groupBy("src")
+                .agg(*loop_aggs)
+                .select(F.col("src"), F.col("src").alias("dst"), *out_cols[2:])
+                .select(*out_cols)
+            )
+            return half, loops
         mirrored = half.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), *out_cols[2:]
         )
@@ -200,7 +239,9 @@ class EdgeWeighting:
         return directed.unionByName(loops)
 
     @staticmethod
-    def _co_occurrence_bitmask(blocks: BlockCollection) -> DataFrame:
+    def _co_occurrence_bitmask(
+        blocks: BlockCollection, _parts: bool = False
+    ) -> DataFrame:
         """Mega-block fast path: <= 63 surviving blocks (dirty ER, no
         entropy) — block membership per profile fits ONE long bitmask
         (63, not 64: bit 63 of a signed long is the sign bit and
@@ -298,13 +339,15 @@ class EdgeWeighting:
                     F.expr("bit_count(m1 & m2)").cast("double").alias("cbs"),
                 )
             )
-        mirrored = half.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "cbs"
-        )
         loops = masks.select(
             F.col("pid").alias("src"),
             F.col("pid").alias("dst"),
             F.expr("bit_count(mask)").cast("double").alias("cbs"),
+        )
+        if _parts:
+            return half, loops
+        mirrored = half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cbs"
         )
         return half.unionByName(mirrored).unionByName(loops)
 
@@ -342,7 +385,26 @@ class EdgeWeighting:
             raise ValueError(f"invalid weight type: {weight_type}")
 
         num_blocks = blocks.meta.count()  # len(block_index)
-        co = EdgeWeighting.co_occurrence(blocks, use_entropy, num_blocks)
+        # Symmetric weights (w(src,dst) == w(dst,src)) are computed on
+        # the src <= dst base relation only — half the enumeration
+        # output ever gets weighted/materialized; the directed view
+        # mirrors it. ARCS (src-sided denominator) and EJS (asymmetric
+        # denominator + stats pre-pass over the directed relation)
+        # keep the full directed build.
+        symmetric = weight_type in (
+            WeightTypes.CBS,
+            WeightTypes.JS,
+            WeightTypes.ECBS,
+            WeightTypes.CHI_SQUARE,
+        )
+        base = None
+        if symmetric:
+            half, loops = EdgeWeighting.co_occurrence(
+                blocks, use_entropy, num_blocks, _parts=True
+            )
+            co = half if loops is None else half.unionByName(loops)
+        else:
+            co = EdgeWeighting.co_occurrence(blocks, use_entropy, num_blocks)
 
         sizes = EdgeWeighting.profile_num_blocks(profile_blocks_filtered)
         src_sz = sizes.select(
@@ -442,9 +504,19 @@ class EdgeWeighting:
                 weight = F.when(den > 0, js * F.log10(E / den)).otherwise(0.0)
             weight = F.coalesce(weight, F.lit(0.0))
 
-        edges = e.select("src", "dst", "cbs", weight.cast("double").alias("weight"))
+        weighted = e.select(
+            "src", "dst", "cbs", weight.cast("double").alias("weight")
+        )
+        if symmetric:
+            return EdgeContext(
+                edges=EdgeContext._directed_view(weighted),
+                weight_type=weight_type,
+                num_blocks=num_blocks,
+                num_edges=num_edges,
+                _base=weighted,
+            )
         return EdgeContext(
-            edges=edges,
+            edges=weighted,
             weight_type=weight_type,
             num_blocks=num_blocks,
             num_edges=num_edges,
