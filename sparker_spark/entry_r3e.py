@@ -202,6 +202,66 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# -------------------------------------- CM join-size estimation
+CMJ_W = 1024
+CMJ_D = 4
+
+
+def q_join_size_estimate(spark, sf_dir):
+    """Planning-time join-size diagnostics from sketches alone: the
+    CM inner product estimates |clicks join purchases on user_id|
+    without re-scanning either side; the exact size rides along."""
+    from pyspark.sql import functions as F
+
+    from sparker_spark.entry import _load_events
+    from sparker_spark.sketches import CountMinSketch, cm_inner_product
+
+    ev = _load_events(spark, sf_dir)
+    clicks = ev.where("event_type = 'click'").select("user_id")
+    buys = ev.where("event_type = 'purchase'").select("user_id")
+    sa = CountMinSketch.build(clicks, "user_id", CMJ_W, CMJ_D, portable=True)
+    sb = CountMinSketch.build(buys, "user_id", CMJ_W, CMJ_D, portable=True)
+    est = cm_inner_product(sa, sb)
+    exact = clicks.join(buys, "user_id").count()
+    return est.select(
+        "estimate",
+        F.lit(int(exact)).cast("long").alias("exact"),
+        (F.col("estimate") >= F.lit(int(exact))).alias("one_sided_holds"),
+    )
+
+
+def _o_join_size_estimate() -> str:
+    from sparker_spark.llm.hashing import minhash_coefficients
+    from sparker_spark.sketches import _portable_h31, portable_bucket_sql
+
+    coeffs = minhash_coefficients(CMJ_D, 1234)
+    h31 = _portable_h31("user_id", "duck")
+
+    def sketch(src_where: str) -> str:
+        rows = " UNION ALL ".join(
+            f"SELECT {j} AS j, {portable_bucket_sql(coeffs[j], CMJ_W, h31)} AS bucket"
+            f" FROM events WHERE {src_where}"
+            for j in range(CMJ_D)
+        )
+        return f"SELECT j, bucket, count(*) AS n FROM ({rows}) GROUP BY j, bucket"
+
+    return f"""
+WITH sa AS ({sketch("event_type = 'click'")}),
+sb AS ({sketch("event_type = 'purchase'")}),
+ip AS (
+  SELECT sa.j, sum(sa.n * sb.n) AS ip
+  FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
+  GROUP BY sa.j),
+est AS (SELECT CAST(min(ip) AS BIGINT) AS estimate FROM ip),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact
+  FROM (SELECT user_id FROM events WHERE event_type = 'click') c
+  JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') p
+    USING (user_id))
+SELECT estimate, exact, estimate >= exact AS one_sided_holds
+FROM est CROSS JOIN ex"""
+
+
 # ----------------------------------------- VariantType JSON path
 def q_events_json_variant(spark, sf_dir):
     """Semi-structured aggregation through Spark 4's VariantType:
@@ -972,6 +1032,7 @@ def r3e_queries() -> dict:
         "pagerank_dedup": q_pagerank_dedup,
         "sample_weighted": q_sample_weighted,
         "events_json_variant": q_events_json_variant,
+        "join_size_estimate": q_join_size_estimate,
     }
 
 
@@ -1000,4 +1061,5 @@ def r3e_oracles() -> dict:
         "pagerank_dedup": _o_pagerank_dedup(),
         "sample_weighted": _o_sample_weighted(),
         "events_json_variant": O_EVENTS_JSON_VARIANT,
+        "join_size_estimate": _o_join_size_estimate(),
     }

@@ -339,3 +339,23 @@ class BloomFilter:
             f"SELECT {b} AS bit FROM {table}" for b in bits
         )
         return f"SELECT DISTINCT bit FROM ({sel})"
+
+
+def cm_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame
+) -> DataFrame:
+    """Join-size estimation from two count-min sketches (same hash
+    family/width/depth): |A join B on k| = Σ_k fA(k)·fB(k) is
+    estimated by min over rows j of Σ_bucket nA·nB — the classic CM
+    inner product, one-sided (estimate >= truth) like point queries.
+    Both sketches are d·w-row relations, so this is a tiny join; the
+    use case is planning-time join-size diagnostics without scanning
+    either input again. Returns a single row (estimate BIGINT)."""
+    a = sketch_a.select("j", "bucket", F.col("n").alias("na"))
+    b = sketch_b.select("j", "bucket", F.col("n").alias("nb"))
+    return (
+        a.join(b, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("estimate"))
+    )

@@ -186,3 +186,34 @@ def test_bloom_matches_duckdb_replay(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_cm_inner_product_join_size(spark):
+    from sparker_spark.sketches import CountMinSketch, cm_inner_product
+
+    # left: keys 0..99 with freq 1; right: keys 50..149 freq 2
+    left = spark.range(100).selectExpr("CAST(id AS STRING) AS k")
+    right = (
+        spark.range(50, 150)
+        .selectExpr("CAST(id AS STRING) AS k")
+        .union(spark.range(50, 150).selectExpr("CAST(id AS STRING) AS k"))
+    )
+    true_size = left.join(right, "k").count()  # 50 keys x 1 x 2 = 100
+    assert true_size == 100
+    sa = CountMinSketch.build(left, "k", width=2048, depth=4)
+    sb = CountMinSketch.build(right, "k", width=2048, depth=4)
+    est = cm_inner_product(sa, sb).collect()[0]["estimate"]
+    # one-sided with small overestimate at this width
+    assert est >= true_size
+    assert est <= true_size * 1.5
+
+
+def test_cm_inner_product_disjoint(spark):
+    from sparker_spark.sketches import CountMinSketch, cm_inner_product
+
+    a = spark.range(0, 200).selectExpr("CAST(id AS STRING) AS k")
+    b = spark.range(10_000, 10_200).selectExpr("CAST(id AS STRING) AS k")
+    sa = CountMinSketch.build(a, "k", width=4096, depth=4)
+    sb = CountMinSketch.build(b, "k", width=4096, depth=4)
+    est = cm_inner_product(sa, sb).collect()[0]["estimate"]
+    assert est < 40  # disjoint keys: only hash-collision noise
