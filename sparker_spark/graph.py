@@ -176,6 +176,10 @@ class PageRank:
             .cache()
         )
         n = nodes.count()
+        if n == 0:  # empty graph: nothing to rank
+            return nodes.select(
+                F.col("node"), F.lit(0.0).alias("pagerank")
+            )
         outdeg = directed.groupBy("src").agg(F.count("*").alias("deg"))
         base = (1.0 - d) / n
         inter_digits = ndigits + 4

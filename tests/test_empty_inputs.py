@@ -133,3 +133,62 @@ def test_empty_round3_operators(spark):
     assert RollupCascade.cascade(ev, ["hour", "day"])["day"].count() == 0
     assert IncrementalBlocking.delta_pairs(keys, keys).count() == 0
     assert IncrementalBlocking.delta_cbs_edges(keys, keys, max_block_size=5).count() == 0
+
+
+def test_empty_event_analytics(spark):
+    from sparker_spark.funnel import Anomaly, Decay, Funnel, Retention, Transitions
+
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double"
+    )
+    assert Funnel.step_times(ev, ["view", "click"]).count() == 0
+    conv = {r["n_users"] for r in Funnel.conversion(ev, ["view", "click"]).collect()}
+    assert conv == {0}  # step rows exist, all zero
+    assert Retention.cohorts(ev).count() == 0
+    assert Transitions.event_transitions(ev).count() == 0
+    assert Anomaly.hourly_zscores(ev).count() == 0
+    assert Funnel.step_latency(ev, ["view", "click"], [0.5]).count() == 0
+    # decay needs a ref_ts when the frame is empty (max(ts) is null)
+    import datetime as dt
+
+    assert Decay.decayed_value(ev, 60.0, ref_ts=dt.datetime(2026, 1, 1)).count() == 0
+
+
+def test_empty_sketches(spark):
+    from sparker_spark.sketches import (
+        BloomFilter,
+        CountMinSketch,
+        HyperLogLog,
+        cm_inner_product,
+    )
+
+    empty = spark.createDataFrame([], "v string")
+    assert HyperLogLog.registers(empty, "v").count() == 0
+    # estimate over zero registers: one group-less row with m empties
+    est = HyperLogLog.estimate(HyperLogLog.registers(empty, "v")).collect()
+    assert len(est) == 1 and est[0]["n_registers"] == 0
+    bloom = BloomFilter.build(empty, "v")
+    assert bloom.count() == 0
+    probe = BloomFilter.contains(bloom, spark.createDataFrame([("x",)], "v string"), "v")
+    assert [r["maybe_present"] for r in probe.collect()] == [False]
+    cms = CountMinSketch.build(empty, "v")
+    assert cms.count() == 0
+    assert cm_inner_product(cms, cms).collect()[0]["estimate"] is None or \
+        cm_inner_product(cms, cms).collect()[0]["estimate"] == 0
+
+
+def test_empty_setjoin_sampling_pagerank(spark):
+    from sparker_spark.graph import PageRank
+    from sparker_spark.llm.sampling import Sampling
+    from sparker_spark.llm.setjoin import SetSimilarityJoin
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert SetSimilarityJoin.jaccard_prefix_join(docs, 0.5).count() == 0
+    df = spark.createDataFrame([], "doc_id long, w long")
+    assert Sampling.bottom_k(df, "doc_id", 5).count() == 0
+    assert Sampling.stratified_bottom_k(df, "doc_id", "w", 5).count() == 0
+    assert Sampling.weighted_bottom_k(df, "doc_id", "w", 5).count() == 0
+    edges = spark.createDataFrame([], "p1 long, p2 long")
+    # zero nodes: PageRank has nothing to rank
+    assert PageRank.run(edges).count() == 0
