@@ -66,6 +66,14 @@ HEADLINE = [
     "events_sliding",
     "bloom_purchasers",
     "token_pmi",
+    "events_asof_nearest",
+    "events_session_window",
+    "events_rollup_cube",
+    "tpch_q6ish",
+    "tpch_q4ish",
+    "sample_weighted",
+    "events_json_variant",
+    "join_size_estimate",
 ]
 
 
@@ -245,6 +253,16 @@ def pipeline_curation_e2e(spark, sf_dir):
     docs = corpus.where("split = 'train'").drop("split")
     eval_docs = corpus.where("split = 'eval'").drop("split")
 
+    # PII scrub first: counts + typed placeholders before any stage
+    # sees the text (order matters in a real pipeline — redacted text
+    # is what gets deduped and shipped)
+    from sparker_spark.llm.curation import Redaction
+
+    docs = (
+        Redaction.redact_pii(docs)
+        .drop("text")
+        .withColumnRenamed("redacted_text", "text")
+    )
     quality = TextAnalysis.quality_score(docs).select("doc_id", "quality_score")
     rep = RepetitionStats.ngram_stats(docs, 2).select(
         "doc_id", "top_ngram_frac", "dup_ngram_frac"
