@@ -49,6 +49,12 @@ corpus-quality operators.
     session_window parity and ROLLUP grouping sets.
   * ``pagerank_dedup`` — bit-reproducible fixed-iteration PageRank
     over the near-dup graph (graph.py PageRank).
+  * ``sample_weighted`` — Efraimidis–Spirakis weighted sampling
+    without replacement (llm/sampling.py weighted_bottom_k).
+  * ``events_json_variant`` — Spark-4 VariantType open-schema JSON
+    aggregation (parse_json + typed try_variant_get).
+  * ``join_size_estimate`` — count-min inner-product join-size
+    estimation (sketches.cm_inner_product).
 
 The reference has no counterpart for any of these (its surface stops
 at ER), so the DuckDB oracle SQL below is the ground-truth definition.

@@ -44,7 +44,10 @@ def test_dedupe_clean_clean_cross_only(people, spark):
     assert ("a1", "b1") in got
 
 
-@pytest.mark.parametrize("pruning", ["wep", "cep", "cnp", "none"])
+# two representatives keep the composition covered without re-running
+# the full pipeline 4x — each pruner's semantics has its own oracle
+# query and unit suite
+@pytest.mark.parametrize("pruning", ["cep", "none"])
 def test_dedupe_pruner_matrix(people, pruning):
     out = dedupe(people, "rid", purge_smooth=None, pruning=pruning)
     assert {"id1", "id2", "weight"} == set(out.columns)
