@@ -208,6 +208,71 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# -------------------------------------------------- path mining
+PATH_LEN = 3
+PATH_K = 20
+
+
+def q_event_paths(spark, sf_dir):
+    from sparker_spark.entry import _load_events
+    from sparker_spark.funnel import Paths
+
+    return Paths.top_event_paths(_load_events(spark, sf_dir), PATH_LEN, PATH_K)
+
+
+O_EVENT_PATHS = f"""
+WITH seq AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER w AS b,
+         lead(event_type, 2) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+paths AS (
+  SELECT concat_ws(' > ', a, b, c) AS path,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE c IS NOT NULL GROUP BY 1),
+ranked AS (
+  SELECT path, n,
+         CAST(row_number() OVER (ORDER BY n DESC, path) AS INTEGER) AS rank
+  FROM paths)
+SELECT path, n, rank FROM ranked WHERE rank <= {PATH_K}"""
+
+
+# --------------------------------------------- data-quality scan
+def q_dq_events(spark, sf_dir):
+    from sparker_spark.entry import _load_events
+    from sparker_spark.stats import DataQuality
+
+    return DataQuality.report(
+        _load_events(spark, sf_dir),
+        not_null=["user_id", "event_type"],
+        unique=["event_id"],
+        ranges={"value": (0.0, 100.0)},
+    )
+
+
+O_DQ_EVENTS = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
+SELECT 'null:user_id' AS check,
+       (SELECT CAST(count(*) AS BIGINT) FROM events WHERE user_id IS NULL)
+         AS violations, n_rows FROM n
+UNION ALL
+SELECT 'null:event_type',
+       (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_type IS NULL),
+       n_rows FROM n
+UNION ALL
+SELECT 'range:value',
+       (SELECT CAST(count(*) AS BIGINT) FROM events
+        WHERE value IS NOT NULL AND (value < 0.0 OR value > 100.0)),
+       n_rows FROM n
+UNION ALL
+SELECT 'unique:event_id',
+       (SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT)
+        FROM (SELECT count(*) AS c FROM events GROUP BY event_id
+              HAVING count(*) > 1)),
+       n_rows FROM n"""
+
+
 # -------------------------------------- CM join-size estimation
 CMJ_W = 1024
 CMJ_D = 4
@@ -1039,6 +1104,8 @@ def r3e_queries() -> dict:
         "sample_weighted": q_sample_weighted,
         "events_json_variant": q_events_json_variant,
         "join_size_estimate": q_join_size_estimate,
+        "event_paths": q_event_paths,
+        "dq_events": q_dq_events,
     }
 
 
@@ -1068,4 +1135,6 @@ def r3e_oracles() -> dict:
         "sample_weighted": _o_sample_weighted(),
         "events_json_variant": O_EVENTS_JSON_VARIANT,
         "join_size_estimate": _o_join_size_estimate(),
+        "event_paths": O_EVENT_PATHS,
+        "dq_events": O_DQ_EVENTS,
     }

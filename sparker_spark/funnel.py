@@ -297,3 +297,40 @@ class Transitions:
             rnd(F.col("n") / F.sum("n").over(totals), 6).alias("p"),
         )
 
+
+
+class Paths:
+    @staticmethod
+    def top_event_paths(
+        events: DataFrame,
+        length: int = 3,
+        k: int = 20,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+        order_cols: tuple[str, ...] = ("event_id",),
+    ) -> DataFrame:
+        """Top-k most frequent consecutive event-type paths of
+        ``length`` steps (order-(length-1) sequence mining — the
+        generalization of the transition matrix). One window with
+        length-1 leads + one hash aggregate; ties break on the path
+        string so the top-k is deterministic. Output: (path, n,
+        rank)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+        cols = [F.col(type_col)] + [
+            F.lead(type_col, i).over(w) for i in range(1, int(length))
+        ]
+        paths = (
+            events.select(F.concat_ws(" > ", *cols).alias("path"),
+                          cols[-1].isNotNull().alias("_full"))
+            .where("_full")
+            .groupBy("path")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        ranked = paths.orderBy(F.desc("n"), F.asc("path")).limit(int(k))
+        w2 = Window.orderBy(F.desc("n"), F.asc("path"))
+        return ranked.withColumn(
+            "rank", F.row_number().over(w2).cast("int")
+        )

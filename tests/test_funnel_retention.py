@@ -371,3 +371,38 @@ def test_weighted_sample_biases_toward_heavy(spark):
     got = Sampling.weighted_bottom_k(df, "doc_id", "w", 100).collect()
     heavy = sum(1 for r in got if r["doc_id"] >= 1000)
     assert heavy > 80  # expectation ~98 of 100
+
+
+def test_top_event_paths(spark):
+    from sparker_spark.funnel import Paths
+
+    rows = [
+        (1, 1, ts(0), "a"), (2, 1, ts(1), "b"), (3, 1, ts(2), "c"),
+        (4, 1, ts(3), "a"), (5, 1, ts(4), "b"), (6, 1, ts(5), "c"),
+        (7, 2, ts(0), "a"), (8, 2, ts(1), "b"), (9, 2, ts(2), "c"),
+        (10, 3, ts(0), "x"), (11, 3, ts(1), "y"),  # too short for len 3
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {(r["path"], r["n"], r["rank"])
+           for r in Paths.top_event_paths(ev, 3, 5).collect()}
+    # 'a > b > c' occurs 3x (twice in u1's run, once in u2)
+    assert ("a > b > c", 3, 1) in got
+    assert not any(p.startswith("x") for p, _, _ in got)
+
+
+def test_dq_report(spark):
+    from sparker_spark.stats import DataQuality
+
+    rows = [
+        (1, "u", 5.0), (2, "u", 150.0), (2, None, None), (3, "v", -1.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, v double")
+    got = {
+        r["check"]: r["violations"]
+        for r in DataQuality.report(
+            df, not_null=["name"], unique=["id"], ranges={"v": (0.0, 100.0)}
+        ).collect()
+    }
+    assert got == {"null:name": 1, "range:v": 2, "unique:id": 1}
