@@ -208,6 +208,77 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# -------------------------------------------- frequent itemsets
+FPG_MIN_SUPPORT = 0.4
+FPG_MAX_SIZE = 3
+
+
+def q_frequent_itemsets(spark, sf_dir):
+    """MLlib FP-Growth over document token sets (the second pyspark.ml
+    integration next to the GSMB logistic regression): frequent
+    itemsets up to size 3 at 40% support, canonicalized (items sorted,
+    joined) so the output is engine-comparable. Downset-closure makes
+    the size cap lossless for the oracle: every subset of a frequent
+    set is frequent, so enumerating sizes 1-3 exactly matches the
+    filtered FP-Growth output."""
+    from pyspark.ml.fpm import FPGrowth
+    from pyspark.sql import functions as F
+
+    from sparker_spark.entry import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col("text")), "\\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("items"),
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=FPG_MIN_SUPPORT, minConfidence=0.9
+    ).fit(docs)
+    return (
+        model.freqItemsets.where(F.size("items") <= FPG_MAX_SIZE)
+        .select(
+            F.concat_ws(" ", F.array_sort("items")).alias("itemset"),
+            F.size("items").cast("int").alias("size"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+    )
+
+
+def _o_frequent_itemsets() -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> len(x) > 0)) AS tok
+        FROM documents)),
+nd AS (SELECT count(*) AS n FROM documents),
+s1 AS (
+  SELECT tok AS itemset, 1 AS size, count(*) AS freq
+  FROM toks GROUP BY tok),
+s2 AS (
+  SELECT concat_ws(' ', a.tok, b.tok) AS itemset, 2 AS size,
+         count(*) AS freq
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1),
+s3 AS (
+  SELECT concat_ws(' ', a.tok, b.tok, c.tok) AS itemset, 3 AS size,
+         count(*) AS freq
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  JOIN toks c ON a.doc_id = c.doc_id AND b.tok < c.tok
+  GROUP BY 1),
+allsets AS (
+  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+SELECT itemset, CAST(size AS INTEGER) AS size, CAST(freq AS BIGINT) AS freq
+FROM allsets CROSS JOIN nd
+WHERE freq >= ceil({FPG_MIN_SUPPORT!r} * n)"""
+
+
 # -------------------------------------------------- path mining
 PATH_LEN = 3
 PATH_K = 20
@@ -1106,6 +1177,7 @@ def r3e_queries() -> dict:
         "join_size_estimate": q_join_size_estimate,
         "event_paths": q_event_paths,
         "dq_events": q_dq_events,
+        "frequent_itemsets": q_frequent_itemsets,
     }
 
 
@@ -1137,4 +1209,5 @@ def r3e_oracles() -> dict:
         "join_size_estimate": _o_join_size_estimate(),
         "event_paths": O_EVENT_PATHS,
         "dq_events": O_DQ_EVENTS,
+        "frequent_itemsets": _o_frequent_itemsets(),
     }
