@@ -208,6 +208,83 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# --------------------------- streaming count-min under the gate
+SCM_W = 512
+SCM_D = 4
+
+
+def q_stream_countmin(spark, sf_dir):
+    """Second Structured Streaming query under the value-hash gate:
+    the continuously-maintained count-min counter table (cell-wise-sum
+    streaming aggregation, complete mode, state bounded at d x w rows)
+    after consuming the events file equals the batch sketch — which
+    the DuckDB oracle replays through the portable hash family."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparker_spark.llm.hashing import minhash_coefficients
+    from sparker_spark.sketches import _portable_h31, portable_bucket_sql
+
+    path = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="stream_cm_")
+    shutil.copy(path, f"{stage}/events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    coeffs = minhash_coefficients(SCM_D, 1234)
+    h31 = _portable_h31("user_id", "spark")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.expr(portable_bucket_sql(coeffs[j], SCM_W, h31))
+                    .cast("long")
+                    .alias("bucket"),
+                )
+                for j in range(SCM_D)
+            ]
+        )
+    ).alias("cell")
+    counters = (
+        stream.select(cells)
+        .groupBy(F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    sink = f"stream_cm_sink_{next(_SINK_SEQ)}"
+    q = (
+        counters.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        F.col("j").cast("int").alias("j"),
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _o_stream_countmin() -> str:
+    from sparker_spark.llm.hashing import minhash_coefficients
+    from sparker_spark.sketches import _portable_h31, portable_bucket_sql
+
+    coeffs = minhash_coefficients(SCM_D, 1234)
+    h31 = _portable_h31("user_id", "duck")
+    rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {portable_bucket_sql(coeffs[j], SCM_W, h31)} AS bucket"
+        f" FROM events"
+        for j in range(SCM_D)
+    )
+    return (
+        f"SELECT CAST(j AS INTEGER) AS j, bucket,"
+        f" CAST(count(*) AS BIGINT) AS n FROM ({rows}) GROUP BY j, bucket"
+    )
+
+
 # -------------------------------------------- frequent itemsets
 FPG_MIN_SUPPORT = 0.4
 FPG_MAX_SIZE = 3
@@ -1178,6 +1255,7 @@ def r3e_queries() -> dict:
         "event_paths": q_event_paths,
         "dq_events": q_dq_events,
         "frequent_itemsets": q_frequent_itemsets,
+        "stream_countmin": q_stream_countmin,
     }
 
 
@@ -1210,4 +1288,5 @@ def r3e_oracles() -> dict:
         "event_paths": O_EVENT_PATHS,
         "dq_events": O_DQ_EVENTS,
         "frequent_itemsets": _o_frequent_itemsets(),
+        "stream_countmin": _o_stream_countmin(),
     }
