@@ -88,3 +88,36 @@ def test_dedupe_on_cora_recall(spark):
     hits = len(pairs & gt_pairs)
     recall = hits / len(gt_pairs)
     assert recall > 0.95  # measured 0.98 PC at these params
+
+
+def test_dedupe_clean_clean_on_dblp_acm(spark):
+    """The wrapper's clean-clean mode on the reference's labeled
+    DblpAcm citation corpus: cross-frame matches only, recall above
+    the notebook's ballpark."""
+    import os
+
+    d1 = "/root/reference/python/datasets/clean/DblpAcm/dataset1.json"
+    d2 = "/root/reference/python/datasets/clean/DblpAcm/dataset2.json"
+    gt = "/root/reference/python/datasets/clean/DblpAcm/groundtruth.json"
+    if not os.path.exists(d1):
+        import pytest
+
+        pytest.skip("reference datasets not present")
+    f1 = spark.read.json(d1)
+    f2 = spark.read.json(d2)
+    out = dedupe(
+        f1, "realProfileID", df2=f2, purge_smooth=1.025, filter_r=0.8
+    )
+    pairs = {(r["id1"], r["id2"]) for r in out.collect()}
+    gt_pairs = {
+        (str(r["id1"]), str(r["id2"]))
+        for r in spark.read.json(gt).collect()
+    }
+    hits = len(pairs & gt_pairs)
+    recall = hits / len(gt_pairs)
+    assert recall > 0.9
+    # clean-clean: every emitted pair crosses the two frames (id
+    # spaces overlap numerically, so check against frame membership)
+    ids1 = {str(r["realProfileID"]) for r in f1.select("realProfileID").collect()}
+    ids2 = {str(r["realProfileID"]) for r in f2.select("realProfileID").collect()}
+    assert all(a in ids1 and b in ids2 for a, b in pairs)
