@@ -212,3 +212,47 @@ def test_pps_early_emissions_concentrate_matches_on_cora(spark):
     # the progressive schedule must beat random order by a wide margin
     assert early_rate > 5 * density, (early_rate, density)
     assert hits > 100
+
+
+def test_gspsn_early_emissions_concentrate_matches_on_cora(spark):
+    """Same progressive-quality property for the sorted-neighborhood
+    scheduler: early GSPSN emissions beat random-order density."""
+    import os
+
+    cora = "/root/reference/python/datasets/dirty/cora/cora.csv"
+    gt_path = "/root/reference/python/datasets/dirty/cora/groundtruth.csv"
+    if not os.path.exists(cora):
+        pytest.skip("reference datasets not present")
+
+    from sparker_spark.blocking.converters import Converters
+    from sparker_spark.blocking.strategies import BlockingKeysStrategies
+    from sparker_spark.wrappers import CSVWrapper
+
+    profiles = CSVWrapper.load_profiles(
+        spark, cora, header=True, real_id_field="id"
+    ).cache()
+    keys = BlockingKeysStrategies.token_blocking(profiles)
+    gt_raw = spark.read.option("header", True).csv(gt_path)
+    gt = Converters.convert_groundtruth(
+        gt_raw.withColumnRenamed("id1", "first_entity_id")
+        .withColumnRenamed("id2", "second_entity_id"),
+        profiles,
+    )
+    gt_set = {(r["p1"], r["p2"]) for r in gt.collect()}
+
+    g = GSPSN(keys.select("profile_id", "key"), max_window_size=2,
+              mini_batch=500)
+    g.initialize()
+    emitted = []
+    for _ in range(1000):
+        nxt = g.get_next()
+        if nxt == (-1, -1, -1):
+            break
+        emitted.append(nxt)
+    hits = sum(
+        1 for p1, p2, _ in emitted if (min(p1, p2), max(p1, p2)) in gt_set
+    )
+    n_profiles = profiles.select("profile_id").distinct().count()
+    density = len(gt_set) / (n_profiles * (n_profiles - 1) / 2.0)
+    early_rate = hits / max(len(emitted), 1)
+    assert early_rate > 20 * density, (early_rate, density)
