@@ -82,3 +82,65 @@ def test_hash60_and_affine_permutations_match(spark):
     for x, h, h31, p in drows:
         assert got[x] == (h, h31), x
         assert sperm[x] == p, x
+
+
+def test_hll_rho_and_bucket_match(spark):
+    """The HLL primitives — bucket = h60 % m and rho via length(bin())
+    — must agree bit-for-bit across engines on random strings."""
+    from sparker_spark.sketches import HyperLogLog, _portable_h60
+
+    rnd_ = random.Random(99)
+    vals = [f"v{rnd_.randrange(10**9)}" for _ in range(300)]
+    m = 1024
+    h_s = _portable_h60("v", "spark")
+    h_d = _portable_h60("v", "duck")
+    df = spark.createDataFrame([(v,) for v in vals], "v string").selectExpr(
+        "v",
+        f"({h_s} % {m}) AS bucket",
+        f"{HyperLogLog._rho_sql(f'({h_s} div {m})')} AS rho",
+    )
+    got = {r["v"]: (r["bucket"], r["rho"]) for r in df.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT v, ({h_d} % {m}),"
+            f" {HyperLogLog._rho_sql(f'({h_d} // {m})')} FROM t"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_weighted_rank_key_matches(spark):
+    """The Efraimidis-Spirakis rank key pow(coord, 1/w) rounded to 12
+    decimals must agree across engines on random (key, weight)."""
+    from sparker_spark.llm.sampling import _coord_sql
+
+    rnd_ = random.Random(7)
+    rows = [(rnd_.randrange(10**6), rnd_.randrange(1, 500)) for _ in range(300)]
+    cs = _coord_sql("k", 3, "spark")
+    cd = _coord_sql("k", 3, "duck")
+    scale = 1e12
+    df = spark.createDataFrame(rows, "k long, w long").selectExpr(
+        "k",
+        # CAST the scale: a bare 1e12-style literal parses as DECIMAL in
+        # Spark SQL (the library path uses typed double lits)
+        f"floor(pow({cs}, 1.0 / CAST(w AS DOUBLE))"
+        f" * CAST({scale!r} AS DOUBLE) + 0.5)"
+        f" / CAST({scale!r} AS DOUBLE) AS r",
+    )
+    got = {r["k"]: r["r"] for r in df.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    # duckdb surfaces the division as DECIMAL; compare as floats
+    want = {
+        r[0]: float(r[1])
+        for r in con.execute(
+            f"SELECT k, floor(pow({cd}, 1.0 / CAST(w AS DOUBLE)) * {scale!r}"
+            f" + 0.5) / {scale!r} FROM t"
+        ).fetchall()
+    }
+    assert got == want
