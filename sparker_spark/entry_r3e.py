@@ -208,6 +208,47 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# ------------------------------------ distributed global ranking
+def q_user_value_rank(spark, sf_dir):
+    """The distributed two-phase ranker (ranking.global_rank — range
+    partition + per-partition offsets, no single-partition window)
+    under the gate directly: dense global rank of users by total
+    event value."""
+    from pyspark.sql import functions as F
+
+    from sparker_spark.entry import _load_events
+    from sparker_spark.ranking import global_rank
+    from sparker_spark.rounding import rnd
+
+    ev = _load_events(spark, sf_dir)
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("_t")
+    )
+    ranked = global_rank(
+        totals.select(
+            "user_id", F.col("_t").cast("double").alias("total_value")
+        ),
+        ["total_value", "user_id"],
+        out="rank_asc",
+    )
+    return ranked.select(
+        "user_id",
+        rnd("total_value", 4).alias("total_value"),
+        (F.col("rank_asc") + 1).cast("long").alias("rank_asc"),
+    )
+
+
+O_USER_VALUE_RANK = """
+WITH t AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY user_id)
+SELECT user_id, round(total_value, 4) AS total_value,
+       CAST(row_number() OVER (ORDER BY total_value, user_id) AS BIGINT)
+         AS rank_asc
+FROM t"""
+
+
 # --------------------------- streaming count-min under the gate
 SCM_W = 512
 SCM_D = 4
@@ -1256,6 +1297,7 @@ def r3e_queries() -> dict:
         "dq_events": q_dq_events,
         "frequent_itemsets": q_frequent_itemsets,
         "stream_countmin": q_stream_countmin,
+        "user_value_rank": q_user_value_rank,
     }
 
 
@@ -1289,4 +1331,5 @@ def r3e_oracles() -> dict:
         "dq_events": O_DQ_EVENTS,
         "frequent_itemsets": _o_frequent_itemsets(),
         "stream_countmin": _o_stream_countmin(),
+        "user_value_rank": O_USER_VALUE_RANK,
     }
