@@ -208,6 +208,93 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# ------------------------------------------ within-session funnel
+def q_session_funnel(spark, sf_dir):
+    """Funnel conversion WITHIN sessions: all steps must occur in
+    strict order inside one 30-minute-gap session (the product-
+    analytics variant of the global funnel — a next-day purchase does
+    not convert). Composition: the lag-rule session id becomes part of
+    the funnel grouping key, then Funnel.step_times runs unchanged
+    with (user, session) as its unit. Output: (step, step_name,
+    n_sessions)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparker_spark.entry import _load_events
+    from sparker_spark.funnel import Funnel
+
+    ev = _load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_sid = ev.withColumn(
+        "_new",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > F.lit(STREAM_GAP_US)
+        ).cast("int"),
+    ).withColumn(
+        "usid",
+        F.concat_ws(
+            "#",
+            F.col("user_id"),
+            F.sum(F.coalesce("_new", F.lit(0))).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ),
+    )
+    st = Funnel.step_times(with_sid, FUNNEL_STEPS, user_col="usid")
+    counts = st.agg(
+        *[
+            F.count(f"t{i + 1}").alias(f"n{i + 1}")
+            for i in range(len(FUNNEL_STEPS))
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"n{i + 1}").alias("n_sessions"),
+            )
+            for i, s in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    return counts.select(F.explode(pairs).alias("r")).select(
+        "r.step", "r.step_name", "r.n_sessions"
+    )
+
+
+def _o_session_funnel() -> str:
+    ctes = [
+        f"""w AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > {STREAM_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)""",
+        """sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         concat_ws('#', user_id,
+                   sum(new_session) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)) AS usid
+  FROM w)""",
+        f"s1 AS (SELECT usid, min(ts) AS t FROM sess"
+        f" WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY usid)",
+    ]
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.usid, min(e.ts) AS t FROM sess e"
+            f" JOIN s{i - 1} p ON e.usid = p.usid AND e.ts > p.t"
+            f" WHERE e.event_type = '{step}' GROUP BY e.usid)"
+        )
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INTEGER) AS step, '{s}' AS step_name,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM s{i + 1}) AS n_sessions"
+        for i, s in enumerate(FUNNEL_STEPS)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
 # ------------------------------------ distributed global ranking
 def q_user_value_rank(spark, sf_dir):
     """The distributed two-phase ranker (ranking.global_rank — range
@@ -1298,6 +1385,7 @@ def r3e_queries() -> dict:
         "frequent_itemsets": q_frequent_itemsets,
         "stream_countmin": q_stream_countmin,
         "user_value_rank": q_user_value_rank,
+        "session_funnel": q_session_funnel,
     }
 
 
@@ -1332,4 +1420,5 @@ def r3e_oracles() -> dict:
         "frequent_itemsets": _o_frequent_itemsets(),
         "stream_countmin": _o_stream_countmin(),
         "user_value_rank": O_USER_VALUE_RANK,
+        "session_funnel": _o_session_funnel(),
     }
