@@ -1,7 +1,9 @@
-"""Ordered-step funnel analysis and cohort retention over an event
-stream — classic event-analytics operators the reference has no
-counterpart for (its surface stops at ER; SURVEY §2.11 notes the
-events extension surface), expressed as pure DataFrame plans.
+"""Event-analytics operators over an event stream — funnels (global
+and within-session), cohort retention, time-decayed activity scores,
+rate-anomaly z-scores, Markov transitions, and path mining: classic
+product-analytics operators the reference has no counterpart for (its
+surface stops at ER; SURVEY §2.11 notes the events extension
+surface), expressed as pure DataFrame plans.
 
 Scale posture (100 TB events):
 
