@@ -208,6 +208,51 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# --------------------------------- streaming HLL under the gate
+def q_stream_hll(spark, sf_dir):
+    """Third Structured Streaming query under the value-hash gate:
+    the continuously-maintained HLL register table (cell-wise-max
+    streaming aggregation, state bounded at 2^p rows) after consuming
+    the events file equals the batch registers, which the DuckDB
+    oracle replays through the portable md5/bin() formulas."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparker_spark.streaming.incremental import streaming_hll
+
+    path = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="stream_hll_")
+    shutil.copy(path, f"{stage}/events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    regs = streaming_hll(stream, "user_id", p=HLL_P)
+    sink = f"stream_hll_sink_{next(_SINK_SEQ)}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "bucket", F.col("r").cast("int").alias("r")
+    )
+
+
+def _o_stream_hll() -> str:
+    from sparker_spark.sketches import HyperLogLog, _portable_h60
+
+    m = 1 << HLL_P
+    h = _portable_h60("user_id", "duck")
+    rho = HyperLogLog._rho_sql(f"({h} // {m})")
+    return f"""
+SELECT ({h} % {m}) AS bucket, CAST(max({rho}) AS INTEGER) AS r
+FROM events GROUP BY 1"""
+
+
 # ------------------------------------------ within-session funnel
 def q_session_funnel(spark, sf_dir):
     """Funnel conversion WITHIN sessions: all steps must occur in
@@ -1386,6 +1431,7 @@ def r3e_queries() -> dict:
         "stream_countmin": q_stream_countmin,
         "user_value_rank": q_user_value_rank,
         "session_funnel": q_session_funnel,
+        "stream_hll": q_stream_hll,
     }
 
 
@@ -1421,4 +1467,5 @@ def r3e_oracles() -> dict:
         "stream_countmin": _o_stream_countmin(),
         "user_value_rank": O_USER_VALUE_RANK,
         "session_funnel": _o_session_funnel(),
+        "stream_hll": _o_stream_hll(),
     }
