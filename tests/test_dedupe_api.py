@@ -121,3 +121,19 @@ def test_dedupe_clean_clean_on_dblp_acm(spark):
     ids1 = {str(r["realProfileID"]) for r in f1.select("realProfileID").collect()}
     ids2 = {str(r["realProfileID"]) for r in f2.select("realProfileID").collect()}
     assert all(a in ids1 and b in ids2 for a, b in pairs)
+
+
+def test_dedupe_numeric_and_null_columns(spark):
+    """Arbitrary DataFrames include numeric and NULL-bearing columns;
+    the EAV melt stringifies values and drops empties, so dedupe()
+    must work unchanged."""
+    rows = [
+        ("n1", 42, 3.14, "acme corp"),
+        ("n2", 42, 3.14, "acme corp"),    # numeric+string dup of n1
+        ("n3", None, None, "solo widgets"),
+        ("n4", 7, 2.72, None),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "qty", "score", "vendor"])
+    out = dedupe(df, "rid", purge_smooth=None)
+    pairs = {tuple(sorted((r["id1"], r["id2"]))) for r in out.collect()}
+    assert ("n1", "n2") in pairs
