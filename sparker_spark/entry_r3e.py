@@ -208,6 +208,60 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# --------------------------------------- near-dup source matrix
+def q_dedup_source_matrix(spark, sf_dir):
+    """Corpus-governance report: which sources near-duplicate each
+    other — MinHash-LSH pairs joined back to the source column,
+    counted per unordered source pair. The answer to 'which crawls
+    should we stop ingesting' at fleet scale."""
+    from pyspark.sql import functions as F
+
+    from sparker_spark.entry import (
+        JACCARD_T,
+        MINHASH_BANDS,
+        MINHASH_K,
+        SHINGLE,
+        load,
+    )
+    from sparker_spark.llm.dedup import Dedup
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = Dedup.minhash_lsh_pairs(
+        docs, MINHASH_K, MINHASH_BANDS, SHINGLE, JACCARD_T
+    ).select("p1", "p2")
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("p1"), F.col("source").alias("s1")),
+            "p1",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("p2"), F.col("source").alias("s2")),
+            "p2",
+        )
+        .select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
+def _o_dedup_source_matrix() -> str:
+    from sparker_spark.entry import _o_dedup_minhash
+
+    return f"""
+WITH mh AS ({_o_dedup_minhash()}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM mh JOIN src a ON mh.p1 = a.doc_id JOIN src b ON mh.p2 = b.doc_id
+GROUP BY 1, 2"""
+
+
 # --------------------------------- streaming HLL under the gate
 def q_stream_hll(spark, sf_dir):
     """Third Structured Streaming query under the value-hash gate:
@@ -1432,6 +1486,7 @@ def r3e_queries() -> dict:
         "user_value_rank": q_user_value_rank,
         "session_funnel": q_session_funnel,
         "stream_hll": q_stream_hll,
+        "dedup_source_matrix": q_dedup_source_matrix,
     }
 
 
@@ -1468,4 +1523,5 @@ def r3e_oracles() -> dict:
         "user_value_rank": O_USER_VALUE_RANK,
         "session_funnel": _o_session_funnel(),
         "stream_hll": _o_stream_hll(),
+        "dedup_source_matrix": _o_dedup_source_matrix(),
     }
