@@ -208,6 +208,77 @@ SELECT s.doc_id, s.lang, s.quality_score, c.cutoff,
 FROM scores s JOIN cutoffs c USING (lang)"""
 
 
+# ------------------------------------------- CM heavy hitters
+CMH_W = 1024
+CMH_D = 4
+CMH_K = 10
+
+
+def q_cm_heavy_hitters(spark, sf_dir):
+    """The count-min sketch's primary workflow under the gate: build
+    the portable sketch over event user_ids, probe each candidate key
+    against it, rank by the (one-sided) estimate — heavy hitters with
+    the exact count alongside. Ties break on user_id so the top-k is
+    deterministic."""
+    from pyspark.sql import functions as F
+
+    from sparker_spark.entry import _load_events
+    from sparker_spark.sketches import CountMinSketch
+
+    ev = _load_events(spark, sf_dir)
+    sketch = CountMinSketch.build(
+        ev, "user_id", CMH_W, CMH_D, portable=True
+    )
+    users = ev.select("user_id").distinct()
+    est = CountMinSketch.estimate(
+        sketch, users, "user_id", CMH_W, CMH_D, portable=True
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            F.col("estimate").cast("long").alias("estimate"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            (F.col("estimate") >= F.col("exact_n")).alias("one_sided_holds"),
+        )
+        .orderBy(F.desc("estimate"), F.asc("user_id"))
+        .limit(CMH_K)
+    )
+
+
+def _o_cm_heavy_hitters() -> str:
+    from sparker_spark.llm.hashing import minhash_coefficients
+    from sparker_spark.sketches import _portable_h31, portable_bucket_sql
+
+    coeffs = minhash_coefficients(CMH_D, 1234)
+    h31 = _portable_h31("user_id", "duck")
+    cells = " UNION ALL ".join(
+        f"SELECT {j} AS j, {portable_bucket_sql(coeffs[j], CMH_W, h31)} AS bucket"
+        f" FROM events"
+        for j in range(CMH_D)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT user_id, {j} AS j,"
+        f" {portable_bucket_sql(coeffs[j], CMH_W, h31)} AS bucket FROM users"
+        for j in range(CMH_D)
+    )
+    return f"""
+WITH sk AS (SELECT j, bucket, count(*) AS n FROM ({cells}) GROUP BY j, bucket),
+users AS (SELECT DISTINCT user_id FROM events),
+probes AS ({probes}),
+est AS (
+  SELECT p.user_id, CAST(min(COALESCE(sk.n, 0)) AS BIGINT) AS estimate
+  FROM probes p LEFT JOIN sk ON p.j = sk.j AND p.bucket = sk.bucket
+  GROUP BY p.user_id),
+ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+       FROM events GROUP BY user_id)
+SELECT est.user_id, estimate, exact_n, estimate >= exact_n AS one_sided_holds
+FROM est JOIN ex USING (user_id)
+ORDER BY estimate DESC, user_id ASC
+LIMIT {CMH_K}"""
+
+
 # --------------------------------------- near-dup source matrix
 def q_dedup_source_matrix(spark, sf_dir):
     """Corpus-governance report: which sources near-duplicate each
@@ -1487,6 +1558,7 @@ def r3e_queries() -> dict:
         "session_funnel": q_session_funnel,
         "stream_hll": q_stream_hll,
         "dedup_source_matrix": q_dedup_source_matrix,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
     }
 
 
@@ -1524,4 +1596,5 @@ def r3e_oracles() -> dict:
         "session_funnel": _o_session_funnel(),
         "stream_hll": _o_stream_hll(),
         "dedup_source_matrix": _o_dedup_source_matrix(),
+        "cm_heavy_hitters": _o_cm_heavy_hitters(),
     }
