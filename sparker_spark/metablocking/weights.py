@@ -413,7 +413,14 @@ class EdgeWeighting:
         dst_sz = sizes.select(
             F.col("profile_id").alias("dst"), F.col("num_blocks").alias("dst_blocks")
         )
-        e = co.join(src_sz, "src").join(dst_sz, "dst")
+        if weight_type == WeightTypes.CBS:
+            # CBS is the raw co-occurrence count — |B(p)| never enters
+            # the formula, so the two per-profile-size joins are dead
+            # weight on this path. Skipping them keeps the CBS edge
+            # dump a pure enumerate→aggregate plan.
+            e = co
+        else:
+            e = co.join(src_sz, "src").join(dst_sz, "dst")
 
         ent = F.col("entropy_sum") if use_entropy else F.lit(1.0)
         cbs = F.col("cbs")
