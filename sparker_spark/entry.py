@@ -57,14 +57,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _doc_keys_unigram(spark, sf_dir) -> DataFrame:
     """documents -> (profile_id, source_id, key) unigram token keys."""
     docs = load(spark, sf_dir, "documents")
+    # doc_id is unique per row, so every duplicate (profile, key) pair
+    # is WITHIN one document — array_distinct before the explode
+    # dedupes in a narrow map stage; the full-relation distinct()
+    # (a shuffle over the exploded token set, the dominant cost of
+    # keygen) would produce the identical relation.
     return (
         docs.select(
             F.col("doc_id").alias("profile_id"),
             F.lit(0).alias("source_id"),
-            F.explode(F.split(F.lower("text"), "[^0-9a-z_]+")).alias("key"),
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), "[^0-9a-z_]+"))
+            ).alias("key"),
         )
         .where(F.length("key") > 0)
-        .distinct()
     )
 
 

@@ -39,16 +39,73 @@ class Dedup:
             )
         )
 
+    # candidate-blowup gate for the adaptive exact-Jaccard plan: route
+    # through the PPJoin prefix filter once the naive shared-shingle
+    # join would enumerate more than this many candidate rows per
+    # input shingle row
+    NAIVE_BLOWUP_FACTOR = 20.0
+
     @staticmethod
     def ngram_jaccard_pairs(
-        documents: DataFrame, shingle_size: int = 3, threshold: float = 0.2
+        documents: DataFrame,
+        shingle_size: int = 3,
+        threshold: float = 0.2,
+        plan: str = "auto",
     ) -> DataFrame:
-        """Exact n-gram Jaccard near-dup pairs: candidates = pairs
-        sharing >=1 shingle; jaccard = |∩| / (n1 + n2 − |∩|)."""
-        sh = shingle_hashes(documents, shingle_size).select("doc_id", "h")
+        """Exact n-gram Jaccard near-dup pairs:
+        jaccard = |∩| / (n1 + n2 − |∩|) over word-shingle hash sets.
+
+        ADAPTIVE plan choice (``plan="auto"``): the naive
+        shared-shingle equi-join enumerates Σ_h df_h·(df_h−1)/2
+        candidate rows — linear on flat shingle-frequency
+        distributions (two shuffles total, the fastest plan there)
+        but quadratic in the hottest shingle's df, which is exactly
+        the boilerplate-text regime of a large corpus. One cheap
+        aggregate over the per-shingle frequency relation measures
+        that sum; when it exceeds ``NAIVE_BLOWUP_FACTOR`` candidate
+        rows per input row, candidate generation is routed through
+        the PPJoin prefix filter (setjoin.prefix_jaccard_pairs),
+        whose join keys are only each document's rarest
+        ``n − ceil(t·n) + 1`` shingles — provably lossless at the
+        threshold, so BOTH plans produce the identical relation.
+        ``plan="naive"`` / ``plan="prefix"`` force a branch (tests
+        pin plan-equivalence through them)."""
+        t = float(threshold)
+        sh = shingle_hashes(documents, shingle_size).select(
+            "doc_id", F.col("h").alias("tok")
+        )
+        if plan == "auto":
+            stats = (
+                sh.groupBy("tok")
+                .agg(F.count("*").alias("df"))
+                .agg(
+                    F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("cand"),
+                    F.sum("df").alias("rows"),
+                )
+                .first()
+            )
+            cand = stats["cand"] or 0.0
+            rows = stats["rows"] or 1
+            plan = (
+                "prefix"
+                if cand > Dedup.NAIVE_BLOWUP_FACTOR * rows
+                else "naive"
+            )
+        if plan == "prefix":
+            from sparker_spark.llm.setjoin import SetSimilarityJoin
+
+            pairs = SetSimilarityJoin.prefix_jaccard_pairs(sh, t)
+            # re-apply the threshold on the ROUNDED value: the oracle
+            # compares rounded jaccard >= t, and a boundary pair must
+            # classify identically in both engines (floor-rounding
+            # never rounds up, so the unrounded >= t pre-filter inside
+            # the prefix join is lossless with respect to this one)
+            return pairs.select(
+                "p1", "p2", rnd("jaccard", 6).alias("jaccard")
+            ).where(F.col("jaccard") >= F.lit(t))
         counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        a = sh.select(F.col("doc_id").alias("p1"), "h")
-        b = sh.select(F.col("doc_id").alias("p2"), "h")
+        a = sh.select(F.col("doc_id").alias("p1"), F.col("tok").alias("h"))
+        b = sh.select(F.col("doc_id").alias("p2"), F.col("tok").alias("h"))
         common = (
             a.join(b, "h")
             .where(F.col("p1") < F.col("p2"))
@@ -66,12 +123,10 @@ class Dedup:
             )
             .withColumn(
                 "jaccard",
-                rnd(
-                    F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")), 6
-                ),
+                rnd(F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")), 6),
             )
         )
-        return j.where(F.col("jaccard") >= F.lit(float(threshold))).select(
+        return j.where(F.col("jaccard") >= F.lit(t)).select(
             "p1", "p2", "jaccard"
         )
 

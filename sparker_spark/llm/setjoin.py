@@ -43,28 +43,27 @@ class SetSimilarityJoin:
         )
 
     @staticmethod
-    def jaccard_prefix_join(
-        documents: DataFrame,
-        threshold: float,
-        text_col: str = "text",
-    ) -> DataFrame:
-        """All pairs (p1 < p2) with exact token-set Jaccard >=
-        ``threshold``: (p1, p2, inter, n1, n2, jaccard). Identical
-        output to the brute-force shared-token join — the prefix
-        filter only prunes candidates that cannot reach the
-        threshold."""
-        from sparker_spark.ranking import global_rank
-
+    def prefix_jaccard_pairs(toks: DataFrame, threshold: float) -> DataFrame:
+        """Exact Jaccard >= ``threshold`` pairs over ANY distinct
+        (doc_id, tok) relation — the PPJoin core shared by the
+        whitespace-token join below and the shingle-hash near-dup path
+        (Dedup.ngram_jaccard_pairs). Returns
+        (p1, p2, inter, n1, n2, jaccard) with jaccard UNROUNDED;
+        callers round for their oracle contract. Output is identical
+        to the brute-force shared-token join — the prefix filter only
+        prunes candidates that cannot reach the threshold."""
         t = float(threshold)
-        toks = SetSimilarityJoin.tokens(documents, text_col)
-        # ascending document frequency; token string breaks ties so the
-        # ordering (and therefore each prefix) is fully deterministic
+        # ascending document frequency; token value breaks ties so the
+        # ordering (and therefore each prefix) is fully deterministic.
+        # Prefix membership only depends on each document's OWN
+        # ordering of its tokens under the shared (df, tok) sort key —
+        # a per-document window, not a global rank: every doc applies
+        # the same total order, which is all the correctness argument
+        # (two sets at >= t share a prefix token under ANY common
+        # total order) requires.
         freq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-        ranked = global_rank(freq, ["df", "tok"], out="tok_rank").select(
-            "tok", "tok_rank"
-        )
-        ordered = toks.join(ranked, "tok")
-        w = Window.partitionBy("doc_id").orderBy("tok_rank")
+        ordered = toks.join(freq, "tok")
+        w = Window.partitionBy("doc_id").orderBy("df", "tok")
         sized = ordered.withColumn("pos", F.row_number().over(w)).withColumn(
             "n", F.count("*").over(Window.partitionBy("doc_id"))
         )
@@ -111,6 +110,20 @@ class SetSimilarityJoin:
                 F.col("inter").cast("long").alias("inter"),
                 F.col("n1").cast("long").alias("n1"),
                 F.col("n2").cast("long").alias("n2"),
-                rnd("jaccard", 6).alias("jaccard"),
+                "jaccard",
             )
+        )
+
+    @staticmethod
+    def jaccard_prefix_join(
+        documents: DataFrame,
+        threshold: float,
+        text_col: str = "text",
+    ) -> DataFrame:
+        """All pairs (p1 < p2) with exact whitespace-token-set Jaccard
+        >= ``threshold``: (p1, p2, inter, n1, n2, jaccard)."""
+        toks = SetSimilarityJoin.tokens(documents, text_col)
+        pairs = SetSimilarityJoin.prefix_jaccard_pairs(toks, threshold)
+        return pairs.select(
+            "p1", "p2", "inter", "n1", "n2", rnd("jaccard", 6).alias("jaccard")
         )

@@ -11,27 +11,31 @@ from sparker_spark.llm.hashing import MERSENNE_31, SPARK_HASH60
 
 
 def shingles(documents: DataFrame, shingle_size: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams of lowercased text."""
+    """(doc_id, shingle) — distinct word n-grams of lowercased text.
+
+    Distinctness is enforced with ``array_distinct`` BEFORE the
+    explode: doc_id is part of every output row, so all duplicate
+    (doc_id, shingle) pairs are within-document, and the per-row
+    dedup (a narrow map) replaces what would otherwise be a full
+    shuffle of the exploded shingle set. Callers passing a relation
+    with repeated doc_id rows must pre-dedupe documents.
+    """
     n = int(shingle_size)
-    return (
-        documents.select(
-            "doc_id",
-            F.split(F.lower(F.col("text")), "\\s+").alias("toks"),
-        )
-        .select(
-            "doc_id",
-            # guard: sequence(1, 0) would generate a DESCENDING [1, 0]
-            # in Spark, so short documents get an explicit empty array
-            F.explode(
-                F.expr(
-                    f"CASE WHEN size(toks) >= {n} THEN "
-                    f"transform(sequence(1, size(toks) - {n - 1}),"
-                    f" i -> concat_ws(' ', slice(toks, i, {n}))) "
-                    f"ELSE array() END"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
+    return documents.select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), "\\s+").alias("toks"),
+    ).select(
+        "doc_id",
+        # guard: sequence(1, 0) would generate a DESCENDING [1, 0]
+        # in Spark, so short documents get an explicit empty array
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN "
+                f"array_distinct(transform(sequence(1, size(toks) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(toks, i, {n})))) "
+                f"ELSE array() END"
+            )
+        ).alias("shingle"),
     )
 
 

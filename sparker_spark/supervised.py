@@ -20,8 +20,121 @@ from pyspark.sql import functions as F
 from sparker_spark import ranking
 from sparker_spark.ranking import global_topk
 
+# the notebook's feature set (examples/Generalized Supervised
+# Meta-blocking.ipynb: features_set) — all nine GSMB features
+DEFAULT_FEATURE_COLS = (
+    "cfibf", "raccb", "js", "numCompP1", "numCompP2", "rs", "aejs", "nrs", "wjs",
+)
+
 
 class SupervisedMB:
+    @staticmethod
+    def train_lr(
+        features: DataFrame,
+        feature_cols=DEFAULT_FEATURE_COLS,
+        label_col: str = "is_match",
+        samples_per_class: int = 20,
+        seed: int = 42,
+        max_iter: int = 1000,
+    ):
+        """Fit the GSMB logistic-regression edge classifier on a small
+        balanced labeled sample of the feature relation.
+
+        Mirrors the reference notebook's training stage
+        (examples/Generalized Supervised Meta-blocking.ipynb;
+        consumers supervised_metablocking.py:39-68) with two
+        deliberate differences: the per-class sample is DETERMINISTIC
+        (ordered by xxhash64(p1, p2, seed) instead of randomSplit
+        fractions, so reruns train on the identical rows), and the
+        sampled rows are collected to a driver-local relation before
+        fitting — LR runs ~max_iter jobs over its training set, and
+        fitting on the lazy limit-union would re-execute the
+        feature-generation lineage inside every one of them. The
+        sample is 2·samples_per_class rows by construction, so the
+        collect is a bounded driver scalar.
+
+        Returns the fitted ``LogisticRegressionModel``; pass it to
+        :meth:`score`.
+        """
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.feature import VectorAssembler
+
+        fcols = list(feature_cols)
+        spark = features.sparkSession
+        order = F.xxhash64("p1", "p2", F.lit(seed))
+        labeled = features.fillna(0, subset=fcols)
+        pos = (
+            labeled.where(F.col(label_col) == 1)
+            .orderBy(order)
+            .limit(int(samples_per_class))
+        )
+        neg = (
+            labeled.where(F.col(label_col) == 0)
+            .orderBy(order)
+            .limit(int(samples_per_class))
+        )
+        train_pd = (
+            pos.unionByName(neg).select(label_col, *fcols).toPandas()
+        )
+        if train_pd[label_col].nunique() < 2:
+            raise ValueError(
+                "training sample needs both classes; got only "
+                f"label={train_pd[label_col].unique().tolist()}"
+            )
+        va = VectorAssembler(inputCols=fcols, outputCol="features")
+        train = va.transform(spark.createDataFrame(train_pd).coalesce(1))
+        lr = LogisticRegression(
+            featuresCol="features",
+            labelCol=label_col,
+            maxIter=int(max_iter),
+        )
+        return lr.fit(train)
+
+    @staticmethod
+    def score(
+        features: DataFrame,
+        model,
+        feature_cols=DEFAULT_FEATURE_COLS,
+        keep_cols=("is_match",),
+    ) -> DataFrame:
+        """Score every candidate edge with the fitted classifier:
+        (p1, p2, p_match[, kept columns]) — the input relation every
+        pruner in this module consumes. ``p_match`` is the positive-
+        class probability (the notebook's get_p_match UDF, replaced by
+        the vectorized ``vector_to_array``)."""
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.ml.functions import vector_to_array
+
+        fcols = list(feature_cols)
+        va = VectorAssembler(inputCols=fcols, outputCol="features")
+        scored = model.transform(va.transform(features.fillna(0, subset=fcols)))
+        keep = [c for c in keep_cols if c in features.columns]
+        return scored.withColumn(
+            "p_match", vector_to_array("probability")[1]
+        ).select("p1", "p2", "p_match", *keep)
+
+    @staticmethod
+    def train_score(
+        features: DataFrame,
+        feature_cols=DEFAULT_FEATURE_COLS,
+        label_col: str = "is_match",
+        samples_per_class: int = 20,
+        seed: int = 42,
+        max_iter: int = 1000,
+    ) -> DataFrame:
+        """One-call train + score: the notebook's whole classifier
+        stage. Returns the scored edge relation ready for
+        blast/cep/wep/cnp/rcnp."""
+        model = SupervisedMB.train_lr(
+            features,
+            feature_cols=feature_cols,
+            label_col=label_col,
+            samples_per_class=samples_per_class,
+            seed=seed,
+            max_iter=max_iter,
+        )
+        return SupervisedMB.score(features, model, feature_cols=feature_cols)
+
     @staticmethod
     def bcl(edges: DataFrame) -> DataFrame:
         """Binary-classifier pruning (supervised_metablocking.py:8-13)."""

@@ -197,10 +197,6 @@ def test_supervised_pruners(spark):
 def test_supervised_pipeline_cora(spark, cora_features):
     """End-to-end GSMB: features -> logistic regression -> pruning ->
     PC/PQ sanity (SURVEY §3.3)."""
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.functions import vector_to_array
-
     from sparker_spark.blocking.converters import Converters
     from sparker_spark.evaluation import Evaluation
     from sparker_spark.wrappers import CSVWrapper as CW
@@ -218,23 +214,15 @@ def test_supervised_pipeline_cora(spark, cora_features):
         ),
     )
     fcols = ["cfibf", "raccb", "js", "rs", "aejs", "nrs", "wjs"]
-    va = VectorAssembler(inputCols=fcols, outputCol="features")
-    raw = feats.fillna(0).cache()
-    data = va.transform(raw)
-    # collect the tiny balanced sample (flat doubles, pre-assembler)
-    # and fit on a local relation: fitting on the lazy limit-union
-    # would re-run the feature-gen lineage inside every one of the
-    # ~100 LR iteration jobs
-    pos = raw.where("is_match = 1").limit(20)
-    neg = raw.where("is_match = 0").limit(20)
-    train_pd = pos.unionByName(neg).select("is_match", *fcols).toPandas()
-    train = va.transform(spark.createDataFrame(train_pd).coalesce(1))
-    lr = LogisticRegression(maxIter=100, labelCol="is_match")
-    model = lr.fit(train)
-    scored = model.transform(data).withColumn(
-        "p_match", vector_to_array("probability")[1]
+    raw = feats.cache()
+    # public training glue (train_lr + score): the notebook's whole
+    # classifier stage behind one call
+    model = SupervisedMB.train_lr(
+        raw, feature_cols=fcols, samples_per_class=20, max_iter=100
     )
-    pruned = SupervisedMB.blast(scored.select("p1", "p2", "p_match", "is_match"))
+    scored = SupervisedMB.score(raw, model, feature_cols=fcols)
+    assert set(scored.columns) == {"p1", "p2", "p_match", "is_match"}
+    pruned = SupervisedMB.blast(scored)
     stats = Evaluation.get_stats(pruned, gt)
     # sanity: the classifier-guided pruning keeps decent recall with far
     # fewer comparisons than the full pair set

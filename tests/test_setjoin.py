@@ -71,6 +71,38 @@ def test_prefix_join_lossless_random(spark, t):
     assert got == want
 
 
+def test_ngram_jaccard_plan_equivalence(spark):
+    """Dedup.ngram_jaccard_pairs must produce the identical relation
+    through both physical plans (naive shared-shingle join vs PPJoin
+    prefix filter), including on a corpus with a hot shared shingle,
+    and auto mode must route the hot corpus to the prefix plan."""
+    from sparker_spark.llm.dedup import Dedup
+
+    rnd = random.Random(7)
+    boiler = "the quick brown fox jumps over it"  # hot boilerplate
+    rows = []
+    for d in range(40):
+        tail = " ".join(rnd.sample([f"w{i}" for i in range(30)], 6))
+        rows.append((d, f"{boiler} {tail}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.2, 0.5):
+        naive = {
+            tuple(r)
+            for r in Dedup.ngram_jaccard_pairs(docs, 3, t, plan="naive").collect()
+        }
+        prefix = {
+            tuple(r)
+            for r in Dedup.ngram_jaccard_pairs(docs, 3, t, plan="prefix").collect()
+        }
+        auto = {
+            tuple(r)
+            for r in Dedup.ngram_jaccard_pairs(docs, 3, t, plan="auto").collect()
+        }
+        assert naive == prefix == auto, t
+        if t == 0.2:
+            assert naive  # the boilerplate guarantees pairs at 0.2
+
+
 def test_prefix_join_empty_and_single_token(spark):
     docs = spark.createDataFrame(
         [(0, ""), (1, "solo"), (2, "solo"), (3, "   ")], ["doc_id", "text"]
