@@ -72,7 +72,10 @@ def dedupe(
     clean = df2 is not None
     if clean:
         n1 = profiles.agg(F.max("profile_id")).first()[0]
-        profiles = profiles.unionByName(prep(df2, 1, int(n1) + 1))
+        # empty first frame: max() is NULL — start the second source's
+        # ids at 0 instead of raising on int(None)
+        start2 = int(n1) + 1 if n1 is not None else 0
+        profiles = profiles.unionByName(prep(df2, 1, start2))
     profiles = profiles.cache()
 
     if blocking == "token":

@@ -68,6 +68,27 @@ from sparker_spark.llm.text import LANG_STOPWORDS
 
 _SINK_SEQ = _itertools.count()
 
+
+def _await_stream(q, stage: str, timeout: int = 300) -> None:
+    """Drain an availableNow streaming query and clean up its staging
+    directory. awaitTermination(timeout) returns False on timeout —
+    ignoring that would read the memory sink while the query is still
+    running and turn a slow run into a nondeterministic value-hash
+    mismatch; raise a clear error instead. The staging dir is only
+    needed while the source is being consumed, so it is removed
+    unconditionally (the memory sink keeps its rows after the query
+    stops)."""
+    import shutil
+
+    try:
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query did not finish within {timeout}s"
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
 FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 STREAM_GAP = "30 minutes"
 STREAM_GAP_US = 30 * 60 * 1_000_000
@@ -361,7 +382,7 @@ def q_stream_hll(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, stage)
     return spark.table(sink).select(
         "bucket", F.col("r").cast("int").alias("r")
     )
@@ -558,7 +579,7 @@ def q_stream_countmin(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, stage)
     return spark.table(sink).select(
         F.col("j").cast("int").alias("j"),
         "bucket",
@@ -1010,7 +1031,7 @@ def q_stream_sessions(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, stage)
     return spark.table(sink).select(
         "user_id",
         "session_start",

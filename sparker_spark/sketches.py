@@ -319,10 +319,19 @@ class BloomFilter:
         seed: int = 1234,
     ) -> DataFrame:
         """Adds ``maybe_present``: true iff ALL k probed bits are set.
-        The filter side is <= m rows — broadcast-joined."""
+        The filter side is <= m rows — broadcast-joined.
+
+        Probes run over the DISTINCT values: with duplicate value rows
+        the per-value hit count would be dup_count·k and the ==k test
+        would report a false negative for a genuine member, violating
+        the no-false-negative contract. (Duplicate BITS within one
+        value's k probes are harmless either way: each exploded row
+        joins the bit set independently.)"""
         bits = BloomFilter._bit_cols(col, m, k, seed, "spark")
         arr = F.array(*[F.expr(b).cast("long") for b in bits])
-        probes = values.select(col, F.explode(arr).alias("bit"))
+        probes = values.select(col).distinct().select(
+            col, F.explode(arr).alias("bit")
+        )
         hit = (
             probes.join(F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit", "left")
             .groupBy(col)

@@ -137,3 +137,15 @@ def test_dedupe_numeric_and_null_columns(spark):
     out = dedupe(df, "rid", purge_smooth=None)
     pairs = {tuple(sorted((r["id1"], r["id2"]))) for r in out.collect()}
     assert ("n1", "n2") in pairs
+
+
+def test_dedupe_clean_clean_empty_first_frame(spark):
+    """An empty first DataFrame must yield an empty result, not a
+    TypeError from int(None) when deriving the second source's id
+    offset."""
+    empty = spark.createDataFrame([], "rid string, name string")
+    b = spark.createDataFrame(
+        [("x", "john smith"), ("y", "jane doe")], ["rid", "name"]
+    )
+    out = dedupe(empty, "rid", df2=b, purge_smooth=None)
+    assert out.count() == 0

@@ -139,6 +139,22 @@ def test_bloom_no_false_negatives(spark):
     assert all(out.values()) and len(out) == 500
 
 
+def test_bloom_no_false_negatives_with_duplicate_probe_rows(spark):
+    """Duplicate rows for the same value must not break the
+    all-k-bits-set test (dup_count*k hits used to read as
+    maybe_present=False — a contract-violating false negative)."""
+    from pyspark.sql import functions as F
+
+    from sparker_spark.sketches import BloomFilter
+
+    members = spark.range(200).selectExpr("CAST(id AS STRING) AS v")
+    bloom = BloomFilter.build(members, "v", m=8192, k=4)
+    dup = members.unionByName(members).unionByName(members.limit(50))
+    out = BloomFilter.contains(bloom, dup, "v", m=8192, k=4)
+    assert out.count() == 450  # one result row per input row
+    assert out.where(~F.col("maybe_present")).count() == 0
+
+
 def test_bloom_false_positive_rate(spark):
     from sparker_spark.sketches import BloomFilter
 

@@ -53,26 +53,36 @@ def main():
             print(f"ERROR {name}: {type(e).__name__}: {e}")
             bad.append(name)
             continue
-        nested = plan.count("BroadcastNestedLoopJoin") + plan.count(
-            "CartesianProduct"
-        )
         wide_scans = sum(
             1
             for m in re.finditer(r"ReadSchema: struct<([^>]*)", plan)
             if m.group(1).count(",") >= 6
         )
-        # the <=63-block mega-block mask loop (weights.
-        # _co_occurrence_bitmask / FeatureGenerator._pairs_bitmask) is
-        # an OUTPUT-OPTIMAL quadratic loop — its co-occurrence relation
-        # is itself Θ(n²) in that regime — recognizable by the
-        # bit_count(mask) projection riding the join
-        mask_loop = nested and "bit_count" in plan
+        # Judge each nested-loop operator by ITS OWN formatted-explain
+        # detail block, not the whole plan: the <=63-block mega-block
+        # mask loop (weights._co_occurrence_bitmask /
+        # FeatureGenerator._pairs_bitmask) is an OUTPUT-OPTIMAL
+        # quadratic loop recognizable by the bit_count(mask) condition
+        # ON THE JOIN NODE itself — a plan-wide "mentions bit_count"
+        # test would silently waive an unrelated accidental cross join
+        # elsewhere in the same query.
+        detail_blocks = re.split(r"\n\s*\n", plan)
+        nested_blocks = [
+            b
+            for b in detail_blocks
+            if re.match(
+                r"\(\d+\)\s+(BroadcastNestedLoopJoin|CartesianProduct)", b
+            )
+        ]
+        nested = len(nested_blocks)
+        mask_loops = sum(1 for b in nested_blocks if "bit_count" in b)
+        unexempt = nested - mask_loops
         flags = []
-        if nested and name not in ALLOW_NESTED and not mask_loop:
-            flags.append(f"NESTED_LOOP x{nested}")
+        if unexempt and name not in ALLOW_NESTED:
+            flags.append(f"NESTED_LOOP x{unexempt}")
             bad.append(name)
         elif nested:
-            kind = "mask-loop" if mask_loop else "allowed by design"
+            kind = "mask-loop" if mask_loops == nested else "allowed by design"
             flags.append(f"nested-loop ({kind}) x{nested}")
         if wide_scans:
             flags.append(f"wide-scan x{wide_scans}")
