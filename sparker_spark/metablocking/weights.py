@@ -354,13 +354,34 @@ class EdgeWeighting:
     @staticmethod
     def arcs_log_denominator(blocks: BlockCollection) -> DataFrame:
         """Per-profile Σ ln(comparisons) over the profile's surviving
-        blocks — the log of the reference's ARCS denominator."""
-        comp = blocks.meta.select("block_id", "comparisons")
+        blocks — the log of the reference's ARCS denominator.
+
+        The reference's ARCS comparisons(b) is NOT the block's
+        meta-level comparison count for clean-clean collections: it is
+        the PRODUCT of the per-source profile counts
+        (common_node_pruning.py:195-196 ``np.prod``), which equals
+        n1·n2 (= the pairwise count) for two sources but diverges for
+        k >= 3 (n1·n2·n3 vs n1n2+n1n3+n2n3). Computed here as
+        Σ_i ln n_i per block from the assignment relation — exact in
+        the log domain where ARCS consumes it. Dirty keeps the
+        meta-level lb·(lb−1) (common_node_pruning.py:193-194)."""
+        if blocks.clean:
+            ln_comp = (
+                blocks.assignments.groupBy("block_id", "source_id")
+                .agg(F.count("*").alias("n"))
+                .groupBy("block_id")
+                .agg(F.sum(F.log(F.col("n").cast("double"))).alias("ln_comp"))
+            )
+        else:
+            ln_comp = blocks.meta.select(
+                "block_id",
+                F.log(F.col("comparisons").cast("double")).alias("ln_comp"),
+            )
         return (
             blocks.assignments.select("block_id", "profile_id")
-            .join(comp, "block_id")
+            .join(ln_comp, "block_id")
             .groupBy("profile_id")
-            .agg(F.sum(F.log(F.col("comparisons").cast("double"))).alias("logden"))
+            .agg(F.sum("ln_comp").alias("logden"))
         )
 
     @staticmethod
@@ -473,6 +494,15 @@ class EdgeWeighting:
         elif weight_type == WeightTypes.EJS:
             # stats pre-pass (compute_statistics :56-101): per-profile
             # distinct-neighbor counts + global distinct edge count.
+            # NOTE the reference's compute_statistics carries a reset
+            # bug — its cleanup loop zeroes local_weights[i] for
+            # i in range(neighbors_number) instead of
+            # local_weights[neighbors[i]] (common_node_pruning.py:
+            # 94-95) — so neighbor flags leak across the profiles of a
+            # partition and its statistics are partition-order-
+            # dependent. This engine computes the intended exact
+            # statistics (tests/test_multi3_parity.py pins parity with
+            # the reference formula fed corrected stats).
             # co is consumed by three legs (the edge join, the stats
             # aggregate, the distinct-edge count) — checkpoint it once
             # so the enumeration shuffle doesn't run three times.
