@@ -30,7 +30,7 @@ _PRUNERS = ("wnp", "wep", "cep", "cnp", "none")
 def dedupe(
     df: DataFrame,
     id_col: str,
-    df2: DataFrame | None = None,
+    df2: DataFrame | list[DataFrame] | None = None,
     columns: list[str] | None = None,
     blocking: str = "token",
     ngram_size: int = 3,
@@ -42,11 +42,14 @@ def dedupe(
     comparison_type: str = ComparisonTypes.OR,
 ) -> DataFrame:
     """Candidate matches for one DataFrame (dirty ER) or across two
-    (clean-clean ER): ``(id1, id2, weight)`` in the CALLER's id space.
+    or more (clean-clean ER): ``(id1, id2, weight)`` in the CALLER's
+    id space.
 
     * ``df`` / ``df2``: any DataFrames; ``id_col`` names the unique
-      record id in both. With ``df2`` set, only cross-frame pairs are
-      emitted (``id1`` from ``df``, ``id2`` from ``df2``).
+      record id in each. With ``df2`` set (a DataFrame, or a LIST of
+      DataFrames for k-source clean-clean ER — reference
+      old_versions/multi-data-source-sparker), only cross-frame pairs
+      are emitted; each frame is its own source.
     * ``columns``: attribute subset to block on (default: all except
       the id column).
     * ``blocking``: ``"token"`` (schema-agnostic token blocking) or
@@ -69,13 +72,16 @@ def dedupe(
         )
 
     profiles = prep(df, 0, 0)
-    clean = df2 is not None
-    if clean:
-        n1 = profiles.agg(F.max("profile_id")).first()[0]
-        # empty first frame: max() is NULL — start the second source's
-        # ids at 0 instead of raising on int(None)
-        start2 = int(n1) + 1 if n1 is not None else 0
-        profiles = profiles.unionByName(prep(df2, 1, start2))
+    extra = (
+        [] if df2 is None else (df2 if isinstance(df2, list) else [df2])
+    )
+    clean = bool(extra)
+    for i, frame in enumerate(extra, start=1):
+        n_prev = profiles.agg(F.max("profile_id")).first()[0]
+        # empty prior frames: max() is NULL — start this source's ids
+        # at 0 instead of raising on int(None)
+        start = int(n_prev) + 1 if n_prev is not None else 0
+        profiles = profiles.unionByName(prep(frame, i, start))
     profiles = profiles.cache()
 
     if blocking == "token":

@@ -149,3 +149,19 @@ def test_dedupe_clean_clean_empty_first_frame(spark):
     )
     out = dedupe(empty, "rid", df2=b, purge_smooth=None)
     assert out.count() == 0
+
+
+def test_dedupe_three_sources_cross_only(spark):
+    """df2 as a LIST runs k-source clean-clean ER: pairs are emitted
+    only ACROSS frames, never within one."""
+    a = spark.createDataFrame(
+        [("a1", "john smith acme"), ("a2", "john smith acme")], ["rid", "name"]
+    )
+    b = spark.createDataFrame([("b1", "john smith acme")], ["rid", "name"])
+    c = spark.createDataFrame([("c1", "john smith acme")], ["rid", "name"])
+    out = dedupe(a, "rid", df2=[b, c], purge_smooth=None)
+    pairs = {tuple(sorted((r["id1"], r["id2"]))) for r in out.collect()}
+    # cross-source pairs only: a1/a2 (same frame) must NOT pair
+    assert ("a1", "a2") not in pairs
+    for want in (("a1", "b1"), ("a2", "b1"), ("a1", "c1"), ("b1", "c1")):
+        assert want in pairs, want
