@@ -192,3 +192,16 @@ def test_empty_setjoin_sampling_pagerank(spark):
     edges = spark.createDataFrame([], "p1 long, p2 long")
     # zero nodes: PageRank has nothing to rank
     assert PageRank.run(edges).count() == 0
+
+
+def test_empty_multi3_arcs(spark):
+    """k-source ARCS log-denominator over an empty clean collection."""
+    from sparker_spark.metablocking.weights import EdgeWeighting
+
+    keys = spark.createDataFrame(
+        [], "profile_id long, source_id int, key string"
+    )
+    blocks = Blocking.blocks_from_keys(keys, clean=True, assign_ids=False)
+    assert EdgeWeighting.arcs_log_denominator(blocks).count() == 0
+    co = EdgeWeighting.co_occurrence(blocks)
+    assert co.count() == 0
