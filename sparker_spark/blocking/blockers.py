@@ -87,19 +87,37 @@ class Blocking:
         ``entropies``: optional (key, entropy, cluster_id) for
         loose-schema blocking (B7).
         """
-        # per (key, source) profile counts -> per-key stats; one shuffle.
-        per_source = keys.groupBy("key", "source_id").agg(
-            F.count("*").alias("n")
-        )
-        stats = per_source.groupBy("key").agg(
-            F.sum("n").alias("block_size"),
-            F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
-            F.count("*").alias("num_sources"),
-        )
         if clean:
-            stats = stats.where((F.col("block_size") > 1) & (F.col("num_sources") > 1))
+            # per (key, source) profile counts -> per-key stats: the
+            # two-level aggregate yields Σn, Σn² and the non-empty
+            # source-group count that clean-clean comparisons need.
+            per_source = keys.groupBy("key", "source_id").agg(
+                F.count("*").alias("n")
+            )
+            stats = per_source.groupBy("key").agg(
+                F.sum("n").alias("block_size"),
+                F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+                F.count("*").alias("num_sources"),
+            )
+            stats = stats.where(
+                (F.col("block_size") > 1) & (F.col("num_sources") > 1)
+            )
         else:
-            stats = stats.where(F.col("block_size") > 1)
+            # Dirty ER ignores source structure entirely (reference
+            # BlockDirty keeps ONE profile set, objects.py:90-105), so
+            # the per-source level buys nothing — one groupBy(key)
+            # replaces the two-shuffle aggregate on the hottest ingest
+            # path. num_sources is reported as 1 by definition of the
+            # dirty model regardless of source_id values.
+            stats = (
+                keys.groupBy("key")
+                .agg(F.count("*").alias("block_size"))
+                .withColumn(
+                    "sum_sq", F.col("block_size") * F.col("block_size")
+                )
+                .withColumn("num_sources", F.lit(1).cast("long"))
+                .where(F.col("block_size") > 1)
+            )
 
         meta = stats.withColumn("comparisons", comparisons_expr(clean))
 

@@ -38,14 +38,26 @@ class Converters:
             blocks.meta.select("block_id", "key"), "block_id"
         ).select("block_id", "key", "profile_id", "source_id")
 
-        per_source = assignments.groupBy("block_id", "source_id").agg(
-            F.count("*").alias("n")
-        )
-        stats = per_source.groupBy("block_id").agg(
-            F.sum("n").alias("block_size"),
-            F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
-            F.count("*").alias("num_sources"),
-        )
+        if blocks.clean:
+            per_source = assignments.groupBy("block_id", "source_id").agg(
+                F.count("*").alias("n")
+            )
+            stats = per_source.groupBy("block_id").agg(
+                F.sum("n").alias("block_size"),
+                F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+                F.count("*").alias("num_sources"),
+            )
+        else:
+            # dirty: no source structure — single-shuffle aggregate
+            # (same reasoning as blocks_from_keys)
+            stats = (
+                assignments.groupBy("block_id")
+                .agg(F.count("*").alias("block_size"))
+                .withColumn(
+                    "sum_sq", F.col("block_size") * F.col("block_size")
+                )
+                .withColumn("num_sources", F.lit(1).cast("long"))
+            )
         meta = (
             stats.withColumn("comparisons", comparisons_expr(blocks.clean))
             .where(F.col("comparisons") > 0)
