@@ -211,7 +211,10 @@ def bench_ours(spark, sf_dir, regime="token"):
         t["load"] = round(time.time() - t0, 3)
 
         t0 = time.time()
-        blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=True)
+        # hash block ids (assign_ids=False): the id scheme does not
+        # change block membership or edge/feature sets (parity suite);
+        # the dense-id global_rank's range shuffle is pure overhead here
+        blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=False)
         purged = BlockPurging.block_purging(blocks, 1.025)
         _, _, rebuilt = BlockFiltering.block_filtering_quick(purged, FILTER_R)
         rebuilt.meta.cache()
@@ -258,7 +261,10 @@ def bench_ours(spark, sf_dir, regime="token"):
     t["load"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=True)
+    # hash block ids (assign_ids=False): the id scheme does not
+    # change block membership or edge/feature sets (parity suite);
+    # the dense-id global_rank's range shuffle is pure overhead here
+    blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=False)
     blocks.meta.cache()
     blocks.assignments.cache()
     n_blocks = blocks.meta.count()
