@@ -112,3 +112,46 @@ def test_prefix_join_empty_and_single_token(spark):
         for r in SetSimilarityJoin.jaccard_prefix_join(docs, 0.5).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_ngram_jaccard_plan_equivalence_property(spark):
+    """Property: on randomized corpora (mixed hot/rare vocabulary,
+    variable doc lengths, several thresholds) the naive and
+    prefix-filtered plans produce the identical pair relation."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sparker_spark.llm.dedup import Dedup
+
+    corpus = st.lists(
+        st.lists(
+            st.sampled_from(
+                ["the", "a", "of"] + [f"w{i}" for i in range(25)]
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=0,
+        max_size=25,
+    )
+
+    @given(docs=corpus, t=st.sampled_from([0.1, 0.3, 0.6, 0.9]))
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(docs, t):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        naive = {
+            tuple(r)
+            for r in Dedup.ngram_jaccard_pairs(df, 3, t, plan="naive").collect()
+        }
+        prefix = {
+            tuple(r)
+            for r in Dedup.ngram_jaccard_pairs(df, 3, t, plan="prefix").collect()
+        }
+        assert naive == prefix, (t, rows)
+
+    check()
