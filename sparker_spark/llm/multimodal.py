@@ -105,17 +105,10 @@ def _fake_byte_histogram(payload: bytes) -> list[float]:
     return [b / total for b in bins]
 
 
-def decode_ppm(payload: bytes) -> list[float]:
-    """Real (dependency-free) image decoder for binary PPM (P6).
-
-    Parses the netpbm header — magic, whitespace/comment-separated
-    width, height, maxval, one whitespace byte, then raw RGB triplets —
-    and returns ``[width, height, mean_r, mean_g, mean_b]`` with means
-    normalized to [0, 1]. Proves the ``DecodeRegistry`` plug point with
-    an actual codec: registering it routes ``image/x-portable-pixmap``
-    payloads through a real parse while every other mime keeps its
-    registered behavior.
-    """
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary-PPM (P6) header: magic, whitespace/comment-
+    separated width, height, maxval, one whitespace byte. Returns
+    (width, height, maxval, raster_offset)."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
     pos, fields = 2, []
@@ -131,7 +124,20 @@ def decode_ppm(payload: bytes) -> list[float]:
             pos += 1
         fields.append(int(payload[start:pos]))
     width, height, maxval = fields
-    pos += 1  # single whitespace after maxval
+    return width, height, maxval, pos + 1  # single whitespace after maxval
+
+
+def decode_ppm(payload: bytes) -> list[float]:
+    """Real (dependency-free) image decoder for binary PPM (P6).
+
+    Parses the netpbm header and returns
+    ``[width, height, mean_r, mean_g, mean_b]`` with means normalized
+    to [0, 1]. Proves the ``DecodeRegistry`` plug point with an actual
+    codec: registering it routes ``image/x-portable-pixmap`` payloads
+    through a real parse while every other mime keeps its registered
+    behavior.
+    """
+    width, height, maxval, pos = _ppm_header(payload)
     n_px = width * height
     raster = payload[pos : pos + 3 * n_px]
     if len(raster) < 3 * n_px:
@@ -259,6 +265,80 @@ def extract_features(
 
     cols = media.select(id_col, payload_col, mime_col)
     return cols.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Real decode → transform → re-encode over binary image columns:
+    nearest-neighbor resize of binary-PPM (P6) payloads, numpy-
+    vectorized inside Arrow-batched mapInPandas.
+
+    Per payload: parse the header (``_ppm_header``), view the raster
+    as an (h, w, 3) uint8 array with ``np.frombuffer`` (zero-copy),
+    gather the target grid with two integer index vectors (the classic
+    nearest-neighbor sample — pure vectorized fancy-indexing, no
+    Python pixel loop), and re-emit a P6 payload with the new header.
+    Output rows: (media_id, payload, width, height). The same
+    ``batch_rows`` re-slicing as :func:`extract_features` bounds the
+    per-chunk working set; wrap the ACTION in :func:`arrow_batch_rows`
+    to bound input Arrow batches when payloads are large.
+
+    This is the plumbing pattern for any per-item media transform at
+    scale (resize / crop / re-encode): row-parallel, codec-local,
+    no driver involvement. Swap the PPM codec for PIL/libvips by
+    replacing the parse/encode pair only.
+    """
+    tw, th = int(width), int(height)
+    if tw <= 0 or th <= 0:
+        raise ValueError("target width/height must be positive")
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def one(payload) -> tuple[bytes, int, int]:
+            p = bytes(payload)
+            w, h, maxval, off = _ppm_header(p)
+            raster = np.frombuffer(p, dtype=np.uint8, count=3 * w * h, offset=off)
+            img = raster.reshape(h, w, 3)
+            ys = (np.arange(th) * h) // th
+            xs = (np.arange(tw) * w) // tw
+            out = img[ys][:, xs]
+            header = f"P6\n{tw} {th}\n{maxval}\n".encode("ascii")
+            return header + out.tobytes(), tw, th
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                resized = [one(p) for p in chunk[payload_col]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk[id_col].astype("int64"),
+                        "payload": [r[0] for r in resized],
+                        "width": [r[1] for r in resized],
+                        "height": [r[2] for r in resized],
+                    }
+                )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
 
 
 def frame_sample_plan(

@@ -475,3 +475,42 @@ def test_windowed_counts_drop_late_rows(spark, tmp_path):
     # the late row's window never appears; closed early windows do
     assert "2026-03-31 18:00:00" not in starts
     assert "2026-04-01 00:00:00" in starts
+
+
+def test_resize_images_ppm(spark):
+    """Real media transform through mapInPandas: nearest-neighbor PPM
+    resize — downscale picks exact source pixels, upscale replicates
+    them, and the output payload is itself a valid P6 that round-trips
+    through the decoder."""
+    from sparker_spark.llm.multimodal import decode_ppm, resize_images
+
+    # 2x2: (255,0,0) (0,255,0) / (0,0,255) (255,255,255)
+    ppm = (
+        b"P6\n2 2\n255\n"
+        + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    )
+    media = spark.createDataFrame(
+        [(7, bytearray(ppm))], "media_id long, payload binary"
+    )
+
+    # 1x1: nearest-neighbor picks the top-left pixel
+    one = resize_images(media, 1, 1).collect()[0]
+    assert (one["width"], one["height"]) == (1, 1)
+    assert bytes(one["payload"]) == b"P6\n1 1\n255\n" + bytes([255, 0, 0])
+
+    # 4x4 upscale: each source pixel becomes a 2x2 block; the resized
+    # payload is valid PPM (decoder round-trip) with unchanged means
+    up = resize_images(media, 4, 4).collect()[0]
+    w, h, mr, mg, mb = decode_ppm(bytes(up["payload"]))
+    assert (w, h) == (4.0, 4.0)
+    assert mr == pytest.approx(510 / (4 * 255))
+    assert mg == pytest.approx(510 / (4 * 255))
+    assert mb == pytest.approx(510 / (4 * 255))
+
+
+def test_resize_images_rejects_bad_target(spark):
+    from sparker_spark.llm.multimodal import resize_images
+
+    media = spark.createDataFrame([], "media_id long, payload binary")
+    with pytest.raises(ValueError):
+        resize_images(media, 0, 4)
