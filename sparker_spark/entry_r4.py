@@ -185,10 +185,92 @@ ordered AS (
 SELECT rank, p1, p2, weight FROM ordered WHERE rank <= {PPS_EMIT_N}"""
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 16, 4
+DUP_CHUNK_TOKENS = 4  # short windows so the small-vocab corpus has
+# genuine cross-document duplicate chunks
+
+
+def q_text_chunks(spark, sf_dir):
+    """Token-window chunking (Chunker.chunk): each document split into
+    16-token windows with 4-token overlap — the documents→training-rows
+    preprocessing step. Pure sequence/transform/slice expressions; the
+    oracle replays the same windows with DuckDB list functions."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.text import Chunker
+
+    docs = load(spark, sf_dir, "documents")
+    return Chunker.chunk(docs, CHUNK_TOKENS, CHUNK_OVERLAP)
+
+
+def _o_text_chunks() -> str:
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    return f"""WITH
+toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+         FROM documents),
+starts AS (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1, {stride})) AS i
+  FROM toks WHERE len(t) >= 1
+)
+SELECT doc_id,
+       CAST((i - 1) // {stride} AS INT) AS chunk_idx,
+       array_to_string(t[i:i + {CHUNK_TOKENS - 1}], ' ') AS chunk_text,
+       CAST(len(t[i:i + {CHUNK_TOKENS - 1}]) AS INT) AS n_tokens
+FROM starts"""
+
+
+def q_dedup_chunk_exact(spark, sf_dir):
+    """Chunk-level exact dedup: 4-token non-overlapping windows hashed
+    and grouped — the paragraph/passage-granularity variant of exact
+    document dedup (a repeated chunk across documents is boilerplate
+    to drop or down-weight). Output: one row per duplicated chunk
+    hash with its occurrence and distinct-document counts."""
+    from pyspark.sql import functions as F2
+
+    from sparker_spark.entry import load
+    from sparker_spark.llm.text import Chunker
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = Chunker.chunk(docs, DUP_CHUNK_TOKENS, 0)
+    return (
+        chunks.select("doc_id", F2.md5("chunk_text").alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F2.count("*").alias("n_occurrences"),
+            F2.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F2.col("n_occurrences") > 1)
+        .select(
+            "chunk_hash",
+            F2.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F2.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def _o_dedup_chunk_exact() -> str:
+    return f"""WITH
+toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+         FROM documents),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(t[i:i + {DUP_CHUNK_TOKENS - 1}], ' ')) AS chunk_hash
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, {DUP_CHUNK_TOKENS})) AS i
+        FROM toks WHERE len(t) >= 1)
+)
+SELECT chunk_hash,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM chunks GROUP BY 1 HAVING count(*) > 1"""
+
+
 def r4_queries() -> dict:
     return {
         "er_multi3_edges": q_er_multi3_edges,
         "pps_emit": q_pps_emit,
+        "text_chunks": q_text_chunks,
+        "dedup_chunk_exact": q_dedup_chunk_exact,
     }
 
 
@@ -196,4 +278,6 @@ def r4_oracles() -> dict:
     return {
         "er_multi3_edges": _o_er_multi3_edges(),
         "pps_emit": _o_pps_emit(),
+        "text_chunks": _o_text_chunks(),
+        "dedup_chunk_exact": _o_dedup_chunk_exact(),
     }

@@ -248,3 +248,52 @@ class Collocations:
         return scored.orderBy(
             F.desc("pmi"), F.asc("t1"), F.asc("t2")
         ).limit(int(k))
+
+
+class Chunker:
+    """Token-window document chunking for training-data pipelines:
+    split each document into fixed-size whitespace-token windows with
+    optional overlap — the preprocessing step between raw documents
+    and tokenizer-ready training rows. Pure higher-order-function
+    expressions (sequence + transform + slice + explode), no UDFs, so
+    chunking parallelizes as a narrow map over document rows at any
+    corpus size."""
+
+    @staticmethod
+    def chunk(
+        documents,
+        chunk_tokens: int = 64,
+        overlap: int = 0,
+        doc_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        """(doc_id, chunk_idx, chunk_text, n_tokens): windows of
+        ``chunk_tokens`` whitespace tokens starting every
+        ``chunk_tokens - overlap`` tokens; the final window may be
+        short. Empty / whitespace-only documents produce no rows.
+        Text is NOT normalized — chunk boundaries must not change the
+        training text."""
+        c, o = int(chunk_tokens), int(overlap)
+        if c <= 0:
+            raise ValueError("chunk_tokens must be positive")
+        if not 0 <= o < c:
+            raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+        stride = c - o
+        expr = F.expr(
+            f"CASE WHEN size(toks) >= 1 THEN "
+            f"transform(sequence(1, size(toks), {stride}), "
+            f" i -> struct(CAST((i - 1) DIV {stride} AS INT) AS chunk_idx, "
+            f"            concat_ws(' ', slice(toks, i, {c})) AS chunk_text, "
+            f"            CAST(size(slice(toks, i, {c})) AS INT) AS n_tokens)) "
+            f"ELSE array() END"
+        )
+        return (
+            documents.select(
+                F.col(doc_col).alias("doc_id"),
+                F.filter(
+                    F.split(F.col(text_col), "\\s+"), lambda x: x != ""
+                ).alias("toks"),
+            )
+            .select("doc_id", F.explode(expr).alias("c"))
+            .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+        )

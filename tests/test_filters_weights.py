@@ -248,3 +248,21 @@ def test_evaluation(spark, blocks):
     assert stats.num_matches == 2
     assert stats.pc == pytest.approx(2 / 3)
     assert stats.pq == pytest.approx(2 / 6)
+
+
+def test_wnp_broadcast_and_shuffled_paths_agree(blocks, monkeypatch):
+    """The broadcast-thresholds fast path and the shuffled-join fallback
+    (engaged when the threshold relation exceeds the row cap) must keep
+    the identical edge set."""
+    pb = Converters.blocks_to_profile_blocks(blocks)
+
+    def run():
+        ctx = EdgeWeighting.weighted_edges(blocks, pb, WeightTypes.CBS)
+        return set(
+            edge_map(WNP.prune(ctx, ThresholdTypes.AVG, ComparisonTypes.OR))
+        )
+
+    broadcast = run()
+    monkeypatch.setattr(WNP, "BROADCAST_THRESHOLDS_MAX", 0)
+    shuffled = run()
+    assert broadcast == shuffled == {(0, 1)}

@@ -251,3 +251,34 @@ def test_srp_bucket_purity_empty(spark):
 
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>, label int")
     assert EmbeddingDiagnostics.srp_bucket_purity(emb).count() == 0
+
+
+def test_chunker_windows_and_overlap(spark):
+    from sparker_spark.llm.text import Chunker
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g"),   # 7 tokens
+            (1, "  "),              # whitespace only -> no rows
+            (2, "x"),               # single short window
+        ],
+        ["doc_id", "text"],
+    )
+    # chunk=3, overlap=1 -> stride 2: starts 1,3,5,7
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in Chunker.chunk(docs, 3, 1).collect()
+    }
+    assert out[(0, 0)] == ("a b c", 3)
+    assert out[(0, 1)] == ("c d e", 3)
+    assert out[(0, 2)] == ("e f g", 3)
+    assert out[(0, 3)] == ("g", 1)  # short final window
+    assert out[(2, 0)] == ("x", 1)
+    assert not [k for k in out if k[0] == 1]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        Chunker.chunk(docs, 0)
+    with _pt.raises(ValueError):
+        Chunker.chunk(docs, 4, 4)
