@@ -23,6 +23,10 @@ from sparker_spark.metablocking.weights import EdgeContext, EdgeWeighting
 
 
 class CNP:
+    # broadcast the per-profile top-k retained relation when it has at
+    # most this many rows (~150 MB hashed); see WNP's threshold cap
+    BROADCAST_RETAINED_MAX = 2_000_000
+
     @staticmethod
     def compute_cnp_threshold(blocks: BlockCollection, number_of_profiles: int) -> int:
         total = blocks.meta.agg(F.sum("block_size").alias("s")).first()["s"] or 0
@@ -47,7 +51,14 @@ class CNP:
         if comparison_type not in (ComparisonTypes.AND, ComparisonTypes.OR):
             raise ValueError(f"invalid comparison type: {comparison_type}")
         ctx.materialize()  # top-k + half legs share one edge scan
-        retained = CNP.retained_neighbors(ctx, k)
+        # Same plan policy as WNP's threshold joins: the retained
+        # relation is at most k rows per profile — checkpoint it once
+        # and broadcast both membership joins when small, keeping the
+        # materialized edge relation exchange-free on the prune leg.
+        # The row-count guard keeps huge collections on the shuffled
+        # join.
+        retained = CNP.retained_neighbors(ctx, k).localCheckpoint(eager=True)
+        small = retained.count() <= CNP.BROADCAST_RETAINED_MAX
         half = ctx.half()
         # kept_by_p1: (p1,p2) where p2 is in p1's top-k
         by_p1 = retained.select(
@@ -56,6 +67,8 @@ class CNP:
         by_p2 = retained.select(
             F.col("dst").alias("p1"), F.col("src").alias("p2"), F.lit(1).alias("r2")
         )
+        if small:
+            by_p1, by_p2 = F.broadcast(by_p1), F.broadcast(by_p2)
         joined = half.join(by_p1, ["p1", "p2"], "left").join(
             by_p2, ["p1", "p2"], "left"
         )
