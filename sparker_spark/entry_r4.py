@@ -265,12 +265,118 @@ SELECT chunk_hash,
 FROM chunks GROUP BY 1 HAVING count(*) > 1"""
 
 
+def q_stream_neardup(spark, sf_dir):
+    """Fourth Structured Streaming query under the value-hash gate:
+    stream-vs-static-index near-dup (streaming/incremental.py
+    streaming_near_dup — the production "is this new doc a near-dup of
+    anything we already have?" shape). Documents from source src0 are
+    staged and consumed as the STREAM; every other source forms the
+    static LSH index. Entirely stateless (per-row signature exprs +
+    stream-static band-bucket join + first-shared-band dedup), so the
+    result is exactly the batch MinHash-LSH pair set restricted to
+    new-vs-corpus pairs — which the DuckDB oracle replays."""
+    import tempfile
+
+    from sparker_spark.entry import (
+        JACCARD_T,
+        MINHASH_BANDS,
+        MINHASH_K,
+        SHINGLE,
+        load,
+    )
+    from sparker_spark.entry_r3e import _SINK_SEQ, _await_stream
+    from sparker_spark.streaming.incremental import (
+        build_near_dup_index,
+        streaming_near_dup,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    is_new = F.col("source") == "src0"
+    postings, detail = build_near_dup_index(
+        docs.where(~is_new), MINHASH_K, MINHASH_BANDS, SHINGLE
+    )
+    stage = tempfile.mkdtemp(prefix="stream_neardup_")
+    docs.where(is_new).select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    out = streaming_near_dup(
+        stream, postings, detail, MINHASH_K, MINHASH_BANDS, SHINGLE, JACCARD_T
+    )
+    sink = f"stream_neardup_sink_{next(_SINK_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q, stage)
+    return spark.table(sink).select("doc_id", "corpus_id", "jaccard")
+
+
+def _o_stream_neardup() -> str:
+    from sparker_spark.entry import (
+        DUCK_SHINGLE_HASHES,
+        JACCARD_T,
+        MINHASH_BANDS,
+        MINHASH_K,
+    )
+    from sparker_spark.llm.hashing import (
+        MERSENNE_31,
+        minhash_coefficients,
+        minhash_expr,
+    )
+
+    coeffs = minhash_coefficients(MINHASH_K)
+    rows = MINHASH_K // MINHASH_BANDS
+    mh_cols = ",\n         ".join(
+        f"min({minhash_expr(a, b)}) AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_exprs = ",\n".join(
+        "concat_ws('_', %d, %s) AS band_%d"
+        % (bi, ", ".join(f"mh_{bi * rows + r}" for r in range(rows)), bi)
+        for bi in range(MINHASH_BANDS)
+    )
+    bucket_union = " UNION ALL ".join(
+        f"SELECT doc_id, band_{bi} AS bucket FROM banded"
+        for bi in range(MINHASH_BANDS)
+    )
+    return f"""WITH {DUCK_SHINGLE_HASHES.strip()},
+split AS (SELECT doc_id, (source = 'src0') AS is_new FROM documents),
+sh31 AS (SELECT doc_id, h % {MERSENNE_31} AS h31 FROM sh),
+sigs AS (SELECT doc_id, {mh_cols} FROM sh31 GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_exprs} FROM sigs),
+buckets AS ({bucket_union}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS corpus_id
+  FROM buckets n JOIN split sn ON n.doc_id = sn.doc_id AND sn.is_new
+  JOIN buckets c USING (bucket)
+  JOIN split sc ON c.doc_id = sc.doc_id AND NOT sc.is_new
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS corpus_id, count(*) AS c
+  FROM sh a JOIN sh b USING (h) WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT cand.doc_id, cand.corpus_id,
+       round(CAST(c AS DOUBLE) / (n1.n_sh + n2.n_sh - c), 6) AS jaccard
+FROM cand
+JOIN common ON cand.doc_id = common.doc_id AND cand.corpus_id = common.corpus_id
+JOIN counts n1 ON cand.doc_id = n1.doc_id
+JOIN counts n2 ON cand.corpus_id = n2.doc_id
+WHERE round(CAST(c AS DOUBLE) / (n1.n_sh + n2.n_sh - c), 6) >= {JACCARD_T}"""
+
+
 def r4_queries() -> dict:
     return {
         "er_multi3_edges": q_er_multi3_edges,
         "pps_emit": q_pps_emit,
         "text_chunks": q_text_chunks,
         "dedup_chunk_exact": q_dedup_chunk_exact,
+        "stream_neardup": q_stream_neardup,
     }
 
 
@@ -280,4 +386,5 @@ def r4_oracles() -> dict:
         "pps_emit": _o_pps_emit(),
         "text_chunks": _o_text_chunks(),
         "dedup_chunk_exact": _o_dedup_chunk_exact(),
+        "stream_neardup": _o_stream_neardup(),
     }
