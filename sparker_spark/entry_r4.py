@@ -370,6 +370,35 @@ JOIN counts n2 ON cand.corpus_id = n2.doc_id
 WHERE round(CAST(c AS DOUBLE) / (n1.n_sh + n2.n_sh - c), 6) >= {JACCARD_T}"""
 
 
+def q_text_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram-LM quality scoring (llm/text.py
+    LanguageModelScore) — the CCNet-style LM filter with the MLE
+    unigram LM; per-token logprobs rounded then DECIMAL-summed for
+    cross-engine determinism."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.text import LanguageModelScore
+
+    docs = load(spark, sf_dir, "documents")
+    return LanguageModelScore.unigram_logprob(docs)
+
+
+O_TEXT_UNIGRAM_LOGPROB = """WITH
+t AS (SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok
+        FROM documents) WHERE tok <> ''),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+lp AS (SELECT tok,
+              CAST(round(ln(CAST(count(*) AS DOUBLE) / (SELECT n FROM tot)), 6)
+                   AS DECIMAL(18,6)) AS lp
+       FROM t GROUP BY tok)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+FROM t JOIN lp USING (tok)
+GROUP BY doc_id"""
+
+
 def r4_queries() -> dict:
     return {
         "er_multi3_edges": q_er_multi3_edges,
@@ -377,6 +406,7 @@ def r4_queries() -> dict:
         "text_chunks": q_text_chunks,
         "dedup_chunk_exact": q_dedup_chunk_exact,
         "stream_neardup": q_stream_neardup,
+        "text_unigram_logprob": q_text_unigram_logprob,
     }
 
 
@@ -387,4 +417,5 @@ def r4_oracles() -> dict:
         "text_chunks": _o_text_chunks(),
         "dedup_chunk_exact": _o_dedup_chunk_exact(),
         "stream_neardup": _o_stream_neardup(),
+        "text_unigram_logprob": O_TEXT_UNIGRAM_LOGPROB,
     }

@@ -297,3 +297,67 @@ class Chunker:
             .select("doc_id", F.explode(expr).alias("c"))
             .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
         )
+
+
+class LanguageModelScore:
+    """Corpus-unigram-LM document scoring — the simplest instance of
+    the CCNet-style "score documents by LM log-likelihood, filter the
+    tail" quality gate. The LM here is the corpus's own MLE unigram
+    distribution (tf / total), so the whole scorer is two aggregates
+    and a join — swap the per-token logprob relation for one exported
+    by a real LM to keep the identical distributed plumbing."""
+
+    @staticmethod
+    def unigram_logprob(
+        documents: DataFrame,
+        doc_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """(doc_id, n_tokens, avg_logprob): mean ln P(token) per
+        document under the corpus unigram MLE. Per-token logprobs are
+        rounded to 6 places and summed as DECIMAL(18,6) — the repo's
+        cross-engine determinism rule for sums of irrational terms —
+        then divided by the token count. The corpus total is one
+        bounded driver scalar (same class as WEP's global threshold).
+        Empty documents produce no row (no tokens, undefined mean)."""
+        toks = (
+            documents.select(
+                F.col(doc_col).alias("doc_id"),
+                F.explode(
+                    F.split(F.lower(F.col(text_col)), "[^0-9a-z_]+")
+                ).alias("tok"),
+            )
+            .where(F.length("tok") > 0)
+        )
+        total = toks.count()
+        if total == 0:
+            return toks.select(
+                "doc_id",
+                F.lit(0).cast("long").alias("n_tokens"),
+                F.lit(0.0).alias("avg_logprob"),
+            )
+        lp = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("tf"))
+            .select(
+                "tok",
+                rnd(F.log(F.col("tf") / F.lit(float(total))), 6)
+                .cast("decimal(18,6)")
+                .alias("lp"),
+            )
+        )
+        return (
+            toks.join(lp, "tok")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("long").alias("n_tokens"),
+                F.sum("lp").alias("sum_lp"),
+            )
+            .select(
+                "doc_id",
+                "n_tokens",
+                rnd(
+                    F.col("sum_lp").cast("double") / F.col("n_tokens"), 6
+                ).alias("avg_logprob"),
+            )
+        )
