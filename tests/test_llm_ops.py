@@ -282,3 +282,26 @@ def test_chunker_windows_and_overlap(spark):
         Chunker.chunk(docs, 0)
     with _pt.raises(ValueError):
         Chunker.chunk(docs, 4, 4)
+
+
+def test_unigram_logprob_empty_and_values(spark):
+    from sparker_spark.llm.text import LanguageModelScore
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert LanguageModelScore.unigram_logprob(empty).count() == 0
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b"), (2, "   ")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in LanguageModelScore.unigram_logprob(docs).collect()
+    }
+    # corpus: a=2, b=2, total=4 -> every token has lp = ln(0.5)
+    import math
+
+    lp = math.floor(math.log(0.5) * 1e6) / 1e6
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["avg_logprob"] == pytest.approx(lp, abs=2e-6)
+    assert out[1]["n_tokens"] == 1
+    assert 2 not in out  # whitespace-only doc: no row
