@@ -392,3 +392,50 @@ def test_multi3_arcs_total_on_partial_blocks(spark, ref3, ours3):
     assert rows
     for r in rows:
         assert math.isfinite(r["weight"]) and r["weight"] > 0, r
+
+
+def test_multi3_wnp_pruning_parity(spark, ref3, ours3):
+    """End-to-end WNP (CBS/AVG/OR) parity at k=3: same retained edge
+    set through the reference's broadcast-index pruning and our
+    DataFrame pruning — pins get_all_neighbors' cross-source
+    neighborhood selection and the threshold pass at three sources."""
+    ref = ref3["ref"]
+    sc = spark.sparkContext
+    pbsi = ref3["pbsi"]
+    results = ref.WNP.wnp(
+        ref3["pb"],
+        ref3["block_index"],
+        ref3["max_id"],
+        separator_ids=ref3["separator_ids"],
+        weight_type=ref.WeightTypes.CBS,
+        threshold_type=ref.ThresholdTypes.AVG,
+        comparison_type=ref.ComparisonTypes.OR,
+        profile_blocks_size_index=pbsi,
+    )
+    rid = ref3["rid"]
+    ref_edges = {
+        frozenset((rid[p1], rid[p2]))
+        for _, _, edges in results.collect()
+        for p1, p2, _ in edges
+    }
+    assert ref_edges
+
+    from sparker_spark.metablocking.pruning_utils import (
+        ComparisonTypes,
+        ThresholdTypes,
+        WeightTypes,
+    )
+    from sparker_spark.metablocking.wnp import WNP
+
+    kept = WNP.wnp(
+        ours3["blocks"],
+        ours3["pb"],
+        threshold_type=ThresholdTypes.AVG,
+        weight_type=WeightTypes.CBS,
+        comparison_type=ComparisonTypes.OR,
+    )
+    oid = ours3["oid"]
+    our_edges = {
+        frozenset((oid[r["p1"]], oid[r["p2"]])) for r in kept.collect()
+    }
+    assert our_edges == ref_edges
