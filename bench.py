@@ -219,81 +219,29 @@ def pipeline_gsmb_e2e(spark, sf_dir):
 
 def pipeline_curation_e2e(spark, sf_dir):
     """Training-data curation end-to-end — the full clean-corpus flow a
-    pretraining pipeline runs over raw documents:
+    pretraining pipeline runs over raw documents, driven through the
+    PUBLIC one-call API (sparker_spark.curate.curate):
 
-      quality score -> drop low-quality docs -> repetition filter
-      (Gopher-style: drop docs dominated by a repeated n-gram) ->
-      exact dedup (keep the canonical doc per content hash) ->
-      MinHash-LSH near-dup pairs -> distributed connected components
-      -> keep one canonical doc per near-dup group -> benchmark
-      decontamination (drop docs sharing word n-grams with the
-      held-out eval split) -> emit the cleaned corpus.
+      PII redaction -> quality floor -> repetition (Gopher) filter ->
+      exact dedup -> MinHash-LSH near-dup pairs -> connected
+      components -> canonical per group -> benchmark decontamination
+      -> emit the cleaned corpus.
 
     Every stage is a shuffle-bounded DataFrame op (no crossJoin, no
-    driver state): quality is pure column exprs, repetition stats a
-    (doc_id, gram)-keyed aggregate, exact dedup one groupBy, LSH a
-    bucketed band join, components O(log diameter) node-keyed rounds,
-    decontamination one hash equi-join against the AQE-broadcast eval
-    shingle set — run LAST so it shingles only the surviving docs.
+    driver state); see curate.py for the composition and plan notes.
     The output is the (doc_id, text) relation you would hand to
     tokenization."""
-    from pyspark.sql import functions as F
-
-    from sparker_spark.entry import JACCARD_T, MINHASH_BANDS, MINHASH_K, SHINGLE, load
+    from sparker_spark.curate import curate
+    from sparker_spark.entry import load
     from sparker_spark.entry_r3d import DECON_N, DECON_SEED, DECON_WEIGHTS
-    from sparker_spark.graph import ConnectedComponents
-    from sparker_spark.llm.curation import Decontamination, RepetitionStats
-    from sparker_spark.llm.dedup import Dedup
     from sparker_spark.llm.sampling import Sampling
-    from sparker_spark.llm.text import TextAnalysis
 
     corpus = Sampling.split(
         load(spark, sf_dir, "documents"), "doc_id", DECON_WEIGHTS, seed=DECON_SEED
     )
     docs = corpus.where("split = 'train'").drop("split")
     eval_docs = corpus.where("split = 'eval'").drop("split")
-
-    # PII scrub first: counts + typed placeholders before any stage
-    # sees the text (order matters in a real pipeline — redacted text
-    # is what gets deduped and shipped)
-    from sparker_spark.llm.curation import Redaction
-
-    docs = (
-        Redaction.redact_pii(docs)
-        .drop("text")
-        .withColumnRenamed("redacted_text", "text")
-    )
-    quality = TextAnalysis.quality_score(docs).select("doc_id", "quality_score")
-    rep = RepetitionStats.ngram_stats(docs, 2).select(
-        "doc_id", "top_ngram_frac", "dup_ngram_frac"
-    )
-    kept = (
-        docs.join(quality, "doc_id")
-        .join(rep, "doc_id")
-        .where(
-            "quality_score >= 0.3 AND top_ngram_frac <= 0.15"
-            " AND dup_ngram_frac <= 0.3"
-        )
-        .cache()
-    )
-
-    exact = Dedup.exact_groups(kept).where("is_canonical").select("doc_id")
-    survivors = kept.join(exact, "doc_id", "left_semi").cache()
-
-    pairs = Dedup.minhash_lsh_pairs(
-        survivors, MINHASH_K, MINHASH_BANDS, SHINGLE, JACCARD_T
-    )
-    dupes = (
-        ConnectedComponents.canonical_groups(pairs)
-        .where(~F.col("is_canonical"))
-        .select(F.col("node").alias("doc_id"))
-    )
-    deduped = survivors.join(dupes, "doc_id", "left_anti").select("doc_id", "text")
-
-    clean = Decontamination.overlap_ngrams(deduped, eval_docs, DECON_N).where(
-        "NOT contaminated"
-    )
-    return deduped.join(clean, "doc_id", "left_semi").select("doc_id", "text")
+    return curate(docs, eval_docs, decon_ngram=DECON_N)
 
 
 def pipeline_events_e2e(spark, sf_dir):

@@ -50,6 +50,7 @@ from sparker_spark.llm.curation import QualityFilter, Redaction
 from sparker_spark.funnel import Anomaly, Decay, Funnel, Retention
 from sparker_spark.sketches import BloomFilter, HyperLogLog
 from sparker_spark.dedupe import dedupe
+from sparker_spark.curate import curate
 
 __all__ = [
     # reference export list (python/sparker/__init__.py:1-18)
@@ -103,4 +104,5 @@ __all__ = [
     "HyperLogLog",
     "BloomFilter",
     "dedupe",
+    "curate",
 ]

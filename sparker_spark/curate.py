@@ -1,0 +1,127 @@
+"""One-call corpus curation API — the clean-corpus counterpart of
+:func:`sparker_spark.dedupe.dedupe`.
+
+``curate(documents, ...) -> (doc_id, text)`` composes the full
+pretraining cleanup flow behind a single function:
+
+    PII redaction -> quality floor -> repetition (Gopher-style) filter
+    -> exact dedup (canonical per content hash) -> MinHash-LSH near-dup
+    pairs -> distributed connected components -> canonical per near-dup
+    group -> benchmark decontamination vs a held-out eval set
+
+Every stage is the same shuffle-bounded DataFrame operator the
+oracle-checked queries run (no crossJoin, no driver state; see each
+operator's module for its plan rationale) — this module adds
+composition and stage toggles only. Any stage can be disabled by
+passing ``None`` for its knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate(
+    documents: DataFrame,
+    eval_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    redact: bool = True,
+    min_quality: float | None = 0.3,
+    max_top_ngram_frac: float | None = 0.15,
+    max_dup_ngram_frac: float | None = 0.3,
+    exact_dedup: bool = True,
+    jaccard_threshold: float | None = 0.2,
+    minhash_k: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    decon_ngram: int = 5,
+) -> DataFrame:
+    """Cleaned corpus ``(id_col, text_col)`` ready for tokenization.
+
+    * ``eval_docs``: held-out benchmark/eval documents; when given,
+      surviving docs sharing any ``decon_ngram``-word n-gram with them
+      are dropped (decontamination runs LAST so it only shingles the
+      survivors).
+    * ``min_quality`` / ``max_top_ngram_frac`` / ``max_dup_ngram_frac``:
+      quality-floor and repetition-filter thresholds (``None`` skips
+      that predicate).
+    * ``jaccard_threshold``: near-dup removal threshold; ``None`` skips
+      the whole LSH + connected-components stage.
+    """
+    from sparker_spark.graph import ConnectedComponents
+    from sparker_spark.llm.curation import (
+        Decontamination,
+        Redaction,
+        RepetitionStats,
+    )
+    from sparker_spark.llm.dedup import Dedup
+    from sparker_spark.llm.text import TextAnalysis
+
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    if redact:
+        # redact first: the redacted text is what gets deduped/shipped
+        docs = (
+            Redaction.redact_pii(docs)
+            .select("doc_id", "redacted_text")
+            .withColumnRenamed("redacted_text", "text")
+        )
+    # Materialize the (possibly redacted) base ONCE: every stage below
+    # consumes the surviving text several times (filter + semi-join
+    # legs), and without a checkpoint each leg would re-derive the
+    # full upstream lineage — multiplying base scans by 2 per stage.
+    # localCheckpoint is the repo's standard multi-consumer idiom (the
+    # RDD is freed by GC, unlike a session-pinned cache).
+    docs = docs.localCheckpoint(eager=True)
+
+    preds = []
+    if min_quality is not None:
+        preds.append(F.col("quality_score") >= float(min_quality))
+    if max_top_ngram_frac is not None:
+        preds.append(F.col("top_ngram_frac") <= float(max_top_ngram_frac))
+    if max_dup_ngram_frac is not None:
+        preds.append(F.col("dup_ngram_frac") <= float(max_dup_ngram_frac))
+    if preds:
+        quality = TextAnalysis.quality_score(docs).select(
+            "doc_id", "quality_score"
+        )
+        rep = RepetitionStats.ngram_stats(docs, 2).select(
+            "doc_id", "top_ngram_frac", "dup_ngram_frac"
+        )
+        cond = preds[0]
+        for p in preds[1:]:
+            cond = cond & p
+        docs = (
+            docs.join(quality, "doc_id").join(rep, "doc_id").where(cond)
+        ).select("doc_id", "text")
+
+    if exact_dedup:
+        canon = Dedup.exact_groups(docs).where("is_canonical").select("doc_id")
+        docs = docs.join(canon, "doc_id", "left_semi")
+
+    if jaccard_threshold is not None:
+        pairs = Dedup.minhash_lsh_pairs(
+            docs, minhash_k, bands, shingle_size, float(jaccard_threshold)
+        )
+        dupes = (
+            ConnectedComponents.canonical_groups(pairs)
+            .where(~F.col("is_canonical"))
+            .select(F.col("node").alias("doc_id"))
+        )
+        docs = docs.join(dupes, "doc_id", "left_anti")
+
+    if eval_docs is not None:
+        ev = eval_docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        clean = Decontamination.overlap_ngrams(docs, ev, int(decon_ngram)).where(
+            "NOT contaminated"
+        )
+        docs = docs.join(clean, "doc_id", "left_semi")
+
+    return docs.select(
+        F.col("doc_id").alias(id_col), F.col("text").alias(text_col)
+    )

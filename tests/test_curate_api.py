@@ -1,0 +1,74 @@
+"""One-call curate() wrapper: each stage must drop exactly its planted
+offender while the clean survivor passes end-to-end."""
+
+import pytest
+
+from sparker_spark.curate import curate
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew quirky potions beneath a glowing autumn sky tonight"
+)
+GOOD2 = (
+    "mountain rivers carve ancient valleys through granite stone as "
+    "eagles circle high above the misty northern ridge line today"
+)
+
+
+def test_curate_stages(spark):
+    rows = [
+        (0, GOOD),
+        (1, GOOD2),
+        (2, "spam spam spam spam spam spam spam spam spam spam"),  # repetition
+        (3, "#### !!!! ???? %%%% @@@@"),                           # low quality
+        (4, GOOD),                                                 # exact dup of 0
+        (5, GOOD + " extra"),                                      # near-dup of 0
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate(docs, jaccard_threshold=0.5)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 1 in kept
+    assert 2 not in kept  # repetition filter
+    assert 3 not in kept  # quality floor
+    # exactly one canonical survives from the {0, 4, 5} dup cluster
+    assert len(kept & {0, 4, 5}) == 1
+
+
+def test_curate_decontamination_and_toggles(spark):
+    docs = spark.createDataFrame([(0, GOOD), (1, GOOD2)], ["doc_id", "text"])
+    ev = spark.createDataFrame([(100, GOOD)], ["doc_id", "text"])
+    # all filters off except decontamination
+    out = curate(
+        docs,
+        eval_docs=ev,
+        redact=False,
+        min_quality=None,
+        max_top_ngram_frac=None,
+        max_dup_ngram_frac=None,
+        exact_dedup=False,
+        jaccard_threshold=None,
+        decon_ngram=5,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {1}  # doc 0 shares 5-grams with the eval split
+
+    # everything off -> identity
+    out = curate(
+        docs,
+        redact=False,
+        min_quality=None,
+        max_top_ngram_frac=None,
+        max_dup_ngram_frac=None,
+        exact_dedup=False,
+        jaccard_threshold=None,
+    )
+    assert out.count() == 2
+
+
+def test_curate_custom_column_names(spark):
+    docs = spark.createDataFrame(
+        [("r1", GOOD), ("r2", GOOD)], ["rid", "body"]
+    )
+    out = curate(docs, id_col="rid", text_col="body", jaccard_threshold=None)
+    assert set(out.columns) == {"rid", "body"}
+    assert out.count() == 1  # exact dup collapsed
