@@ -399,6 +399,66 @@ FROM t JOIN lp USING (tok)
 GROUP BY doc_id"""
 
 
+GSPSN_EMIT_N = 500
+GSPSN_EMIT_BATCH = 150  # several refill pages within the first N pulls
+
+
+def q_gspsn_emit(spark, sf_dir):
+    """First {N} comparisons actually PULLED through the GSPSN
+    iterator (initialize + get_next over the one-globally-sorted-pass
+    pager, progressive.py GSPSN._refill) as (rank, p1, p2, weight).
+    The small mini_batch forces several page refills inside the first
+    N pulls. Emission order is (UNROUNDED weight desc, p1, p2); the
+    weight is one IEEE division of small integers, bit-identical in
+    DuckDB, so the oracle reproduces the exact order while the output
+    column carries the rounded value."""
+    from sparker_spark.entry import _doc_keys_unigram
+    from sparker_spark.entry_ext import GSPSN_W
+    from sparker_spark.progressive import GSPSN
+    from sparker_spark.rounding import rnd as _rnd
+
+    keys = _doc_keys_unigram(spark, sf_dir)
+    g = GSPSN(keys, max_window_size=GSPSN_W, mini_batch=GSPSN_EMIT_BATCH)
+    g.initialize()
+    rows = []
+    for rank in range(1, GSPSN_EMIT_N + 1):
+        p1, p2, w = g.get_next()
+        if (p1, p2, w) == (-1, -1, -1):
+            break
+        rows.append((rank, int(p1), int(p2), float(w)))
+    out = spark.createDataFrame(
+        rows, "rank INT, p1 BIGINT, p2 BIGINT, weight DOUBLE"
+    )
+    return out.select("rank", "p1", "p2", _rnd("weight", 6).alias("weight"))
+
+
+def _o_gspsn_emit() -> str:
+    from sparker_spark.entry import DUCK_UNIGRAM_KEYS
+    from sparker_spark.entry_ext import GSPSN_W
+
+    return f"""WITH {DUCK_UNIGRAM_KEYS.strip()},
+pos AS (SELECT profile_id,
+               row_number() OVER (ORDER BY key, profile_id) - 1 AS pos
+        FROM keys),
+pairs AS (
+  SELECT a.profile_id AS pa, b.profile_id AS pb
+  FROM pos a JOIN pos b
+    ON b.pos BETWEEN a.pos - {GSPSN_W} AND a.pos + {GSPSN_W}
+   AND b.pos <> a.pos
+  WHERE b.profile_id < a.profile_id),
+cbs AS (SELECT pa, pb, count(*) AS c FROM pairs GROUP BY 1, 2),
+counts AS (SELECT profile_id, count(*) AS n FROM pos GROUP BY 1),
+w AS (
+  SELECT cbs.pb AS p1, cbs.pa AS p2,
+         CAST(c AS DOUBLE) / (na.n + nb.n - c) AS raw_w
+  FROM cbs
+  JOIN counts na ON cbs.pa = na.profile_id
+  JOIN counts nb ON cbs.pb = nb.profile_id)
+SELECT CAST(row_number() OVER (ORDER BY raw_w DESC, p1, p2) AS INT) AS rank,
+       p1, p2, round(raw_w, 6) AS weight
+FROM w ORDER BY rank LIMIT {GSPSN_EMIT_N}"""
+
+
 def r4_queries() -> dict:
     return {
         "er_multi3_edges": q_er_multi3_edges,
@@ -407,6 +467,7 @@ def r4_queries() -> dict:
         "dedup_chunk_exact": q_dedup_chunk_exact,
         "stream_neardup": q_stream_neardup,
         "text_unigram_logprob": q_text_unigram_logprob,
+        "gspsn_emit": q_gspsn_emit,
     }
 
 
@@ -418,4 +479,5 @@ def r4_oracles() -> dict:
         "dedup_chunk_exact": _o_dedup_chunk_exact(),
         "stream_neardup": _o_stream_neardup(),
         "text_unigram_logprob": O_TEXT_UNIGRAM_LOGPROB,
+        "gspsn_emit": _o_gspsn_emit(),
     }
