@@ -305,3 +305,51 @@ def test_unigram_logprob_empty_and_values(spark):
     assert out[0]["avg_logprob"] == pytest.approx(lp, abs=2e-6)
     assert out[1]["n_tokens"] == 1
     assert 2 not in out  # whitespace-only doc: no row
+
+
+def test_chunker_reconstruction_property(spark):
+    """Property: with overlap=0 the chunks partition the token list
+    exactly (concatenation round-trips, token counts sum); with
+    overlap o, consecutive chunks share exactly o tokens until the
+    final short window."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sparker_spark.llm.text import Chunker
+
+    corpus = st.lists(
+        st.lists(st.sampled_from([f"w{i}" for i in range(12)]),
+                 min_size=0, max_size=40),
+        min_size=1, max_size=8,
+    )
+
+    @given(docs=corpus, c=st.sampled_from([3, 5, 8]), o=st.sampled_from([0, 1, 2]))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def check(docs, c, o):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = Chunker.chunk(df, c, o).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+            )
+        for i, toks in enumerate(docs):
+            chunks = sorted(by_doc.get(i, []))
+            if not toks:
+                assert chunks == []
+                continue
+            # chunk_idx is dense from 0
+            assert [c_[0] for c_ in chunks] == list(range(len(chunks)))
+            stride = c - o
+            rebuilt = []
+            for idx, (ci, text, n) in enumerate(chunks):
+                ts = text.split(" ") if text else []
+                assert len(ts) == n
+                assert ts == toks[idx * stride : idx * stride + c]
+                rebuilt.extend(ts if idx == 0 else ts[o:] if len(ts) > o else [])
+            if o == 0:
+                assert rebuilt == toks
+
+    check()
