@@ -331,7 +331,7 @@ def main():
     # 1.6 s query). The median excludes the shared warmup run;
     # `first_run_total_sec` reports the cold pass so the cache-build
     # cost stays visible in the record instead of vanishing.
-    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     first_run_total = 0.0
     for name in HEADLINE:

@@ -97,10 +97,16 @@ def curate(
         docs = (
             docs.join(quality, "doc_id").join(rep, "doc_id").where(cond)
         ).select("doc_id", "text")
+        # each later stage consumes the surviving relation from 2
+        # legs; checkpoint at the stage boundary so the quality/
+        # repetition aggregates never re-execute downstream
+        docs = docs.localCheckpoint(eager=True)
 
     if exact_dedup:
         canon = Dedup.exact_groups(docs).where("is_canonical").select("doc_id")
-        docs = docs.join(canon, "doc_id", "left_semi")
+        docs = docs.join(canon, "doc_id", "left_semi").localCheckpoint(
+            eager=True
+        )
 
     if jaccard_threshold is not None:
         pairs = Dedup.minhash_lsh_pairs(

@@ -49,7 +49,12 @@ def dedupe(
       record id in each. With ``df2`` set (a DataFrame, or a LIST of
       DataFrames for k-source clean-clean ER — reference
       old_versions/multi-data-source-sparker), only cross-frame pairs
-      are emitted; each frame is its own source.
+      are emitted; each frame is its own source. With a single
+      ``df2`` DataFrame the output keeps the 2-frame contract
+      (``id1`` from ``df``, ``id2`` from ``df2``); with a LIST the
+      output additionally carries ``source1``/``source2`` (0 = ``df``,
+      i = ``df2[i-1]``, always ``source1 < source2``) so pairs stay
+      attributable when frames share an id namespace.
     * ``columns``: attribute subset to block on (default: all except
       the id column).
     * ``blocking``: ``"token"`` (schema-agnostic token blocking) or
@@ -71,17 +76,22 @@ def dedupe(
             use, start_id_from=start_id, real_id_field=id_col, source_id=source_id
         )
 
-    profiles = prep(df, 0, 0)
     extra = (
         [] if df2 is None else (df2 if isinstance(df2, list) else [df2])
     )
     clean = bool(extra)
+    multi = isinstance(df2, list)
+    # Per-frame id offsets from each frame's OWN row count — one cheap
+    # independent job per frame over the raw input. (Deriving the
+    # offset from max(profile_id) of the growing union re-executes the
+    # whole melt lineage of every earlier frame per step: O(k²).)
+    counts = [df.count()] + [f.count() for f in extra]
+    starts = [0]
+    for c in counts[:-1]:
+        starts.append(starts[-1] + c)
+    profiles = prep(df, 0, starts[0])
     for i, frame in enumerate(extra, start=1):
-        n_prev = profiles.agg(F.max("profile_id")).first()[0]
-        # empty prior frames: max() is NULL — start this source's ids
-        # at 0 instead of raising on int(None)
-        start = int(n_prev) + 1 if n_prev is not None else 0
-        profiles = profiles.unionByName(prep(frame, i, start))
+        profiles = profiles.unionByName(prep(frame, i, starts[i]))
     profiles = profiles.cache()
 
     if blocking == "token":
@@ -125,21 +135,30 @@ def dedupe(
     else:
         edges = ctx.half()
 
-    # back to the caller's ids (original_id is the stringified id_col)
-    ids = profiles.select("profile_id", "original_id").distinct()
+    # back to the caller's ids (original_id is the stringified id_col);
+    # profile ids ascend with source index, and edges hold p1 < p2, so
+    # source1 <= source2 (strictly < for clean-clean cross-source)
+    ids = profiles.select("profile_id", "original_id", "source_id").distinct()
     out = (
         edges.join(
             ids.select(
-                F.col("profile_id").alias("p1"), F.col("original_id").alias("id1")
+                F.col("profile_id").alias("p1"),
+                F.col("original_id").alias("id1"),
+                F.col("source_id").alias("source1"),
             ),
             "p1",
         )
         .join(
             ids.select(
-                F.col("profile_id").alias("p2"), F.col("original_id").alias("id2")
+                F.col("profile_id").alias("p2"),
+                F.col("original_id").alias("id2"),
+                F.col("source_id").alias("source2"),
             ),
             "p2",
         )
-        .select("id1", "id2", "weight")
     )
-    return out
+    if multi:
+        # k-source mode: frames may share an id namespace — keep the
+        # source indexes so every pair stays attributable
+        return out.select("id1", "id2", "source1", "source2", "weight")
+    return out.select("id1", "id2", "weight")

@@ -1009,7 +1009,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     # similarity search (M8)
     "ann_topk_cosine": q_ann_topk_cosine,
-    "ann_topk_ivf": q_ann_topk_ivf,  # approximate: rows-only check
+    "ann_topk_ivf": q_ann_topk_ivf,  # full oracle via entry_ext._o_ann_topk_ivf
     # text analysis (M8)
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -1052,7 +1052,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_simhash": _o_dedup_simhash(),
         "dedup_embedding_cosine": O_DEDUP_EMBEDDING,
         "ann_topk_cosine": O_ANN_TOPK,
-        # ann_topk_ivf intentionally omitted (approximate operator)
+        # ann_topk_ivf oracle registered by entry_ext (ext_oracles)
         "text_token_stats": O_TEXT_TOKEN_STATS,
         "text_quality": _o_text_quality(),
         "text_lang_id": _o_text_lang_id(),

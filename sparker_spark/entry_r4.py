@@ -44,7 +44,30 @@ def q_er_multi3_edges(spark, sf_dir):
     )
     blocks = Blocking.blocks_from_keys(keys, clean=True, assign_ids=False)
     co = EdgeWeighting.co_occurrence(blocks)
-    logden = EdgeWeighting.arcs_log_denominator(blocks)
+    # GATE-SURFACE determinism: the denominator is a sum of irrational
+    # ln() terms, and cross-engine float addition order differs — per
+    # the repo rounding rule, each per-block ln(Π n_i) term is rounded
+    # to 6 places and summed as DECIMAL (order-free), unlike the
+    # engine-internal arcs_log_denominator (which stays unrounded for
+    # reference parity at 1e-9). The oracle mirrors this exactly.
+    ln_comp = (
+        blocks.assignments.groupBy("block_id", "source_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "block_id",
+            rnd(F.log(F.col("n").cast("double")), 6)
+            .cast("decimal(28,6)")
+            .alias("ln_n"),
+        )
+        .groupBy("block_id")
+        .agg(F.sum("ln_n").alias("ln_comp"))
+    )
+    logden = (
+        blocks.assignments.select("block_id", "profile_id")
+        .join(ln_comp, "block_id")
+        .groupBy("profile_id")
+        .agg(F.sum("ln_comp").alias("logden"))
+    )
     return (
         co.join(
             logden.select(
@@ -57,7 +80,9 @@ def q_er_multi3_edges(spark, sf_dir):
         .select(
             F.col("src").alias("p1"),
             F.col("dst").alias("p2"),
-            rnd(F.log("cbs") - F.col("src_logden"), 6).alias("log_weight"),
+            rnd(
+                F.log("cbs") - F.col("src_logden").cast("double"), 6
+            ).alias("log_weight"),
         )
     )
 
@@ -79,8 +104,10 @@ keys AS (
         FROM toks)
 ),
 per_source AS (SELECT key, source_id, count(*) AS n FROM keys GROUP BY key, source_id),
+-- per-term rounding + DECIMAL sums (order-free) mirror the Spark side
 blocks AS (
-  SELECT key, sum(ln(CAST(n AS DOUBLE))) AS ln_comp
+  SELECT key,
+         sum(CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(28,6))) AS ln_comp
   FROM per_source GROUP BY key
   HAVING sum(n) > 1 AND count(*) > 1
 ),
@@ -94,7 +121,7 @@ cbs AS (
   GROUP BY 1, 2
 )
 SELECT c.p1, c.p2,
-       round(ln(CAST(c.c AS DOUBLE)) - l.logden, 6) AS log_weight
+       round(ln(CAST(c.c AS DOUBLE)) - CAST(l.logden AS DOUBLE), 6) AS log_weight
 FROM cbs c JOIN logden l ON c.p1 = l.profile_id"""
 
 
@@ -209,7 +236,8 @@ toks AS (SELECT doc_id,
                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
          FROM documents),
 starts AS (
-  SELECT doc_id, t, unnest(range(1, len(t) + 1, {stride})) AS i
+  SELECT doc_id, t,
+         unnest(range(1, greatest(len(t) - {CHUNK_OVERLAP}, 1) + 1, {stride})) AS i
   FROM toks WHERE len(t) >= 1
 )
 SELECT doc_id,

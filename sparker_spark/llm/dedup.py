@@ -71,9 +71,14 @@ class Dedup:
         ``plan="naive"`` / ``plan="prefix"`` force a branch (tests
         pin plan-equivalence through them)."""
         t = float(threshold)
+        # cache: the stats probe (auto) plus every branch's multiple
+        # legs (freq/ordered/sizes in the prefix join; counts + both
+        # join sides in the naive one) would otherwise re-derive the
+        # tokenize+shingle+hash lineage per leg — same idiom as
+        # minhash_lsh_pairs
         sh = shingle_hashes(documents, shingle_size).select(
             "doc_id", F.col("h").alias("tok")
-        )
+        ).cache()
         if plan == "auto":
             stats = (
                 sh.groupBy("tok")

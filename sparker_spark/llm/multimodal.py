@@ -124,6 +124,15 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
             pos += 1
         fields.append(int(payload[start:pos]))
     width, height, maxval = fields
+    if not 0 < maxval <= 255:
+        # maxval > 255 means TWO bytes per sample (big-endian) — this
+        # dependency-free codec handles the 1-byte variant only, and
+        # reading a 16-bit raster as uint8 would silently corrupt the
+        # pixels rather than fail
+        raise ValueError(
+            f"unsupported PPM maxval {maxval}: only 8-bit (maxval <= 255) "
+            "binary PPM is supported"
+        )
     return width, height, maxval, pos + 1  # single whitespace after maxval
 
 

@@ -15,10 +15,11 @@ true pair while skipping the frequent-token buckets that dominate the
 naive join's cost — the candidate join keys are, by construction, the
 RAREST tokens of each document.
 
-Scale posture: the global token ordering uses the distributed
-two-phase ranker (ranking.global_rank — no single-partition window);
-everything else is equi-joins and hash aggregates keyed by token or by
-pair. No driver state beyond the ranker's per-partition offsets.
+Scale posture: the token ordering needs no global rank at all — prefix
+membership only depends on each document's OWN ordering of its tokens
+under the shared (document-frequency, token) sort key, a per-document
+window; everything else is equi-joins and hash aggregates keyed by
+token or by pair. No driver state anywhere.
 """
 
 from __future__ import annotations

@@ -270,9 +270,12 @@ class Chunker:
         """(doc_id, chunk_idx, chunk_text, n_tokens): windows of
         ``chunk_tokens`` whitespace tokens starting every
         ``chunk_tokens - overlap`` tokens; the final window may be
-        short. Empty / whitespace-only documents produce no rows.
-        Text is NOT normalized — chunk boundaries must not change the
-        training text."""
+        short. A window that would contain ONLY overlap tokens (its
+        start past ``n - overlap``) is never emitted — the previous
+        window already covers the document end, and emitting it would
+        duplicate training text verbatim. Empty / whitespace-only
+        documents produce no rows. Text is NOT normalized — chunk
+        boundaries must not change the training text."""
         c, o = int(chunk_tokens), int(overlap)
         if c <= 0:
             raise ValueError("chunk_tokens must be positive")
@@ -281,7 +284,7 @@ class Chunker:
         stride = c - o
         expr = F.expr(
             f"CASE WHEN size(toks) >= 1 THEN "
-            f"transform(sequence(1, size(toks), {stride}), "
+            f"transform(sequence(1, greatest(size(toks) - {o}, 1), {stride}), "
             f" i -> struct(CAST((i - 1) DIV {stride} AS INT) AS chunk_idx, "
             f"            concat_ws(' ', slice(toks, i, {c})) AS chunk_text, "
             f"            CAST(size(slice(toks, i, {c})) AS INT) AS n_tokens)) "
