@@ -487,6 +487,38 @@ SELECT CAST(row_number() OVER (ORDER BY raw_w DESC, p1, p2) AS INT) AS rank,
 FROM w ORDER BY rank LIMIT {GSPSN_EMIT_N}"""
 
 
+def q_dedup_triangles(spark, sf_dir):
+    """Triangles of the MinHash-LSH near-dup graph (graph.Triangles:
+    degree-ordered orientation, each triangle listed once) — dup
+    groups are cliques, so triangle density diagnoses how clique-like
+    the near-dup neighborhoods are before transitive closure."""
+    from sparker_spark.entry import (
+        JACCARD_T,
+        MINHASH_BANDS,
+        MINHASH_K,
+        SHINGLE,
+        load,
+    )
+    from sparker_spark.graph import Triangles
+    from sparker_spark.llm.dedup import Dedup
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = Dedup.minhash_lsh_pairs(
+        docs, MINHASH_K, MINHASH_BANDS, SHINGLE, JACCARD_T
+    ).select("p1", "p2")
+    return Triangles.enumerate(pairs)
+
+
+def _o_dedup_triangles() -> str:
+    from sparker_spark.entry import _o_dedup_minhash
+
+    return f"""WITH e AS ({_o_dedup_minhash()})
+SELECT a.p1, a.p2, b.p2 AS p3
+FROM e a
+JOIN e b ON a.p2 = b.p1
+JOIN e c ON c.p1 = a.p1 AND c.p2 = b.p2"""
+
+
 def r4_queries() -> dict:
     return {
         "er_multi3_edges": q_er_multi3_edges,
@@ -496,6 +528,7 @@ def r4_queries() -> dict:
         "stream_neardup": q_stream_neardup,
         "text_unigram_logprob": q_text_unigram_logprob,
         "gspsn_emit": q_gspsn_emit,
+        "dedup_triangles": q_dedup_triangles,
     }
 
 
@@ -508,4 +541,5 @@ def r4_oracles() -> dict:
         "stream_neardup": _o_stream_neardup(),
         "text_unigram_logprob": O_TEXT_UNIGRAM_LOGPROB,
         "gspsn_emit": _o_gspsn_emit(),
+        "dedup_triangles": _o_dedup_triangles(),
     }

@@ -145,3 +145,32 @@ def test_pagerank_matches_power_iteration_model(spark):
         pr = {v: rnd((1.0 - 0.85) / n + 0.85 * contrib[v]) for v in nodes}
     want = {v: math.floor(pr[v] * 1e6 + 0.5) / 1e6 for v in nodes}
     assert got == want
+
+
+def test_triangles_exact(spark):
+    """Triangle enumeration: 4-clique (4 triangles) + pendant edge +
+    disjoint triangle, each listed once as p1 < p2 < p3."""
+    from sparker_spark.graph import Triangles
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+         (4, 5),                                          # pendant
+         (10, 11), (10, 12), (11, 12)],                   # triangle
+        ["p1", "p2"],
+    )
+    got = {
+        (r["p1"], r["p2"], r["p3"]) for r in Triangles.enumerate(edges).collect()
+    }
+    assert got == {
+        (1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4), (10, 11, 12)
+    }
+    assert Triangles.enumerate(edges).count() == 5  # no duplicates
+
+
+def test_triangles_empty_and_triangle_free(spark):
+    from sparker_spark.graph import Triangles
+
+    empty = spark.createDataFrame([], "p1 long, p2 long")
+    assert Triangles.enumerate(empty).count() == 0
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["p1", "p2"])
+    assert Triangles.enumerate(path).count() == 0
