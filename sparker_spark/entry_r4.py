@@ -519,6 +519,82 @@ JOIN e b ON a.p2 = b.p1
 JOIN e c ON c.p1 = a.p1 AND c.p2 = b.p2"""
 
 
+def q_tpch_q12ish(spark, sf_dir):
+    """TPC-H Q12 shape on the available columns: per l_returnflag,
+    high- vs low-priority order line counts among 1996-1998 shipments
+    — the join + conditional-aggregation pattern (CASE inside SUM)
+    whose predicate pushes to the parquet scan."""
+    from sparker_spark.entry import load
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+O_TPCH_Q12ISH = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag"""
+
+
+def q_block_skew_report(spark, sf_dir):
+    """Blocking skew diagnostic: the 10 largest unigram token blocks
+    with each block's share of the collection's total comparison
+    workload — the report that tells an operator whether purging is
+    doing its job before the quadratic meta-blocking stage. Share
+    denominators come from one global aggregate; ordering is on exact
+    integers (comparison counts) with the key as tiebreak."""
+    from sparker_spark.blocking.blockers import Blocking
+    from sparker_spark.entry import _doc_keys_unigram
+
+    keys = _doc_keys_unigram(spark, sf_dir)
+    blocks = Blocking.blocks_from_keys(keys, clean=False, assign_ids=False)
+    meta = blocks.meta.select("key", "block_size", "comparisons").cache()
+    # one bounded driver scalar (same class as WEP's global threshold);
+    # a scalar crossJoin would plan as a nested loop
+    total_comp = float(
+        meta.agg(F.sum("comparisons")).first()[0] or 1
+    )
+    return (
+        meta.select(
+            "key",
+            F.col("block_size").cast("long").alias("block_size"),
+            F.col("comparisons").cast("long").alias("comparisons"),
+            rnd(F.col("comparisons") / F.lit(total_comp), 6).alias(
+                "comp_share"
+            ),
+        )
+        .orderBy(F.desc("comparisons"), F.asc("key"))
+        .limit(10)
+    )
+
+
+def _o_block_skew_report() -> str:
+    from sparker_spark.entry import DUCK_DIRTY_BLOCKS, DUCK_UNIGRAM_KEYS
+
+    return f"""WITH {DUCK_UNIGRAM_KEYS.strip()}, {DUCK_DIRTY_BLOCKS.strip()},
+tot AS (SELECT CAST(sum(comparisons) AS DOUBLE) AS total_comp FROM blocks)
+SELECT key, block_size, comparisons,
+       round(comparisons / (SELECT total_comp FROM tot), 6) AS comp_share
+FROM blocks
+ORDER BY comparisons DESC, key LIMIT 10"""
+
+
 def r4_queries() -> dict:
     return {
         "er_multi3_edges": q_er_multi3_edges,
@@ -529,6 +605,8 @@ def r4_queries() -> dict:
         "text_unigram_logprob": q_text_unigram_logprob,
         "gspsn_emit": q_gspsn_emit,
         "dedup_triangles": q_dedup_triangles,
+        "tpch_q12ish": q_tpch_q12ish,
+        "block_skew_report": q_block_skew_report,
     }
 
 
@@ -542,4 +620,6 @@ def r4_oracles() -> dict:
         "text_unigram_logprob": O_TEXT_UNIGRAM_LOGPROB,
         "gspsn_emit": _o_gspsn_emit(),
         "dedup_triangles": _o_dedup_triangles(),
+        "tpch_q12ish": O_TPCH_Q12ISH,
+        "block_skew_report": _o_block_skew_report(),
     }
