@@ -80,7 +80,10 @@ def dedupe(
         [] if df2 is None else (df2 if isinstance(df2, list) else [df2])
     )
     clean = bool(extra)
-    multi = isinstance(df2, list)
+    # an empty df2 list is a dirty-ER run: without this guard it would
+    # take the k-source output shape (source1/source2 columns) while
+    # clean=False, contradicting the documented list contract
+    multi = clean and isinstance(df2, list)
     # Per-frame id offsets from each frame's OWN row count — one cheap
     # independent job per frame over the raw input. (Deriving the
     # offset from max(profile_id) of the growing union re-executes the

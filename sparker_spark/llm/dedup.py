@@ -70,15 +70,20 @@ class Dedup:
         threshold, so BOTH plans produce the identical relation.
         ``plan="naive"`` / ``plan="prefix"`` force a branch (tests
         pin plan-equivalence through them)."""
+        if plan not in ("auto", "naive", "prefix"):
+            raise ValueError("plan must be one of 'auto', 'naive', 'prefix'")
         t = float(threshold)
-        # cache: the stats probe (auto) plus every branch's multiple
-        # legs (freq/ordered/sizes in the prefix join; counts + both
-        # join sides in the naive one) would otherwise re-derive the
-        # tokenize+shingle+hash lineage per leg — same idiom as
-        # minhash_lsh_pairs
+        # localCheckpoint (not cache): the stats probe (auto) plus
+        # every branch's multiple legs (freq/ordered/sizes in the
+        # prefix join; counts + both join sides in the naive one)
+        # would otherwise re-derive the tokenize+shingle+hash lineage
+        # per leg. Unlike .cache(), checkpoint blocks are freed by GC
+        # when this frame goes out of scope, so long-lived sessions
+        # (registry sweeps, curate pipelines) don't accumulate
+        # never-unpersisted relations.
         sh = shingle_hashes(documents, shingle_size).select(
             "doc_id", F.col("h").alias("tok")
-        ).cache()
+        ).localCheckpoint(eager=True)
         if plan == "auto":
             stats = (
                 sh.groupBy("tok")

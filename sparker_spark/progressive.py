@@ -48,9 +48,8 @@ class PPS:
         self.k = k + 1  # reference keeps k+1 (progressive.py:103)
         self.mini_batch = mini_batch
         self.comparison_queue: PriorityQueue = PriorityQueue()
-        self.profile_queue: PriorityQueue = PriorityQueue()
-        self.visited: set = set()
-        self.emitted: set = set()
+        self._top1_iter = None
+        self._profile_iter = None
         self._edges = None
 
     @staticmethod
@@ -69,7 +68,20 @@ class PPS:
     def initialize(self):
         """First pass (progressive.py:12-70 + initialize :214-232):
         per profile, its top-1 comparison (among larger-id neighbors)
-        and its duplication likelihood (mean neighbor weight)."""
+        and its duplication likelihood (mean neighbor weight).
+
+        PAGED driver surface: the init frame stays DISTRIBUTED
+        (localCheckpoint) and feeds two globally-sorted
+        ``toLocalIterator`` streams — the phase-0 top-1 run ordered
+        exactly as the old full-queue drain popped it (weight desc,
+        src, dst), and the likelihood-ordered profile run that the
+        mini-batch refills consume. The driver never holds more than
+        one page + one prefetched sort partition, where the previous
+        design collected O(#profiles) rows into two PriorityQueues and
+        grew an O(#emitted) dedup set — a driver OOM at 1B profiles.
+        Emission order is bit-identical: a sorted stream pulled in
+        pages pops in the same total order as a fully-materialized
+        priority queue (same argument as GSPSN's paged get_next)."""
         ctx = EdgeWeighting.weighted_edges(
             self.blocks, self.pbf, self.weight_type, self.use_entropy
         )
@@ -79,41 +91,78 @@ class PPS:
             .select("src", "dst", "weight")
             .cache()
         )
-        rows = PPS.init_frame(self._edges).collect()
-        for r in rows:
-            top_w = r["top"]["weight"]
-            top_n = -r["top"]["nd"]
-            if top_w > 0:
-                self.comparison_queue.put((-top_w, r["src"], int(top_n)))
-                self.emitted.add((r["src"], int(top_n)))
-            self.profile_queue.put((-r["likelihood"], r["src"]))
+        # materialize once, distributed; both sorted streams below
+        # re-read the checkpointed rows instead of re-running the
+        # group-by per stream (blocks freed by GC, the repo idiom)
+        init = PPS.init_frame(self._edges).localCheckpoint(eager=True)
+        self._top1_iter = (
+            init.select(
+                "src",
+                F.col("top.weight").alias("weight"),
+                (-F.col("top.nd")).cast("long").alias("dst"),
+            )
+            .where(F.col("weight") > 0)
+            .orderBy(F.col("weight").desc(), F.col("src").asc(), F.col("dst").asc())
+            .toLocalIterator(prefetchPartitions=True)
+        )
+        self._profile_iter = (
+            init.select("src", "likelihood")
+            .orderBy(F.col("likelihood").desc(), F.col("src").asc())
+            .toLocalIterator(prefetchPartitions=True)
+        )
+        self._pull_top1_page()
+
+    def _pull_top1_page(self) -> bool:
+        """Next ``mini_batch`` rows of the phase-0 top-1 run into the
+        comparison queue. Stream order == queue pop order, so paging
+        is observation-free."""
+        n = 0
+        for r in self._top1_iter:
+            self.comparison_queue.put((-r["weight"], r["src"], int(r["dst"])))
+            n += 1
+            if n >= self.mini_batch:
+                break
+        return n > 0
 
     def _refill(self):
+        # phase 0 first: drain the globally-sorted top-1 run page by
+        # page before any likelihood-batch refill (the old design had
+        # the whole run pre-loaded in the comparison queue)
+        if self._top1_iter is not None:
+            if self._pull_top1_page():
+                return True
+            self._top1_iter = None
+        if self._profile_iter is None:  # initialize() not called
+            return False
         batch = []
-        while not self.profile_queue.empty() and len(batch) < self.mini_batch:
-            _, pid = self.profile_queue.get()
-            if pid not in self.visited:
-                self.visited.add(pid)
-                batch.append(pid)
+        for r in self._profile_iter:
+            batch.append(r["src"])
+            if len(batch) >= self.mini_batch:
+                break
         if not batch:
             return False
         w = Window.partitionBy("src").orderBy(
             F.col("weight").desc(), F.col("dst").asc()
         )
+        # rn=1 with weight>0 is exactly the pair phase 0 already
+        # emitted for this src (same tie order as init_frame's
+        # max(struct(weight, -dst))) — excluding it here replaces the
+        # old ever-growing `emitted` set: a refill touches each src
+        # once, and pair keys include src, so no other collision
+        # exists.
         top = (
             self._edges.where(F.col("src").isin(batch))
             .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= self.k)
+            .where(
+                (F.col("rn") <= self.k)
+                & ~((F.col("rn") == 1) & (F.col("weight") > 0))
+            )
+            .select("src", "dst", "weight")
             .collect()
         )
-        added = False
         for r in top:
-            key = (r["src"], r["dst"])
-            if key not in self.emitted:
-                self.emitted.add(key)
-                self.comparison_queue.put((-r["weight"], r["src"], r["dst"]))
-                added = True
-        return added
+            self.comparison_queue.put((-r["weight"], r["src"], r["dst"]))
+        return bool(top)
 
     def get_next(self):
         """Best remaining comparison as (p1, p2, weight), or

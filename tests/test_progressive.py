@@ -256,3 +256,29 @@ def test_gspsn_early_emissions_concentrate_matches_on_cora(spark):
     density = len(gt_set) / (n_profiles * (n_profiles - 1) / 2.0)
     early_rate = hits / max(len(emitted), 1)
     assert early_rate > 20 * density, (early_rate, density)
+
+
+def test_pps_driver_rows_bounded_by_page(spark):
+    """The paged initialize() keeps driver-resident comparison rows
+    O(page), not O(#profiles): with 60 profiles and mini_batch=4 the
+    comparison queue never holds more than a page of phase-0 rows or
+    one mini-batch's top-k rows, and the old O(#profiles) structures
+    (profile_queue / emitted / visited) no longer exist."""
+    rows = [(f"p{i}", f"tok{i % 12} common{i % 6}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    profs = DataFrameWrapper.load_profiles(df, real_id_field="id")
+    blocks = Blocking.create_blocks(profs)
+    pb = Converters.blocks_to_profile_blocks(blocks)
+    k, mb = 3, 4
+    pps = PPS(blocks, pb, k=k, mini_batch=mb)
+    pps.initialize()
+    page_bound = mb * (k + 1)  # one refill batch's worst-case rows
+    assert pps.comparison_queue.qsize() <= page_bound
+    for attr in ("profile_queue", "emitted", "visited"):
+        assert not hasattr(pps, attr)
+    n, max_q = 0, 0
+    while pps.get_next() != (-1, -1, -1):
+        n += 1
+        max_q = max(max_q, pps.comparison_queue.qsize())
+    assert n > page_bound  # emission really crossed multiple pages
+    assert max_q <= page_bound
