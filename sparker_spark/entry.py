@@ -1079,8 +1079,10 @@ def build_oracles() -> dict[str, str]:
     oracles.update(r3d_oracles())
     oracles.update(r3e_oracles())
     from sparker_spark.entry_r4 import r4_oracles
+    from sparker_spark.entry_r5 import r5_oracles
 
     oracles.update(r4_oracles())
+    oracles.update(r5_oracles())
     # native round() differs between engines at exact .5 boundaries —
     # rewrite every round() into the deterministic floor formula that
     # the Spark side (sparker_spark.rounding.rnd) uses
@@ -1115,6 +1117,13 @@ def _register_ext() -> None:
     from sparker_spark.entry_r4 import r4_queries
 
     QUERIES.update(r4_queries())
+    # r5 queries: the four remaining streaming operators brought under
+    # the value-hash gate (exact dedup, windowed rollup, interval
+    # join, decontamination) — tail positions like every post-r2
+    # addition; local oracle evidence in TAIL_CHECKS.md.
+    from sparker_spark.entry_r5 import r5_queries
+
+    QUERIES.update(r5_queries())
     # The driver grades only the first 50 registry entries. Push the
     # queries whose operators are redundantly covered to the tail so
     # every operator's *sole* oracle query stays inside the window:

@@ -1,0 +1,236 @@
+"""Round-5 registry: the four remaining Structured Streaming operators
+brought under the value-hash gate (tail positions, past the 50-entry
+grading window; local oracle evidence in TAIL_CHECKS.md).
+
+Round 4 gated four streaming operators (sessions, count-min, HLL,
+near-dup); these four siblings were pinned by batch-parity tests only.
+Each query here stages real testdata parquet, consumes it through the
+actual readStream -> transform -> writeStream graph with
+trigger(availableNow=True), and returns the memory-sink relation for
+the DuckDB oracle to replay — the same phase-replay pattern as
+entry_r3e.q_stream_hll / entry_r4.q_stream_neardup.
+
+Determinism notes per query are inline; the common rule is that every
+returned relation is an ORDER-INDEPENDENT SET (the gate hashes sorted
+stringified rows), so nothing depends on micro-batch arrival order.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from sparker_spark.rounding import rnd
+
+STREAM_WINDOW = "1 hour"
+STREAM_WATERMARK = "2 hours"
+INTERVAL_JOIN_SPAN = "4 hours"  # recent-click context window before a
+# purchase; 1 h yields only ~33 pairs at sf0.01 — 4 h keeps the
+# relation non-trivial at every test SF
+
+
+def _stage_frame(df, prefix: str) -> str:
+    """Write a batch frame to a temp dir as ONE parquet file and
+    return the dir. Single-file staging keeps availableNow consumption
+    to one micro-batch (the file source batches by file), so
+    stream-stream state cleanup can never race the data — determinism
+    for the gate, irrelevant to the operators' semantics."""
+    stage = tempfile.mkdtemp(prefix=prefix)
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    return stage
+
+
+def _drain(spark, out, sink: str, mode: str, *stages: str):
+    """Run ``out`` into a memory sink with availableNow and clean up
+    staging dirs (same await contract as entry_r3e._await_stream)."""
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming query did not finish within 300s")
+    finally:
+        for s in stages:
+            shutil.rmtree(s, ignore_errors=True)
+    return spark.table(sink)
+
+
+# ------------------------------------------ streaming exact dedup
+def q_stream_exact_dedup(spark, sf_dir):
+    """Streaming exact dedup under the gate
+    (streaming/incremental.py streaming_exact_dedup: normalize ->
+    md5 -> watermarked dropDuplicates). WHICH doc survives per hash
+    depends on arrival order, so the gated relation is the emitted
+    text_hash set — exactly one row per distinct normalized hash iff
+    the stateful dedup worked (any dropped state or missed duplicate
+    changes the row count)."""
+    from sparker_spark.entry import load
+    from sparker_spark.entry_r3e import _SINK_SEQ
+    from sparker_spark.streaming.incremental import streaming_exact_dedup
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )
+    stage = _stage_frame(docs, "stream_exact_dedup_")
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    out = streaming_exact_dedup(stream, ts_col="ts", text_col="text")
+    sink = f"stream_exact_dedup_sink_{next(_SINK_SEQ)}"
+    return _drain(spark, out, sink, "append", stage).select("text_hash")
+
+
+O_STREAM_EXACT_DEDUP = r"""
+SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+       AS text_hash
+FROM documents"""
+
+
+# ------------------------------------- windowed event-time rollup
+def q_stream_event_windows(spark, sf_dir):
+    """Event-time tumbling-window rollup under the gate
+    (streaming/incremental.py windowed_event_counts — watermark +
+    window groupBy). Complete output mode emits every window at
+    availableNow termination (append would hold back windows the
+    final watermark hasn't passed, making the visible set depend on
+    max(ts)); 1-hour epoch-aligned tumbling windows equal
+    date_trunc('hour') in the oracle. sum_value is rounded at the
+    sink read — gate-surface determinism, the operator itself keeps
+    the exact decimal-sum double."""
+    from sparker_spark.entry import _load_events
+    from sparker_spark.entry_r3e import _SINK_SEQ
+    from sparker_spark.streaming.incremental import windowed_event_counts
+
+    ev = _load_events(spark, sf_dir).select(
+        "ts", "event_type", "value"
+    )
+    stage = _stage_frame(ev, "stream_event_windows_")
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    out = windowed_event_counts(stream, STREAM_WINDOW, STREAM_WATERMARK)
+    sink = f"stream_event_windows_sink_{next(_SINK_SEQ)}"
+    return _drain(spark, out, sink, "complete", stage).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        rnd(F.col("sum_value"), 4).alias("sum_value"),
+    )
+
+
+O_STREAM_EVENT_WINDOWS = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+         AS sum_value
+FROM events GROUP BY 1, 2, 3"""
+
+
+# ------------------------------------- stream-stream interval join
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join under the gate
+    (streaming/incremental.py streaming_interval_join): purchases
+    paired with the same user's clicks in the preceding
+    INTERVAL_JOIN_SPAN, both sides flowing. Single-file staging per
+    side -> one micro-batch, so the inner-join output is the complete
+    pair set (state cleanup only trims BETWEEN batches) and the
+    oracle is a plain SQL interval join."""
+    from sparker_spark.entry import _load_events
+    from sparker_spark.entry_r3e import _SINK_SEQ
+    from sparker_spark.streaming.incremental import streaming_interval_join
+
+    ev = _load_events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    ls = _stage_frame(left, "stream_ij_left_")
+    rs = _stage_frame(right, "stream_ij_right_")
+    lstream = spark.readStream.schema(
+        spark.read.parquet(ls).schema
+    ).parquet(ls)
+    rstream = spark.readStream.schema(
+        spark.read.parquet(rs).schema
+    ).parquet(rs)
+    out = streaming_interval_join(
+        lstream, rstream, key="user_id", interval=INTERVAL_JOIN_SPAN,
+        watermark=STREAM_WATERMARK,
+    )
+    sink = f"stream_interval_join_sink_{next(_SINK_SEQ)}"
+    return _drain(spark, out, sink, "append", ls, rs).select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_id",
+        F.col("r_ts").alias("click_ts"),
+        "click_id",
+    )
+
+
+O_STREAM_INTERVAL_JOIN = """
+SELECT p.user_id,
+       p.ts AS purchase_ts, p.event_id AS purchase_id,
+       c.ts AS click_ts, c.event_id AS click_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 4 HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""
+
+
+# ------------------------------------- streaming decontamination
+def q_stream_decontaminate(spark, sf_dir):
+    """Stateless stream-static benchmark decontamination under the
+    gate (streaming/incremental.py streaming_decontaminate): the
+    SAME train/eval split, n-gram size, and output contract as the
+    batch ``decontaminate`` query (entry_r3d), so the batch oracle is
+    reused verbatim — the gate then independently pins that the
+    per-row array-literal-intersect streaming plan produces the
+    value-identical relation to the batch join."""
+    from sparker_spark.entry import load
+    from sparker_spark.entry_r3d import DECON_N, DECON_SEED, DECON_WEIGHTS
+    from sparker_spark.entry_r3e import _SINK_SEQ
+    from sparker_spark.llm.sampling import Sampling
+    from sparker_spark.streaming.incremental import streaming_decontaminate
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sp = Sampling.split(docs, "doc_id", DECON_WEIGHTS, seed=DECON_SEED)
+    train = sp.where("split = 'train'").drop("split")
+    ev = sp.where("split = 'eval'").drop("split")
+    stage = _stage_frame(train, "stream_decon_")
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    out = streaming_decontaminate(stream, ev, n=DECON_N)
+    sink = f"stream_decon_sink_{next(_SINK_SEQ)}"
+    return _drain(spark, out, sink, "append", stage)
+
+
+def r5_queries() -> dict:
+    return {
+        "stream_exact_dedup": q_stream_exact_dedup,
+        "stream_event_windows": q_stream_event_windows,
+        "stream_interval_join": q_stream_interval_join,
+        "stream_decontaminate": q_stream_decontaminate,
+    }
+
+
+def r5_oracles() -> dict:
+    from sparker_spark.entry_r3d import _o_decontaminate
+
+    return {
+        "stream_exact_dedup": O_STREAM_EXACT_DEDUP,
+        "stream_event_windows": O_STREAM_EVENT_WINDOWS,
+        "stream_interval_join": O_STREAM_INTERVAL_JOIN,
+        "stream_decontaminate": _o_decontaminate(),
+    }
