@@ -81,9 +81,16 @@ def _doc_keys_shingle(spark, sf_dir, clean: bool = False) -> DataFrame:
         if clean
         else F.lit(0)
     )
-    sh = shingles(docs.select("doc_id", "text"), SHINGLE)
-    src = docs.select("doc_id", source.alias("source_id"))
-    return sh.join(src, "doc_id").select(
+    # source_id rides through the explode as a carry column — joining
+    # it back onto the exploded shingle relation afterwards would
+    # shuffle the large side for a per-document constant (2.5 s of the
+    # sf0.1 bench load leg)
+    sh = shingles(
+        docs.select("doc_id", source.alias("source_id"), "text"),
+        SHINGLE,
+        carry=("source_id",),
+    )
+    return sh.select(
         F.col("doc_id").alias("profile_id"), "source_id", F.col("shingle").alias("key")
     )
 

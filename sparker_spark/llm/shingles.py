@@ -10,8 +10,11 @@ from pyspark.sql import functions as F
 from sparker_spark.llm.hashing import MERSENNE_31, SPARK_HASH60
 
 
-def shingles(documents: DataFrame, shingle_size: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams of lowercased text.
+def shingles(
+    documents: DataFrame, shingle_size: int = 3, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id[, *carry], shingle) — distinct word n-grams of
+    lowercased text.
 
     Distinctness is enforced with ``array_distinct`` BEFORE the
     explode: doc_id is part of every output row, so all duplicate
@@ -19,13 +22,21 @@ def shingles(documents: DataFrame, shingle_size: int = 3) -> DataFrame:
     dedup (a narrow map) replaces what would otherwise be a full
     shuffle of the exploded shingle set. Callers passing a relation
     with repeated doc_id rows must pre-dedupe documents.
+
+    ``carry``: extra per-document columns to ride through the explode
+    unchanged. Attaching them here keeps the whole keygen one narrow
+    map stage — joining them back onto the exploded relation
+    afterwards costs a shuffle of the (much larger) shingle set
+    (measured 3.3 s vs 0.8 s on the sf0.1 bench load leg).
     """
     n = int(shingle_size)
     return documents.select(
         "doc_id",
+        *carry,
         F.split(F.lower(F.col("text")), "\\s+").alias("toks"),
     ).select(
         "doc_id",
+        *carry,
         # guard: sequence(1, 0) would generate a DESCENDING [1, 0]
         # in Spark, so short documents get an explicit empty array
         F.explode(

@@ -291,9 +291,14 @@ class EdgeWeighting:
             F.sum("block_size").alias("s"),
         ).first()
         sum_sq = stats["ss"] or 0
+        # checkpoint BEFORE counting: the count then reads the stored
+        # relation instead of running the mask aggregation once for
+        # the count and again for the checkpoint, and every branch
+        # below consumes masks 2-3× (distributed per-executor blocks —
+        # #profiles rows never touch the driver)
+        masks = masks.localCheckpoint(eager=True)
         n_profiles = masks.count()
         if n_profiles * n_profiles < sum_sq:
-            masks = masks.localCheckpoint(eager=True)  # consumed 3×
             # AQE coalesces the tiny mask aggregate to ONE partition;
             # left as-is the n²/2 loop (and everything downstream of
             # it) would run single-task. Re-spread the STREAM side so
