@@ -218,8 +218,204 @@ def decode_wav(payload: bytes) -> list[float]:
     ]
 
 
+# ------------------------------------------------------------- PNG
+# Real-world image format, decoded with stdlib zlib + numpy only (no
+# pillow in this container). Coverage: 8-bit depth, color types
+# 0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), all five scanline
+# filters, multi-IDAT. Rejected clearly: other bit depths, Adam7
+# interlace (raise, never silently corrupt).
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, body) for each chunk; validates the magic."""
+    import struct
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        yield ctype, payload[pos + 8 : pos + 8 + size]
+        pos += 12 + size  # size + type + crc
+        if ctype == b"IEND":
+            return
+    raise ValueError("truncated PNG (no IEND)")
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
+    """Reverse the PNG scanline filters -> (height, stride) uint8.
+
+    Rows are sequential by construction (each references the previous
+    reconstructed row). Within a row: None/Up are whole-row vector
+    ops; Sub is a per-channel-phase cumulative sum (np.cumsum's uint8
+    wraparound IS the mod-256 the spec wants); Average/Paeth carry a
+    left-neighbor dependency and fall back to a per-byte loop — zlib
+    inflate (C) dominates decode time regardless.
+    """
+    import numpy as np
+
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes, data = arr[:, 0], arr[:, 1:]
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        ft, row = int(ftypes[y]), data[y].copy()
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for c in range(bpp):
+                np.cumsum(row[c::bpp], dtype=np.uint8, out=row[c::bpp])
+        elif ft == 2:  # Up
+            row += prev
+        elif ft == 3:  # Average
+            r = row.astype(np.int32)
+            p = prev.astype(np.int32)
+            for x in range(stride):
+                left = int(r[x - bpp]) if x >= bpp else 0
+                r[x] = (r[x] + ((left + p[x]) >> 1)) & 0xFF
+            row = r.astype(np.uint8)
+        elif ft == 4:  # Paeth
+            r = row.astype(np.int32)
+            p = prev.astype(np.int32)
+            for x in range(stride):
+                a = int(r[x - bpp]) if x >= bpp else 0
+                b = int(p[x])
+                c = int(p[x - bpp]) if x >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r[x] = (r[x] + pred) & 0xFF
+            row = r.astype(np.uint8)
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        recon[y] = row
+        prev = recon[y]
+    return recon
+
+
+def _png_decode_rgb(payload: bytes):
+    """PNG payload -> (height, width, 3) uint8 RGB array (alpha
+    dropped, palette expanded, gray replicated)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for ctype, body in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, ctype_, comp, filt, interlace = ihdr
+    # header validity first: "unsupported depth" is the useful error
+    # for a 16-bit file even when its IDAT is also absent/garbled
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if ctype_ not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype_}")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    channels = _PNG_CHANNELS[ctype_]
+    recon = _png_unfilter(
+        zlib.decompress(bytes(idat)), width, height, channels
+    ).reshape(height, width, channels)
+    if ctype_ == 2:
+        return recon
+    if ctype_ == 6:
+        return recon[:, :, :3].copy()
+    if ctype_ == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[recon[:, :, 0]]
+    gray = recon[:, :, 0]  # 0 (gray) / 4 (gray+alpha)
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def _png_encode_rgb(img) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes (color type 2, filter 0 rows)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raster = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), img.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> list[float]:
+    """Real PNG image decoder (stdlib zlib + numpy): same feature
+    contract as :func:`decode_ppm` —
+    ``[width, height, mean_r, mean_g, mean_b]``, means in [0, 1]."""
+    img = _png_decode_rgb(payload)
+    h, w = img.shape[0], img.shape[1]
+    means = img.reshape(-1, 3).mean(axis=0) / 255.0
+    return [float(w), float(h), float(means[0]), float(means[1]), float(means[2])]
+
+
+def decode_jpeg(payload: bytes) -> list[float]:
+    """JPEG image decoder via optional pillow. The container this
+    engine is developed in has no pillow; when it is installed the
+    registry transparently gains real JPEG support, otherwise the
+    error states exactly what is missing (instead of the generic
+    unknown-MIME fallback)."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+    except ImportError as exc:
+        raise NotImplementedError(
+            "JPEG decoding requires pillow (pip install pillow); "
+            "PNG/PPM/WAV decode without it"
+        ) from exc
+    import io
+
+    import numpy as np
+
+    img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    h, w = img.shape[0], img.shape[1]
+    means = img.reshape(-1, 3).mean(axis=0) / 255.0
+    return [float(w), float(h), float(means[0]), float(means[1]), float(means[2])]
+
+
 DecodeRegistry.register("", _fake_byte_histogram)  # default fallback
 DecodeRegistry.register("image/x-portable-pixmap", decode_ppm)
+DecodeRegistry.register("image/png", decode_png)
+DecodeRegistry.register("image/jpeg", decode_jpeg)
 DecodeRegistry.register("audio/wav", decode_wav)
 
 
@@ -295,14 +491,16 @@ def resize_images(
     batch_rows: int = 64,
 ) -> DataFrame:
     """Real decode → transform → re-encode over binary image columns:
-    nearest-neighbor resize of binary-PPM (P6) payloads, numpy-
-    vectorized inside Arrow-batched mapInPandas.
+    nearest-neighbor resize of binary-PPM (P6) and PNG payloads,
+    numpy-vectorized inside Arrow-batched mapInPandas. The format is
+    sniffed from the payload magic and PRESERVED on output (PPM in →
+    PPM out, PNG in → PNG out).
 
-    Per payload: parse the header (``_ppm_header``), view the raster
-    as an (h, w, 3) uint8 array with ``np.frombuffer`` (zero-copy),
-    gather the target grid with two integer index vectors (the classic
-    nearest-neighbor sample — pure vectorized fancy-indexing, no
-    Python pixel loop), and re-emit a P6 payload with the new header.
+    Per payload: decode to an (h, w, 3) uint8 array (PPM:
+    ``np.frombuffer`` over the raster, zero-copy; PNG:
+    ``_png_decode_rgb``), gather the target grid with two integer
+    index vectors (the classic nearest-neighbor sample — pure
+    vectorized fancy-indexing, no Python pixel loop), and re-encode.
     Output rows: (media_id, payload, width, height). The same
     ``batch_rows`` re-slicing as :func:`extract_features` bounds the
     per-chunk working set; wrap the ACTION in :func:`arrow_batch_rows`
@@ -310,8 +508,8 @@ def resize_images(
 
     This is the plumbing pattern for any per-item media transform at
     scale (resize / crop / re-encode): row-parallel, codec-local,
-    no driver involvement. Swap the PPM codec for PIL/libvips by
-    replacing the parse/encode pair only.
+    no driver involvement. Swap the codecs for PIL/libvips by
+    replacing the parse/encode pairs only.
     """
     tw, th = int(width), int(height)
     if tw <= 0 or th <= 0:
@@ -323,12 +521,16 @@ def resize_images(
 
         def one(payload) -> tuple[bytes, int, int]:
             p = bytes(payload)
+            ys = lambda h: (np.arange(th) * h) // th  # noqa: E731
+            xs = lambda w: (np.arange(tw) * w) // tw  # noqa: E731
+            if p[:8] == _PNG_MAGIC:
+                img = _png_decode_rgb(p)
+                out = img[ys(img.shape[0])][:, xs(img.shape[1])]
+                return _png_encode_rgb(np.ascontiguousarray(out)), tw, th
             w, h, maxval, off = _ppm_header(p)
             raster = np.frombuffer(p, dtype=np.uint8, count=3 * w * h, offset=off)
             img = raster.reshape(h, w, 3)
-            ys = (np.arange(th) * h) // th
-            xs = (np.arange(tw) * w) // tw
-            out = img[ys][:, xs]
+            out = img[ys(h)][:, xs(w)]
             header = f"P6\n{tw} {th}\n{maxval}\n".encode("ascii")
             return header + out.tobytes(), tw, th
 
