@@ -16,8 +16,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Queries excluded from the full-registry sweep, with reasons — the
+# bench covers every OTHER registered query (r4 covered a 55-query
+# headline subset; the registry additions since then are all tracked).
+EXCLUDED = {
+    "dedup_embedding_cosine": "documented O(n²) exact-cosine anchor "
+    "(allow-listed crossJoin); its mechanism is benched via "
+    "ann_topk_cosine and dedup_embedding_srp",
+}
+
 # headline set: the ER meta-blocking spine + one representative of each
-# extension family (dedup, ANN, text, events, relational)
+# extension family (dedup, ANN, text, events, relational) — kept FIRST
+# in the run order so round-over-round comparisons of the long-tracked
+# queries are unaffected by cache interactions with the tail
 HEADLINE = [
     "er_token_blocks",
     "er_block_filtering",
@@ -304,6 +315,11 @@ def main():
         app_name="sparker_spark_bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
+        # JVM unified logging writes gc warnings to STDOUT (observed:
+        # "[warning][gc,alloc] ... GCLocker" under allocation-heavy
+        # queries), which would corrupt this script's one-JSON-line
+        # stdout contract — route gc logging off for the bench JVM
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:gc*=off"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -332,9 +348,17 @@ def main():
     # `first_run_total_sec` reports the cold pass so the cache-build
     # cost stays visible in the record instead of vanishing.
     REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # FULL registry sweep: the long-tracked headline set first (same
+    # run order as r4 so cache interactions don't shift those
+    # numbers), then every remaining registered query except the
+    # documented EXCLUDED entries
+    run_list = HEADLINE + [
+        q for q in QUERIES if q not in HEADLINE and q not in EXCLUDED
+    ]
     timings: dict[str, float] = {}
+    colds: dict[str, float] = {}
     first_run_total = 0.0
-    for name in HEADLINE:
+    for name in run_list:
         fn = QUERIES[name]
         reps: list[float] = []
         for _ in range(REPS):
@@ -344,6 +368,10 @@ def main():
             reps.append(time.time() - t0)
         cold = reps[0]
         first_run_total += cold
+        # per-query COLD time kept alongside the median (historical
+        # BENCH records through r3 were single-shot cold numbers —
+        # "cold" is the apples-to-apples series for them)
+        colds[name] = round(cold, 3)
         reps.sort()
         timings[name] = round(reps[len(reps) // 2], 3)
         print(
@@ -359,6 +387,7 @@ def main():
         t0 = time.time()
         n = fn(spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
+        colds[name] = timings[name]
         first_run_total += timings[name]
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
@@ -367,10 +396,12 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "headline_suite_total_sec",
+                "metric": "registry_suite_total_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold": colds,
+                "excluded": EXCLUDED,
                 "sf": float(sf),
                 "reps": REPS,
                 "first_run_total_sec": round(first_run_total, 3),

@@ -15,11 +15,14 @@ into a ``set`` per profile: blocking_strategies.py:27,52).
 
 Tokenization regex: the reference Python splits on ``\\W+``
 (blocking_strategies.py:26,51 — keeps ``_`` inside tokens) while Scala
-splits on ``[\\W_]`` (BlockingUtils.scala:15-18). We standardize on the
-Python-3 behaviour restricted to ASCII word characters
-(``[^0-9A-Za-z_]+``) so Spark (Java regex), DuckDB (RE2) and Python
-agree bit-for-bit on the test corpora; documented deviation: non-ASCII
-word characters are treated as separators.
+splits on ``[\\W_]`` (BlockingUtils.scala:15-18). We standardize on
+the Python-3 behaviour: ``[^\\p{L}\\p{N}_]+`` (runs of anything but
+Unicode letters/numbers/underscore), on which Spark (Java regex),
+DuckDB (RE2) and the reference's ``re.split('\\W+')`` agree
+bit-for-bit INCLUDING non-ASCII word characters — abtBuy carries
+halfwidth forms like U+FFAE that Python keeps inside tokens; the
+earlier ASCII-only class split them and cost exact blocking parity
+there.
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT_RE = "[^0-9A-Za-z_]+"
+TOKEN_SPLIT_RE = "[^\\p{L}\\p{N}_]+"
 
 # Spark MLlib's default English stop-word list (the exact list
 # StopWordsRemover.loadDefaultStopWords("english") returns — vendored

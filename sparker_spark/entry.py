@@ -22,6 +22,7 @@ from sparker_spark.rounding import rewrite_rounds, rnd
 from sparker_spark.blocking.blockers import BlockCollection, Blocking
 from sparker_spark.blocking.converters import Converters
 from sparker_spark.filters import ROUND_HALF_EVEN_SQL, BlockFiltering, BlockPurging
+from sparker_spark.blocking.strategies import TOKEN_SPLIT_RE
 from sparker_spark.llm.dedup import Dedup
 from sparker_spark.llm.hashing import DUCK_HASH60, MERSENNE_31, minhash_coefficients, minhash_expr
 from sparker_spark.llm.shingles import shingle_hashes, shingles
@@ -67,7 +68,7 @@ def _doc_keys_unigram(spark, sf_dir) -> DataFrame:
             F.col("doc_id").alias("profile_id"),
             F.lit(0).alias("source_id"),
             F.explode(
-                F.array_distinct(F.split(F.lower("text"), "[^0-9a-z_]+"))
+                F.array_distinct(F.split(F.lower("text"), TOKEN_SPLIT_RE))
             ).alias("key"),
         )
         .where(F.length("key") > 0)
@@ -124,7 +125,7 @@ def _edges(spark, sf_dir, weight_type, clean=False, rounded=True):
 DUCK_UNIGRAM_KEYS = """
 keys AS (
   SELECT DISTINCT doc_id AS profile_id, tok AS key
-  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+')) AS tok
         FROM documents)
   WHERE tok <> ''
 )"""

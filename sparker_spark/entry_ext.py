@@ -111,7 +111,7 @@ eav AS MATERIALIZED (
 tok_all AS MATERIALIZED (
   SELECT pid, source_id, attr, source_id || '_' || attr AS attr_key, tok AS token
   FROM (SELECT pid, source_id, attr,
-               unnest(regexp_split_to_array(lower(value), '[^0-9a-z_]+')) AS tok
+               unnest(regexp_split_to_array(lower(value), '[^\\p{L}\\p{N}_]+')) AS tok
         FROM eav WHERE value IS NOT NULL AND trim(value) <> '')
   WHERE tok <> ''
 ),
@@ -479,7 +479,7 @@ def _o_er_ngram_blocks() -> str:
     return f"""WITH toks AS (
   SELECT doc_id, '{pad}' || tok || '{pad}' AS padded
   FROM (SELECT doc_id,
-               unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok
+               unnest(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}_]+')) AS tok
         FROM documents)
   WHERE tok <> ''),
 grams AS (

@@ -109,6 +109,40 @@ def _shingle_hash_arrays(text_col: str, shingle_size: int):
     return h60, h31
 
 
+def _minhash_band_exprs(num_hashes: int, bands: int) -> tuple[str, str]:
+    """SQL fragments ``(sig_from_h31s, bands_from_sig)`` computing the
+    MinHash signature from a column named ``h31s`` and the LSH band
+    array from a column named ``sig``.
+
+    Every intermediate is BOUND AS A LAMBDA VARIABLE (the
+    ``element_at(transform(array(X), x -> ...), 1)`` idiom) instead of
+    referenced by column name: the optimizer's project-collapsing
+    inlines column aliases, so a bands expression that names ``sig``
+    8 times re-evaluates the whole signature — and through it the
+    md5 shingle array — per band, per row (measured ~256 evaluations
+    of the hash array per document; the sf0.1 index build took 123 s
+    against ~4 s with the bound form, identical values)."""
+    from sparker_spark.llm.hashing import MERSENNE_31, minhash_coefficients
+
+    rows = num_hashes // bands
+    coeffs = "array(" + ", ".join(
+        f"named_struct('a', {a}L, 'b', {b}L)"
+        for a, b in minhash_coefficients(num_hashes)
+    ) + ")"
+    sig = (
+        f"element_at(transform(array(h31s), hs -> "
+        f"transform({coeffs}, c -> "
+        f"array_min(transform(hs, h -> (c.a * h + c.b) % {MERSENNE_31})))), 1)"
+    )
+    band_arr = (
+        f"element_at(transform(array(sig), s -> "
+        f"transform(sequence(0, {bands - 1}), bi -> "
+        f"concat_ws('_', CAST(bi AS STRING), "
+        f"array_join(slice(s, bi * {rows} + 1, {rows}), '_')))), 1)"
+    )
+    return sig, band_arr
+
+
 def build_near_dup_index(
     corpus: DataFrame,
     num_hashes: int = 32,
@@ -133,18 +167,9 @@ def build_near_dup_index(
     corpus.
     """
     h60, _ = _shingle_hash_arrays(text_col, shingle_size)
-    rows = num_hashes // bands
-    from sparker_spark.llm.hashing import MERSENNE_31, minhash_coefficients
+    from sparker_spark.llm.hashing import MERSENNE_31
 
-    coeffs = minhash_coefficients(num_hashes)
-    sig = "array(" + ", ".join(
-        f"array_min(transform(h31s, h -> (({a} * h + {b}) % {MERSENNE_31})))"
-        for a, b in coeffs
-    ) + ")"
-    band_arr = "array(" + ", ".join(
-        f"concat_ws('_', '{bi}', array_join(slice(sig, {bi * rows + 1}, {rows}), '_'))"
-        for bi in range(bands)
-    ) + ")"
+    sig, band_arr = _minhash_band_exprs(num_hashes, bands)
     base = (
         corpus.select(
             F.col(id_col).alias("corpus_id"),
@@ -198,18 +223,9 @@ def streaming_near_dup(
     Output: (doc_id, corpus_id, jaccard), append mode.
     """
     h60, _ = _shingle_hash_arrays(text_col, shingle_size)
-    rows = num_hashes // bands
-    from sparker_spark.llm.hashing import MERSENNE_31, minhash_coefficients
+    from sparker_spark.llm.hashing import MERSENNE_31
 
-    coeffs = minhash_coefficients(num_hashes)
-    sig = "array(" + ", ".join(
-        f"array_min(transform(h31s, h -> (({a} * h + {b}) % {MERSENNE_31})))"
-        for a, b in coeffs
-    ) + ")"
-    band_arr = "array(" + ", ".join(
-        f"concat_ws('_', '{bi}', array_join(slice(sig, {bi * rows + 1}, {rows}), '_'))"
-        for bi in range(bands)
-    ) + ")"
+    sig, band_arr = _minhash_band_exprs(num_hashes, bands)
     new_docs = (
         doc_stream.select(
             F.col(id_col).alias("doc_id"),

@@ -139,7 +139,9 @@ def test_windowed_event_counts(spark, tmp_path):
 
 def test_multimodal_extract_features(spark):
     rows = [
-        (0, bytearray(b"\x00\x10\x20\x30"), "image/png"),
+        # image/tiff has no registered codec -> byte-histogram fallback
+        # (image/png grew a REAL decoder in r5 — tests/test_png_codec.py)
+        (0, bytearray(b"\x00\x10\x20\x30"), "image/tiff"),
         (1, bytearray(b"\xff" * 8), "audio/ogg"),  # no registered codec -> histogram
     ]
     media = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
@@ -164,7 +166,9 @@ def test_ppm_decoder_end_to_end(spark):
     )
     rows = [
         (0, bytearray(ppm), "image/x-portable-pixmap"),
-        (1, bytearray(b"\x00\x10\x20\x30"), "image/png"),
+        # image/tiff has no codec -> default histogram (image/png has
+        # a real decoder since r5: tests/test_png_codec.py)
+        (1, bytearray(b"\x00\x10\x20\x30"), "image/tiff"),
     ]
     media = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
     out = {r["media_id"]: r for r in extract_features(media).collect()}
@@ -173,7 +177,7 @@ def test_ppm_decoder_end_to_end(spark):
     assert mr == pytest.approx(510 / (4 * 255))
     assert mg == pytest.approx(510 / (4 * 255))
     assert mb == pytest.approx(510 / (4 * 255))
-    # the png row still goes through the default byte histogram
+    # the tiff row still goes through the default byte histogram
     assert len(out[1]["feature"]) == 16
     assert out[1]["feature"][0] == pytest.approx(0.25)
 
@@ -273,7 +277,7 @@ def test_arrow_batch_rows_restores_conf(spark):
     from sparker_spark.llm.multimodal import _ARROW_BATCH_CONF, arrow_batch_rows
 
     prev = spark.conf.get(_ARROW_BATCH_CONF, None)
-    rows = [(i, bytearray(bytes([i % 256]) * (i + 1)), "image/png") for i in range(10)]
+    rows = [(i, bytearray(bytes([i % 256]) * (i + 1)), "image/tiff") for i in range(10)]
     media = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
     feats = extract_features(media, batch_rows=3)  # forces chunked batches
     with arrow_batch_rows(spark, 4):
