@@ -23,6 +23,21 @@ EXCLUDED = {
     "dedup_embedding_cosine": "documented O(n²) exact-cosine anchor "
     "(allow-listed crossJoin); its mechanism is benched via "
     "ann_topk_cosine and dedup_embedding_srp",
+    # The BLAST oracle fixtures intentionally skip purge/filter (to pin
+    # the weighting+pruning semantics alone), so at sf0.1 their
+    # cluster-blocking yields a near-all-pairs graph: 56.25M edges,
+    # inherently quadratic OUTPUT (correct per oracle — DuckDB emits
+    # the same rows). They cost 80.9 s + 32.5 s of a 465 s sweep and
+    # their eager checkpoint is what OOM'd BENCH_r05 on a 4 g heap.
+    # The MECHANISMS stay benched: chi² weighting via er_chi2_edges,
+    # cluster blocking via er_cluster_blocks, entropy-boosted BLAST
+    # WNP with realistic purge/filter via pipeline_blast_e2e.
+    "er_blast_wnp": "quadratic-output oracle fixture (56.25M edges at "
+    "sf0.1; no purge/filter by design) — mechanism benched via "
+    "pipeline_blast_e2e + er_chi2_edges + er_cluster_blocks",
+    "er_chi2_entropy_edges": "same quadratic-output BLAST fixture — "
+    "mechanism benched via er_chi2_edges + attr_entropy + "
+    "pipeline_blast_e2e",
 }
 
 # headline set: the ER meta-blocking spine + one representative of each
@@ -308,6 +323,18 @@ PIPELINES = {
 
 
 def main():
+    # The full-registry sweep runs ~120 queries in ONE JVM and
+    # deliberately KEEPS shared caches (see isolate() below), so heap
+    # demand grows with registry size, not with any single plan. The
+    # 4 g session default OOM'd BENCH_r05 (Java heap space inside an
+    # eager localCheckpoint, right after a 56M-row edge relation
+    # materialized with ~80 queries of retained caches behind it);
+    # the identical sweep completes in 465 s at 32 g. SCALING.md
+    # documents 16 g at 10× for a SINGLE pipeline — the bench carries
+    # the whole registry's caches, so it sets its own budget. Env
+    # still wins for ad-hoc runs on smaller boxes.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+
     from sparker_spark.entry import QUERIES
     from sparker_spark.session import get_spark
 

@@ -89,7 +89,8 @@ def q_stream_exact_dedup(spark, sf_dir):
 
 
 O_STREAM_EXACT_DEDUP = r"""
-SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+SELECT DISTINCT md5(trim(regexp_replace(lower(text),
+                                        '[ \t\n\x0B\f\r]+', ' ', 'g')))
        AS text_hash
 FROM documents"""
 

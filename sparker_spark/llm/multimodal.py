@@ -233,13 +233,27 @@ def _png_chunks(payload: bytes):
     """Yield (type, body) for each chunk; validates the magic."""
     import struct
 
+    import zlib
+
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
     pos = 8
     while pos + 8 <= len(payload):
         (size,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
-        yield ctype, payload[pos + 8 : pos + 8 + size]
+        # bounds-check the declared size so a corrupt length reports
+        # "truncated PNG" here instead of surfacing later as an opaque
+        # zlib error on a silently short IDAT body
+        if pos + 12 + size > len(payload):
+            raise ValueError(
+                f"truncated PNG: chunk {ctype!r} declares {size} bytes "
+                f"but only {len(payload) - pos - 12} remain"
+            )
+        body = payload[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + size : pos + 12 + size])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} fails CRC")
+        yield ctype, body
         pos += 12 + size  # size + type + crc
         if ctype == b"IEND":
             return

@@ -101,9 +101,17 @@ class SetSimilarityJoin:
             )
             .where(
                 (F.col("p1") < F.col("p2"))
+                # length filter on the SAME float path as the final
+                # check (division, then >= t): real min/max >= real
+                # inter/union and float division is monotone in the
+                # real quotient, so fl(min/max) >= fl(inter/union) —
+                # any pair the final jaccard >= t keeps also passes
+                # here. (The previous t*max double PRODUCT rounds
+                # differently from the final quotient at exact-
+                # threshold ties and could drop a hairline pair.)
                 & (
-                    F.least("n1", "n2")
-                    >= F.lit(t) * F.greatest("n1", "n2")
+                    F.least("n1", "n2") / F.greatest("n1", "n2")
+                    >= F.lit(t)
                 )
             )
             .select("p1", "p2")

@@ -53,9 +53,19 @@ def streaming_exact_dedup(
     """Streaming exact dedup: normalize -> hash -> dropDuplicates with
     a watermark bounding the dedup state. Documents whose normalized
     hash was seen within the watermark horizon are dropped."""
+    # explicit whitespace class, not \s: Java \s includes vertical tab
+    # (\x0B) while the DuckDB/RE2 oracle's \s does not, so a VT in a
+    # document would normalize differently on the two engines. The
+    # class below IS Java's default \s, spelled so both sides agree.
     normalized = doc_stream.withColumn(
         "text_hash",
-        F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))),
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+", " "
+                )
+            )
+        ),
     )
     return normalized.withWatermark(ts_col, watermark).dropDuplicates(
         ["text_hash"]
