@@ -1089,8 +1089,11 @@ def build_oracles() -> dict[str, str]:
     from sparker_spark.entry_r4 import r4_oracles
     from sparker_spark.entry_r5 import r5_oracles
 
+    from sparker_spark.entry_r6 import r6_oracles
+
     oracles.update(r4_oracles())
     oracles.update(r5_oracles())
+    oracles.update(r6_oracles())
     # native round() differs between engines at exact .5 boundaries —
     # rewrite every round() into the deterministic floor formula that
     # the Spark side (sparker_spark.rounding.rnd) uses
@@ -1132,6 +1135,12 @@ def _register_ext() -> None:
     from sparker_spark.entry_r5 import r5_queries
 
     QUERIES.update(r5_queries())
+    # r6 queries: the builtin baseline JPEG codec under the value-hash
+    # gate — tail position like every post-r2 addition; the multimodal
+    # decode surface's in-window coverage is unchanged.
+    from sparker_spark.entry_r6 import r6_queries
+
+    QUERIES.update(r6_queries())
     # The driver grades only the first 50 registry entries. Push the
     # queries whose operators are redundantly covered to the tail so
     # every operator's *sole* oracle query stays inside the window:

@@ -404,23 +404,34 @@ def decode_png(payload: bytes) -> list[float]:
 
 
 def decode_jpeg(payload: bytes) -> list[float]:
-    """JPEG image decoder via optional pillow. The container this
-    engine is developed in has no pillow; when it is installed the
-    registry transparently gains real JPEG support, otherwise the
-    error states exactly what is missing (instead of the generic
-    unknown-MIME fallback)."""
-    try:
-        from PIL import Image  # noqa: PLC0415 — optional dependency
-    except ImportError as exc:
-        raise NotImplementedError(
-            "JPEG decoding requires pillow (pip install pillow); "
-            "PNG/PPM/WAV decode without it"
-        ) from exc
-    import io
-
+    """JPEG image decoder: the builtin baseline codec (llm/jpeg.py —
+    stdlib + numpy, no pillow needed) first; pillow, when installed,
+    as the fallback for the variants the builtin rejects (progressive,
+    12-bit, CMYK). Registration is unconditional because the builtin
+    path really decodes — baseline-sequential is the overwhelming
+    majority of real corpora — and an unsupported variant raises an
+    error naming the exact missing capability rather than silently
+    routing through the fake histogram."""
     import numpy as np
 
-    img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    from sparker_spark.llm import jpeg
+
+    try:
+        img = jpeg.decode(payload)
+    except ValueError as builtin_err:
+        try:
+            from PIL import Image  # noqa: PLC0415 — optional dependency
+        except ImportError:
+            raise NotImplementedError(
+                f"builtin baseline JPEG codec rejected payload "
+                f"({builtin_err}); install pillow for non-baseline "
+                "variants"
+            ) from builtin_err
+        import io
+
+        img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    if img.shape[2] == 1:  # grayscale: report the mean on all channels
+        img = np.repeat(img, 3, axis=2)
     h, w = img.shape[0], img.shape[1]
     means = img.reshape(-1, 3).mean(axis=0) / 255.0
     return [float(w), float(h), float(means[0]), float(means[1]), float(means[2])]
