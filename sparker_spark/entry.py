@@ -54,10 +54,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _parallelize_scan(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism when the
+    source collapsed to fewer input splits than cores.
+
+    The test corpora are single small parquet files, so Spark plans
+    ONE scan task and every narrow map stacked on it (tokenize,
+    shingle assembly, hashing) runs on one core until the first
+    shuffle — measured 2.8 s -> 0.5 s on the sf0.1 shingle keygen.
+    The pre-explode relation is documents-sized, so the added
+    exchange is tiny. At real scale the input has more splits than
+    cores, the condition is false, and NO shuffle is added — this is
+    a small-file fixup, not a partitioning strategy."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 # ============================================================ ER helpers
 def _doc_keys_unigram(spark, sf_dir) -> DataFrame:
     """documents -> (profile_id, source_id, key) unigram token keys."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _parallelize_scan(load(spark, sf_dir, "documents"))
     # doc_id is unique per row, so every duplicate (profile, key) pair
     # is WITHIN one document — array_distinct before the explode
     # dedupes in a narrow map stage; the full-relation distinct()
@@ -76,7 +95,7 @@ def _doc_keys_unigram(spark, sf_dir) -> DataFrame:
 
 
 def _doc_keys_shingle(spark, sf_dir, clean: bool = False) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _parallelize_scan(load(spark, sf_dir, "documents"))
     source = (
         F.regexp_extract("source", "([0-9]+)$", 1).cast("int")
         if clean

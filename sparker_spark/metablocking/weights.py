@@ -54,6 +54,10 @@ class EdgeContext:
     weight_type: str
     num_blocks: int
     num_edges: int | None = None  # only computed for EJS
+    # the one-row-per-profile relation the edges were built from —
+    # pruners use its (cheap, usually cached) count for broadcast
+    # guards instead of running an aggregate over the edge relation
+    profiles: DataFrame | None = None
     _materialized: bool = False
     # For SYMMETRIC weight types (w(src,dst) == w(dst,src): CBS, JS,
     # ECBS, chi²), the canonical storage is the src <= dst base
@@ -555,6 +559,7 @@ class EdgeWeighting:
                 weight_type=weight_type,
                 num_blocks=num_blocks,
                 num_edges=num_edges,
+                profiles=profile_blocks_filtered,
                 _base=weighted,
             )
         return EdgeContext(
@@ -562,6 +567,7 @@ class EdgeWeighting:
             weight_type=weight_type,
             num_blocks=num_blocks,
             num_edges=num_edges,
+            profiles=profile_blocks_filtered,
         )
 
     @staticmethod

