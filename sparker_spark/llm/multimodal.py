@@ -516,10 +516,10 @@ def resize_images(
     batch_rows: int = 64,
 ) -> DataFrame:
     """Real decode → transform → re-encode over binary image columns:
-    nearest-neighbor resize of binary-PPM (P6) and PNG payloads,
-    numpy-vectorized inside Arrow-batched mapInPandas. The format is
-    sniffed from the payload magic and PRESERVED on output (PPM in →
-    PPM out, PNG in → PNG out).
+    nearest-neighbor resize of binary-PPM (P6), PNG and baseline-JPEG
+    payloads, numpy-vectorized inside Arrow-batched mapInPandas. The
+    format is sniffed from the payload magic and PRESERVED on output
+    (PPM in → PPM out, PNG in → PNG out, JPEG in → JPEG q90 out).
 
     Per payload: decode to an (h, w, 3) uint8 array (PPM:
     ``np.frombuffer`` over the raster, zero-copy; PNG:
@@ -552,6 +552,18 @@ def resize_images(
                 img = _png_decode_rgb(p)
                 out = img[ys(img.shape[0])][:, xs(img.shape[1])]
                 return _png_encode_rgb(np.ascontiguousarray(out)), tw, th
+            if p[:2] == b"\xff\xd8":
+                from sparker_spark.llm import jpeg
+
+                img = jpeg.decode(p)
+                if img.shape[2] == 1:
+                    img = np.repeat(img, 3, axis=2)
+                out = img[ys(img.shape[0])][:, xs(img.shape[1])]
+                return (
+                    jpeg.encode(np.ascontiguousarray(out), quality=90),
+                    tw,
+                    th,
+                )
             w, h, maxval, off = _ppm_header(p)
             raster = np.frombuffer(p, dtype=np.uint8, count=3 * w * h, offset=off)
             img = raster.reshape(h, w, 3)

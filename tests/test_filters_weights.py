@@ -266,3 +266,34 @@ def test_wnp_broadcast_and_shuffled_paths_agree(blocks, monkeypatch):
     monkeypatch.setattr(WNP, "BROADCAST_THRESHOLDS_MAX", 0)
     shuffled = run()
     assert broadcast == shuffled == {(0, 1)}
+
+
+def test_wnp_large_path_matches_broadcast_path(blocks):
+    """The >2M-profile guard switches prune onto checkpointed
+    thresholds + shuffled joins; the 100x perf slice cannot reach the
+    crossover (500k profiles), so force it and pin result equality
+    with the broadcast plan."""
+    pb = Converters.blocks_to_profile_blocks(blocks)
+    ctx = EdgeWeighting.weighted_edges(blocks, pb, WeightTypes.CBS)
+    small = edge_map(WNP.prune(ctx, ThresholdTypes.AVG, ComparisonTypes.OR))
+    old = WNP.BROADCAST_THRESHOLDS_MAX
+    WNP.BROADCAST_THRESHOLDS_MAX = 0
+    try:
+        ctx2 = EdgeWeighting.weighted_edges(blocks, pb, WeightTypes.CBS)
+        large = edge_map(
+            WNP.prune(ctx2, ThresholdTypes.AVG, ComparisonTypes.OR)
+        )
+    finally:
+        WNP.BROADCAST_THRESHOLDS_MAX = old
+    assert large == small == {(0, 1): 2.0}
+
+    # BLAST chi2 rule through the large path too
+    ctxc = EdgeWeighting.weighted_edges(blocks, pb, WeightTypes.CHI_SQUARE)
+    blast_small = set(edge_map(WNP.prune(ctxc, chi2divider=2.0)))
+    WNP.BROADCAST_THRESHOLDS_MAX = 0
+    try:
+        ctxc2 = EdgeWeighting.weighted_edges(blocks, pb, WeightTypes.CHI_SQUARE)
+        blast_large = set(edge_map(WNP.prune(ctxc2, chi2divider=2.0)))
+    finally:
+        WNP.BROADCAST_THRESHOLDS_MAX = old
+    assert blast_large == blast_small

@@ -241,3 +241,21 @@ def test_registry_names_missing_capability_for_progressive():
         pass
     with pytest.raises(NotImplementedError, match="pillow"):
         decode_jpeg(sof2)
+
+
+def test_resize_images_jpeg_roundtrip(spark):
+    from sparker_spark.llm.multimodal import resize_images
+
+    img = np.zeros((16, 20, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 120, 60, 240
+    payload = jpeg.encode(img, quality=100)
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    out = resize_images(df, 10, 8).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["width"], row["height"]) == (10, 8)
+    dec = jpeg.decode(bytes(row["payload"]))
+    assert dec.shape == (8, 10, 3)
+    # solid color survives resize + q90 re-encode within quant error
+    exp = jpeg.decode(payload)[0, 0]
+    assert np.abs(dec.astype(int) - exp.astype(int)).max() <= 3
