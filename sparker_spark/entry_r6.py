@@ -105,13 +105,90 @@ SELECT media_id,
 FROM ycc"""
 
 
+def q_audio_wav_features(spark, sf_dir):
+    """The audio pipeline under the VALUE-HASH gate: each document
+    becomes a real 16-bit PCM WAV square wave whose period, length and
+    amplitude are arithmetic in doc_id (built worker-side with
+    llm/audio.encode_wav), decoded back through llm/audio.wav_samples
+    -> audio_features (RIFF parse + numpy DSP). A square wave makes
+    the time-domain features closed-form: RMS == amplitude exactly
+    (|x| is constant and the integer sums stay under 2^53), peak ==
+    amplitude, and with m full periods the zero-crossing count is
+    2m-1. The spectral columns (centroid, band energies) are computed
+    by the same pass but verified in pytest against tones — no SQL
+    oracle states an FFT — so the gate projects the exact columns."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.audio import audio_features
+    from sparker_spark.rounding import rnd
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def make_wav(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sparker_spark.llm.audio import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                half = 2 + mid % 14
+                period = 2 * half
+                m = 10 + mid % 7
+                amp = 500 + (mid * 13) % 29000
+                t = np.arange(m * period)
+                samples = np.where(t % period < half, amp, -amp)
+                payloads.append(encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        make_wav, schema="media_id long, payload binary"
+    )
+    feats = audio_features(media)
+    return feats.select(
+        "media_id",
+        F.col("n_channels").cast("int").alias("n_channels"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        rnd("duration_s", 6).alias("duration_s"),
+        rnd("rms", 6).alias("rms"),
+        F.col("peak").cast("int").alias("peak"),
+        F.col("zero_crossings").cast("bigint").alias("zero_crossings"),
+    )
+
+
+O_AUDIO_WAV = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         2 * (2 + doc_id % 14) AS period,
+         10 + doc_id % 7 AS m,
+         500 + (doc_id * 13) % 29000 AS amp
+  FROM documents)
+SELECT media_id,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(m * period AS BIGINT) AS n_frames,
+       round(CAST(m * period AS DOUBLE) / 8000.0, 6) AS duration_s,
+       round(CAST(amp AS DOUBLE), 6) AS rms,
+       CAST(amp AS INTEGER) AS peak,
+       CAST(2 * m - 1 AS BIGINT) AS zero_crossings
+FROM p"""
+
+
 def r6_queries() -> dict:
     return {
         "multimodal_jpeg_features": q_multimodal_jpeg_features,
+        "audio_wav_features": q_audio_wav_features,
     }
 
 
 def r6_oracles() -> dict:
     return {
         "multimodal_jpeg_features": O_MULTIMODAL_JPEG,
+        "audio_wav_features": O_AUDIO_WAV,
     }

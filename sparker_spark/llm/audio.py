@@ -1,0 +1,177 @@
+"""Audio feature extraction over binary WAV columns — the audio twin
+of the image pipeline (multimodal.py): a real dependency-free codec
+(RIFF/PCM parse, numpy DSP) behind Arrow-batched ``mapInPandas``.
+
+Features per payload: channel/rate/duration, RMS, peak, zero-crossing
+count (time domain — integer-exact, which is what the SQL value-hash
+gate pins), plus spectral centroid and coarse band-energy fractions
+from an rfft over the mono mixdown (frequency domain — validated in
+pytest against closed forms on synthetic tones; no SQL oracle states
+an FFT).
+
+Scale posture: one payload = one row; the per-row cost is O(samples)
+numpy (rfft is the max term). Parallelism is row-level through the
+same Arrow batch machinery as image decode — nothing driver-side, no
+state across rows. 100 TB of audio scales by partitioning payloads.
+
+No reference counterpart — sparker has no multimodal surface; this
+extends the engine per the training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("band_energy", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """16-bit little-endian PCM WAV from an int array (interleaved when
+    n_channels > 1). Fixture writer + re-encode sink, mirroring
+    jpeg.encode / _png_encode_rgb."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim != 1:
+        raise ValueError("samples must be a flat interleaved array")
+    if arr.size % n_channels:
+        raise ValueError("sample count not divisible by channel count")
+    if arr.max(initial=0) > 32767 or arr.min(initial=0) < -32768:
+        raise ValueError("samples out of int16 range")
+    data = arr.astype("<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_samples(payload: bytes):
+    """(n_channels, sample_rate, frames int32 array of shape
+    (n_frames, n_channels)). 8-bit unsigned is centered to signed."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > len(payload):
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = payload[pos + 8 : pos + 8 + size]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 8:
+        raw = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        raw = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        ).astype(np.int32)
+    n_frames = raw.size // n_channels
+    return n_channels, sample_rate, raw[: n_frames * n_channels].reshape(
+        n_frames, n_channels
+    )
+
+
+def _features_one(payload: bytes, n_bands: int):
+    import numpy as np
+
+    ch, sr, frames = wav_samples(bytes(payload))
+    n = frames.shape[0]
+    if n == 0:
+        return (ch, sr, 0, 0.0, 0.0, 0, 0, 0.0, [0.0] * n_bands)
+    mono = frames.mean(axis=1) if ch > 1 else frames[:, 0].astype(np.float64)
+    x = frames.astype(np.float64)
+    rms = float(np.sqrt((x * x).mean()))
+    peak = int(np.abs(frames).max())
+    s = np.sign(mono)
+    # zero samples carry the previous sign so a touch of zero is not
+    # two crossings (standard ZCR convention); vectorized
+    # last-nonzero-fill via maximum.accumulate over indices
+    nz = np.where(s != 0, np.arange(n), 0)
+    s = s[np.maximum.accumulate(nz)]
+    zc = int(np.count_nonzero(s[1:] * s[:-1] < 0))
+    spec = np.abs(np.fft.rfft(mono))
+    mag = spec[1:]  # exclude DC from centroid/bands
+    freqs = np.arange(1, mag.size + 1) * (sr / n)
+    tot = mag.sum()
+    centroid = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+    power = mag * mag
+    ptot = power.sum()
+    bands = []
+    edges = np.linspace(0, mag.size, n_bands + 1).astype(int)
+    for b in range(n_bands):
+        seg = power[edges[b] : edges[b + 1]]
+        bands.append(float(seg.sum() / ptot) if ptot > 0 else 0.0)
+    return (ch, sr, n, n / sr, rms, peak, zc, centroid, bands)
+
+
+def audio_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_bands: int = 3,
+) -> DataFrame:
+    """Arrow-batched per-payload WAV feature extraction (schema:
+    AUDIO_FEATURE_SCHEMA)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [_features_one(p, n_bands) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "n_channels": [r[0] for r in rows],
+                    "sample_rate": [r[1] for r in rows],
+                    "n_frames": [r[2] for r in rows],
+                    "duration_s": [r[3] for r in rows],
+                    "rms": [r[4] for r in rows],
+                    "peak": [r[5] for r in rows],
+                    "zero_crossings": [r[6] for r in rows],
+                    "spectral_centroid_hz": [r[7] for r in rows],
+                    "band_energy": [r[8] for r in rows],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )
