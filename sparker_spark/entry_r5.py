@@ -231,10 +231,12 @@ def q_multimodal_png_features(spark, sf_dir):
     value-checked, not just row-counted."""
     from pyspark.sql import functions as F  # noqa: F811
 
-    from sparker_spark.entry import load
+    from sparker_spark.entry import _parallelize_scan, load
     from sparker_spark.llm.multimodal import extract_features
 
-    docs = load(spark, sf_dir, "documents").select(
+    # fan the single-file scan out so the python-side codec work is
+    # row-parallel instead of pinned to one Arrow worker
+    docs = _parallelize_scan(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id")
     )
 

@@ -27,10 +27,13 @@ def q_multimodal_jpeg_features(spark, sf_dir):
     RGB->YCbCr->RGB integer round trip in closed form, so the entire
     binary encode->entropy-decode->IDCT->color-convert chain is
     value-checked, not just row-counted."""
-    from sparker_spark.entry import load
+    from sparker_spark.entry import _parallelize_scan, load
     from sparker_spark.llm.multimodal import extract_features
 
-    docs = load(spark, sf_dir, "documents").select(
+    # the python-side entropy codec is the per-row cost here; a
+    # single-file scan would pin all 5000 payloads on ONE python
+    # worker (16 s at sf0.1 -> ~1.5 s at 32-way)
+    docs = _parallelize_scan(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id")
     )
 
@@ -117,11 +120,11 @@ def q_audio_wav_features(spark, sf_dir):
     2m-1. The spectral columns (centroid, band energies) are computed
     by the same pass but verified in pytest against tones — no SQL
     oracle states an FFT — so the gate projects the exact columns."""
-    from sparker_spark.entry import load
+    from sparker_spark.entry import _parallelize_scan, load
     from sparker_spark.llm.audio import audio_features
     from sparker_spark.rounding import rnd
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _parallelize_scan(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id")
     )
 
