@@ -320,7 +320,13 @@ def q_stream_neardup(spark, sf_dir):
 
     import shutil
 
-    docs = load(spark, sf_dir, "documents")
+    from sparker_spark.entry import _parallelize_scan
+
+    # fan the single-file scan out: both the corpus index build and
+    # the staged stream side run per-row minhash signatures (128
+    # permutations x shingles) — single-split input pins that to one
+    # task on each side
+    docs = _parallelize_scan(load(spark, sf_dir, "documents"))
     is_new = F.col("source") == "src0"
     postings, detail = build_near_dup_index(
         docs.where(~is_new), MINHASH_K, MINHASH_BANDS, SHINGLE
@@ -338,7 +344,9 @@ def q_stream_neardup(spark, sf_dir):
     postings = spark.read.parquet(f"{idx}/postings")
     detail = spark.read.parquet(f"{idx}/detail")
     stage = tempfile.mkdtemp(prefix="stream_neardup_")
-    docs.where(is_new).select("doc_id", "text").write.mode(
+    # stateless per-row pipeline: multi-file staging parallelizes the
+    # stream-side signature computation (see entry_r5._stage_frame)
+    docs.where(is_new).select("doc_id", "text").repartition(16).write.mode(
         "overwrite"
     ).parquet(stage)
     schema = spark.read.parquet(stage).schema

@@ -31,14 +31,21 @@ INTERVAL_JOIN_SPAN = "4 hours"  # recent-click context window before a
 # relation non-trivial at every test SF
 
 
-def _stage_frame(df, prefix: str) -> str:
-    """Write a batch frame to a temp dir as ONE parquet file and
-    return the dir. Single-file staging keeps availableNow consumption
-    to one micro-batch (the file source batches by file), so
-    stream-stream state cleanup can never race the data — determinism
-    for the gate, irrelevant to the operators' semantics."""
+def _stage_frame(df, prefix: str, files: int = 1) -> str:
+    """Write a batch frame to a temp dir as ``files`` parquet files and
+    return the dir. Single-file staging (the default) keeps
+    availableNow consumption to one micro-batch (the file source
+    batches by file), so stream-stream state cleanup can never race
+    the data — determinism for the STATEFUL gates. STATELESS
+    per-row pipelines (decontamination) stage multi-file instead:
+    one small file means one input split means every md5/HOF runs on
+    a single task (25.9 s for the decon gate at sf0.1 -> ~4 s at
+    16 files), and row-local plans are batch-count-invariant."""
     stage = tempfile.mkdtemp(prefix=prefix)
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    if files <= 1:
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+    else:
+        df.repartition(files).write.mode("overwrite").parquet(stage)
     return stage
 
 
@@ -199,17 +206,21 @@ def q_stream_decontaminate(spark, sf_dir):
     reused verbatim — the gate then independently pins that the
     per-row array-literal-intersect streaming plan produces the
     value-identical relation to the batch join."""
-    from sparker_spark.entry import load
+    from sparker_spark.entry import _parallelize_scan, load
     from sparker_spark.entry_r3d import DECON_N, DECON_SEED, DECON_WEIGHTS
     from sparker_spark.entry_r3e import _SINK_SEQ
     from sparker_spark.llm.sampling import Sampling
     from sparker_spark.streaming.incremental import streaming_decontaminate
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # parallelize: the eval side's shingle-hash collect is per-row md5
+    # work that a single-split scan pins to one task
+    docs = _parallelize_scan(load(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
     sp = Sampling.split(docs, "doc_id", DECON_WEIGHTS, seed=DECON_SEED)
     train = sp.where("split = 'train'").drop("split")
     ev = sp.where("split = 'eval'").drop("split")
-    stage = _stage_frame(train, "stream_decon_")
+    stage = _stage_frame(train, "stream_decon_", files=16)
     schema = spark.read.parquet(stage).schema
     stream = spark.readStream.schema(schema).parquet(stage)
     out = streaming_decontaminate(stream, ev, n=DECON_N)

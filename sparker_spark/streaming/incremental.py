@@ -192,6 +192,16 @@ def build_near_dup_index(
         )
         .withColumn("sig", F.expr(sig))
         .withColumn("corpus_bands", F.expr(band_arr))
+        # materialize ONCE before the two-consumer fan-out: postings
+        # and detail are typically both written out, and left lazy
+        # each write re-runs the md5-shingle + 128-permutation
+        # signature pipeline — worse, the filter and the size()
+        # projections re-reference the corpus_hashes alias, which
+        # project-collapse inlines into extra evaluations of the md5
+        # HOF per row (the index build measured 14.5 s at sf0.1; ~3 s
+        # materialized). localCheckpoint blocks are freed by GC — the
+        # repo's multi-consumer idiom.
+        .localCheckpoint(eager=True)
     )
     postings = base.select(
         F.explode("corpus_bands").alias("bucket"), "corpus_id", "corpus_bands"
@@ -338,7 +348,14 @@ def streaming_decontaminate(
             "Decontamination.overlap_ngrams via foreachBatch"
         )
     h60, _ = _shingle_hash_arrays(text_col, n)
-    ev = F.lit(eval_hashes).cast("array<bigint>")
+    # literal built as SQL text, NOT F.lit(list): py4j converts a
+    # python list literal element-by-element — measured 11.3 s for a
+    # 25k-hash eval set vs 0.02 s for the parsed array(...) text
+    ev = F.expr(
+        "array(" + ",".join(f"{int(h)}L" for h in eval_hashes) + ")"
+        if eval_hashes
+        else "array()"
+    ).cast("array<bigint>")
     hashes = F.expr(h60)
     overlap = F.size(F.array_intersect(hashes, ev))
     return doc_stream.select(
