@@ -183,10 +183,52 @@ SELECT media_id,
 FROM p"""
 
 
+def q_video_frame_plan(spark, sf_dir):
+    """Video frame-sampling plumbing under the gate: each document
+    becomes a video row with typed metadata (duration arithmetic in
+    doc_id), and llm/multimodal.frame_sample_plan expands it into
+    (media_id, frame_ts_ms) work units — pure column expressions over
+    the metadata struct, no decode (codec libs are stubbed in this
+    container; the plan layer is the Spark-side contract a real
+    frame extractor consumes row-parallel). The oracle replays the
+    stepped sequence with generate_series."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.multimodal import frame_sample_plan
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(640).alias("width"),
+            F.lit(360).alias("height"),
+            # 0.5s .. 60s, exercising the < every_ms short-clip branch
+            ((F.col("doc_id") * 731) % 60000 + 500)
+            .cast("long")
+            .alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(docs, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms")
+    )
+
+
+O_VIDEO_FRAME_PLAN = """
+WITH v AS (
+  SELECT doc_id AS media_id,
+         (doc_id * 731) % 60000 + 500 AS duration_ms
+  FROM documents)
+SELECT media_id, CAST(ts AS BIGINT) AS frame_ts_ms
+FROM v, LATERAL (
+  SELECT unnest(CASE WHEN duration_ms >= 1000
+                     THEN generate_series(0, duration_ms - 1, 1000)
+                     ELSE [0] END) AS ts)"""
+
+
 def r6_queries() -> dict:
     return {
         "multimodal_jpeg_features": q_multimodal_jpeg_features,
         "audio_wav_features": q_audio_wav_features,
+        "video_frame_plan": q_video_frame_plan,
     }
 
 
@@ -194,4 +236,5 @@ def r6_oracles() -> dict:
     return {
         "multimodal_jpeg_features": O_MULTIMODAL_JPEG,
         "audio_wav_features": O_AUDIO_WAV,
+        "video_frame_plan": O_VIDEO_FRAME_PLAN,
     }
