@@ -273,7 +273,21 @@ class _Component:
 
 def decode(payload: bytes):
     """Decode a baseline JPEG -> (height, width, channels) uint8 array
-    (channels 1 for grayscale, 3 for RGB after YCbCr conversion)."""
+    (channels 1 for grayscale, 3 for RGB after YCbCr conversion).
+
+    Every malformed-payload failure surfaces as ValueError: segment
+    bodies shorter than the fields parsed out of them raise
+    struct.error deep in the parse, which would otherwise escape the
+    callers' documented ValueError contract (multimodal.decode_jpeg
+    routes ValueError to the pillow fallback / clean capability
+    error)."""
+    try:
+        return _decode_impl(payload)
+    except struct.error as exc:
+        raise ValueError(f"truncated JPEG segment ({exc})") from exc
+
+
+def _decode_impl(payload: bytes):
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -291,6 +305,14 @@ def decode(payload: bytes):
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker code — skip them rather than parsing 0xFF as a sized
+        # segment (which would consume two payload bytes as a bogus
+        # length and desynchronize the scan)
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 2 > len(payload):
+                raise ValueError("truncated JPEG: fill bytes run to EOF")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: no body
@@ -392,6 +414,17 @@ def decode(payload: bytes):
 
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
+    # replication upsampling (plane.repeat below) requires every
+    # component factor to divide the max — T.81 permits layouts like
+    # h=(3,2,1) that don't, and floor-division repeats would then
+    # produce mismatched plane shapes and an opaque numpy error
+    for c in comps:
+        if hmax % c.h or vmax % c.v:
+            raise ValueError(
+                "unsupported JPEG sampling-factor layout h="
+                f"{[x.h for x in comps]} v={[x.v for x in comps]}: "
+                "factors must divide the max (pillow can decode these)"
+            )
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
     for c in comps:

@@ -79,28 +79,49 @@ class WNP:
         # endpoint joins when it is small: thresholds is #profiles
         # rows, orders of magnitude below the edge relation, and
         # broadcast-hash joins remove the edge relation's exchange
-        # from the prune leg entirely. The relation stays LAZY on the
-        # broadcast path — each broadcast build re-runs the threshold
-        # aggregate over the CHECKPOINTED base (a narrow 2|E|-row
-        # shuffle, subdominant to the enumeration that built base),
-        # which measures faster end-to-end than checkpointing the
-        # thresholds first (fewer driver job round-trips: 2.1 s ->
-        # 1.7 s for the sf0.1 shingle WNP leg). The row-count guard
-        # keeps a billion-profile run off the broadcast plan — and on
-        # that large path the thresholds ARE checkpointed so the two
+        # from the prune leg entirely. The row-count guard keeps a
+        # billion-profile run off the broadcast plan; on that large
+        # path the thresholds are eagerly checkpointed so the two
         # shuffled join legs don't each recompute the aggregate.
         thresholds = WNP.calc_thresholds(ctx, threshold_type)
-        # guard count from the one-row-per-profile relation the edges
-        # were built from (cached in every flow) — running the
-        # thresholds aggregate just to count it would cost a full pass
-        # over the edge base
+        # guard count = #distinct profiles (the thresholds relation's
+        # true size). ctx.profiles is the MEMBERSHIP relation (one row
+        # per profile/block pair, cached in every flow) — a plain
+        # count() overstates #profiles by the avg-blocks-per-profile
+        # factor and wrongly kicks mid-size corpora off the broadcast
+        # plan; an approximate distinct over the cached relation is a
+        # single narrow pass and the guard doesn't need exactness.
         if ctx.profiles is not None:
+            # membership rows >= distinct profiles, so a cheap count()
+            # of the cached relation decides the common small case
+            # without the distinct aggregate
             n_profiles = ctx.profiles.count()
+            if n_profiles > WNP.BROADCAST_THRESHOLDS_MAX:
+                n_profiles = ctx.profiles.agg(
+                    F.approx_count_distinct("profile_id").alias("n")
+                ).first()["n"]
         else:
             n_profiles = thresholds.count()
         small = n_profiles <= WNP.BROADCAST_THRESHOLDS_MAX
+        # t1/t2 are independent plan legs, so on the broadcast path the
+        # threshold aggregate runs once per build. That is only safe
+        # when the aggregate is merge-order-invariant: MAX is, and AVG
+        # over the integer-valued CBS weights sums exactly in doubles —
+        # but AVG over fractional weights (JS/ECBS/chi2/ARCS/EJS) can
+        # differ in the last ulp between the two builds, flipping edges
+        # that tie a threshold exactly under AND/OR. Those pin ONE
+        # snapshot with a LAZY localCheckpoint (materialized by the
+        # first broadcast build, reused by the second); CBS/MAX keep
+        # the uncheckpointed plan, which measures ~2x faster on the hot
+        # shingle leg (no collect-and-persist round-trip).
+        needs_pin = (
+            threshold_type == ThresholdTypes.AVG
+            and ctx.weight_type != WeightTypes.CBS
+        )
         if not small:
             thresholds = thresholds.localCheckpoint(eager=True)
+        elif needs_pin:
+            thresholds = thresholds.localCheckpoint(eager=False)
         half = ctx.half()
         t1 = thresholds.select(
             F.col("profile_id").alias("p1"), F.col("threshold").alias("t1")

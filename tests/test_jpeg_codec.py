@@ -259,3 +259,41 @@ def test_resize_images_jpeg_roundtrip(spark):
     # solid color survives resize + q90 re-encode within quant error
     exp = jpeg.decode(payload)[0, 0]
     assert np.abs(dec.astype(int) - exp.astype(int)).max() <= 3
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    # T.81 B.1.1.2: optional 0xFF fill bytes may precede any marker
+    payload = jpeg.encode(np.full((8, 8), 99, dtype=np.uint8), quality=90)
+    sof_at = payload.index(b"\xff\xc0")
+    padded = payload[:sof_at] + b"\xff\xff\xff" + payload[sof_at:]
+    img = jpeg.decode(padded)
+    assert img.shape == (8, 8, 1)
+    assert (img == jpeg.decode(payload)).all()
+
+
+def test_short_segment_body_raises_valueerror_not_struct_error():
+    # SOF0 declaring size 4: body is too short for the ">HH" dims read
+    bad = (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 4) + b"\x08\x00"
+           + b"\xff\xd9")
+    with pytest.raises(ValueError, match="truncated JPEG segment"):
+        jpeg.decode(bad)
+
+
+def test_empty_dri_body_raises_valueerror():
+    bad = b"\xff\xd8" + b"\xff\xdd" + struct.pack(">H", 2) + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        jpeg.decode(bad)
+
+
+def test_non_divisible_sampling_layout_named():
+    # h factors (3, 2, 1): spec-legal, but 2 does not divide 3 — must be
+    # a precise rejection, not a numpy shape mismatch
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, 24, 24, 3)
+               + bytes([1, 0x31, 0, 2, 0x21, 0, 3, 0x11, 0]))
+    dht = (_seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMS))
+           + _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMS)))
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    bad = b"\xff\xd8" + dqt + sof + dht + sos + b"\x00" * 64 + b"\xff\xd9"
+    with pytest.raises(ValueError, match="sampling-factor layout"):
+        jpeg.decode(bad)
