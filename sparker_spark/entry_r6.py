@@ -224,11 +224,90 @@ FROM v, LATERAL (
                      ELSE [0] END) AS ts)"""
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup canonicalization under the VALUE-HASH gate: the same
+    MinHash-LSH pair relation dedup_cc_clusters closes over, but the
+    survivor of each cluster is chosen by the gated quality score
+    (Dedup.keep_best) instead of min-id — the decision a training-data
+    pipeline actually ships. Every document gets a row (singletons
+    keep themselves), so the output is the corpus-wide keep/drop
+    verdict."""
+    from sparker_spark.entry import (
+        JACCARD_T,
+        MINHASH_BANDS,
+        MINHASH_K,
+        SHINGLE,
+        load,
+    )
+    from sparker_spark.llm.dedup import Dedup
+    from sparker_spark.llm.text import TextAnalysis
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = Dedup.minhash_lsh_pairs(
+        docs, MINHASH_K, MINHASH_BANDS, SHINGLE, JACCARD_T
+    )
+    scores = TextAnalysis.quality_score(docs).select(
+        "doc_id", "quality_score"
+    )
+    return Dedup.keep_best(scores, pairs)
+
+
+def _o_dedup_keep_best() -> str:
+    from sparker_spark.entry import _o_dedup_minhash
+    from sparker_spark.llm.text import LANG_STOPWORDS
+
+    stop_list = ",".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""WITH RECURSIVE edges AS (
+{_o_dedup_minhash()}
+),
+und AS (SELECT p1 AS u, p2 AS v FROM edges
+        UNION SELECT p2 AS u, p1 AS v FROM edges),
+reach(u, r) AS (
+  SELECT DISTINCT u, u FROM und
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
+),
+comp AS (SELECT u, min(r) AS component FROM reach GROUP BY u),
+m AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_filter(toks, x -> list_contains([{stop_list}], x))) AS DOUBLE) AS n_stop,
+         CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) AS n_alpha,
+         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct
+  FROM (SELECT doc_id, text,
+               regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents)),
+q AS (
+  SELECT doc_id,
+         round(0.3 * (n_alpha / n)
+             + 0.3 * least(length(text) / 500.0, 1.0)
+             + 0.2 * (n_stop / n)
+             + 0.2 * (1.0 - least(n_punct / length(text) * 5.0, 1.0)), 6)
+           AS quality_score
+  FROM m),
+lab AS (
+  SELECT q.doc_id, COALESCE(comp.component, q.doc_id) AS component,
+         q.quality_score
+  FROM q LEFT JOIN comp ON q.doc_id = comp.u),
+ranked AS (
+  SELECT doc_id, component, quality_score,
+         count(*) OVER (PARTITION BY component) AS cluster_size,
+         row_number() OVER w AS rn,
+         first_value(doc_id) OVER w AS keeper_id
+  FROM lab
+  WINDOW w AS (PARTITION BY component
+               ORDER BY quality_score DESC, doc_id ASC))
+SELECT doc_id, component, cluster_size, quality_score, keeper_id,
+       rn = 1 AS kept
+FROM ranked"""
+
+
 def r6_queries() -> dict:
     return {
         "multimodal_jpeg_features": q_multimodal_jpeg_features,
         "audio_wav_features": q_audio_wav_features,
         "video_frame_plan": q_video_frame_plan,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -237,4 +316,5 @@ def r6_oracles() -> dict:
         "multimodal_jpeg_features": O_MULTIMODAL_JPEG,
         "audio_wav_features": O_AUDIO_WAV,
         "video_frame_plan": O_VIDEO_FRAME_PLAN,
+        "dedup_keep_best": _o_dedup_keep_best(),
     }

@@ -464,3 +464,62 @@ class Dedup:
             .where(F.col("cosine") >= F.lit(float(threshold)))
             .select("p1", "p2", "cosine")
         )
+
+    @staticmethod
+    def keep_best(
+        scores: DataFrame,
+        pairs: DataFrame,
+        id_col: str = "doc_id",
+        score_col: str = "quality_score",
+    ) -> DataFrame:
+        """Near-dup canonicalization: the pipeline stage AFTER
+        clustering. ``pairs`` (p1, p2) says which docs are mutual
+        near-dups; this picks which ONE of each connected cluster
+        survives — the highest ``score_col`` (lowest id breaking
+        ties), not the min-id that ``ConnectedComponents.
+        canonical_groups`` uses — matching what a training-data
+        pipeline actually keeps. Docs in no cluster keep themselves.
+
+        Returns one row per scored doc: (id, component, cluster_size,
+        score, keeper_id, kept).
+
+        Scale: CC runs over cluster ENDPOINTS only (pointer jumping,
+        O(E) per round); singletons join in afterwards with a left
+        join, so the iterative part never carries the corpus. The
+        argmax is one window over the component key — components are
+        near-dup clusters, bounded fan-in, no skew hazard. Ordering
+        uses the caller's (rounded) score so the choice is identical
+        cross-engine.
+        """
+        from sparker_spark.graph import ConnectedComponents
+
+        cc = ConnectedComponents.run(pairs)
+        labeled = (
+            scores.select(
+                F.col(id_col).cast("long").alias("node"),
+                F.col(score_col).alias("_score"),
+            )
+            .join(cc, "node", "left")
+            .withColumn("component", F.coalesce("component", F.col("node")))
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.col("_score").desc(), F.col("node").asc()
+        )
+        ranked = labeled.select(
+            "node",
+            "component",
+            "_score",
+            F.row_number().over(w).alias("_rn"),
+            F.first("node").over(w).alias("keeper_id"),
+            F.count("*")
+            .over(Window.partitionBy("component"))
+            .alias("cluster_size"),
+        )
+        return ranked.select(
+            F.col("node").alias(id_col),
+            "component",
+            "cluster_size",
+            F.col("_score").alias(score_col),
+            "keeper_id",
+            (F.col("_rn") == 1).alias("kept"),
+        )

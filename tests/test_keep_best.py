@@ -1,0 +1,48 @@
+"""Dedup.keep_best — near-dup canonicalization by quality score.
+
+The cluster keeper is the argmax of the caller's score (id breaks
+ties), NOT the min id that ConnectedComponents.canonical_groups uses;
+docs in no cluster keep themselves."""
+
+from __future__ import annotations
+
+from sparker_spark.llm.dedup import Dedup
+
+
+def test_keeper_is_best_quality_not_min_id(spark):
+    # cluster {1,2,3} chained through 2; doc 3 has the best score
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "p1 long, p2 long")
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.5), (3, 0.9), (7, 0.1)],
+        "doc_id long, quality_score double",
+    )
+    rows = {r["doc_id"]: r for r in Dedup.keep_best(scores, pairs).collect()}
+    assert rows[1]["keeper_id"] == 3 and not rows[1]["kept"]
+    assert rows[2]["keeper_id"] == 3 and not rows[2]["kept"]
+    assert rows[3]["keeper_id"] == 3 and rows[3]["kept"]
+    assert rows[1]["component"] == rows[3]["component"] == 1
+    assert rows[1]["cluster_size"] == 3
+    # singleton: its own keeper, cluster of one
+    assert rows[7]["kept"] and rows[7]["keeper_id"] == 7
+    assert rows[7]["cluster_size"] == 1 and rows[7]["component"] == 7
+
+
+def test_score_tie_breaks_on_lowest_id(spark):
+    pairs = spark.createDataFrame([(5, 9)], "p1 long, p2 long")
+    scores = spark.createDataFrame(
+        [(5, 0.4), (9, 0.4)], "doc_id long, quality_score double"
+    )
+    rows = {r["doc_id"]: r for r in Dedup.keep_best(scores, pairs).collect()}
+    assert rows[5]["kept"] and rows[9]["keeper_id"] == 5
+
+
+def test_every_scored_doc_gets_exactly_one_row(spark):
+    pairs = spark.createDataFrame([(0, 1)], "p1 long, p2 long")
+    scores = spark.createDataFrame(
+        [(i, float(i) / 10.0) for i in range(6)],
+        "doc_id long, quality_score double",
+    )
+    out = Dedup.keep_best(scores, pairs)
+    assert out.count() == 6
+    assert out.select("doc_id").distinct().count() == 6
+    assert out.where("kept").count() == 5  # one pair collapses
