@@ -302,12 +302,70 @@ SELECT doc_id, component, cluster_size, quality_score, keeper_id,
 FROM ranked"""
 
 
+def q_curation_boilerplate(spark, sf_dir):
+    """Cross-corpus boilerplate-line removal under the VALUE-HASH
+    gate. The raw documents table is single-line with no cross-doc
+    shared lines, so the query builds a deterministic multi-line
+    corpus around each body (same construction in the oracle): a
+    'section <doc_id%7>' header shared by ~1/7th of the corpus (drops
+    at min_docs=5), the unique body (always kept), and a
+    'ref <doc_id%250>' trailer shared by only a couple of docs (kept)
+    — so the gate checks both drop and keep decisions plus exact
+    order-preserving reconstruction."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.curation import BoilerplateRemoval
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("section "), (F.col("doc_id") % 7).cast("string")),
+            F.col("text"),
+            F.concat(F.lit("ref "), (F.col("doc_id") % 250).cast("string")),
+        ).alias("text"),
+    )
+    return BoilerplateRemoval.remove_shared_lines(docs, min_docs=5)
+
+
+O_CURATION_BOILERPLATE = """
+WITH corpus AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   'section ' || CAST(doc_id % 7 AS VARCHAR),
+                   text,
+                   'ref ' || CAST(doc_id % 250 AS VARCHAR)) AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id, i AS idx, ls[i + 1] AS ln
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+       LATERAL (SELECT unnest(range(len(ls))) AS i) t),
+freq AS (
+  SELECT trim(ln) AS key
+  FROM lines WHERE trim(ln) <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+kept AS (
+  SELECT l.doc_id, l.idx, l.ln
+  FROM lines l LEFT JOIN freq f ON trim(l.ln) = f.key
+  WHERE f.key IS NULL),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_lines_kept,
+         string_agg(ln, chr(10) ORDER BY idx) AS text
+  FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(p.n_lines_kept, 0) AS n_lines_kept,
+       t.n_total - COALESCE(p.n_lines_kept, 0) AS n_lines_dropped,
+       COALESCE(p.text, '') AS text
+FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id"""
+
+
 def r6_queries() -> dict:
     return {
         "multimodal_jpeg_features": q_multimodal_jpeg_features,
         "audio_wav_features": q_audio_wav_features,
         "video_frame_plan": q_video_frame_plan,
         "dedup_keep_best": q_dedup_keep_best,
+        "curation_boilerplate": q_curation_boilerplate,
     }
 
 
@@ -317,4 +375,5 @@ def r6_oracles() -> dict:
         "audio_wav_features": O_AUDIO_WAV,
         "video_frame_plan": O_VIDEO_FRAME_PLAN,
         "dedup_keep_best": _o_dedup_keep_best(),
+        "curation_boilerplate": O_CURATION_BOILERPLATE,
     }

@@ -277,3 +277,65 @@ class RepetitionStats:
                 6,
             ).alias("dup_ngram_frac"),
         )
+
+
+class BoilerplateRemoval:
+    @staticmethod
+    def remove_shared_lines(
+        documents: DataFrame, min_docs: int = 2
+    ) -> DataFrame:
+        """Cross-corpus line-level boilerplate removal (the CCNet /
+        CC-style cleanup): drop every line whose trimmed form appears
+        in >= ``min_docs`` DISTINCT documents (navigation chrome,
+        license banners, templated footers), keep everything else in
+        original order, and re-join with newlines. Returns one row per
+        input document: ``(doc_id, n_lines_kept, n_lines_dropped,
+        text)`` — text '' when every line was boilerplate.
+
+        Scale: explode -> hash-aggregate by line -> join back ->
+        re-aggregate by doc. Every shuffle key is either the line text
+        or doc_id; empty lines never enter the frequency relation (the
+        one degenerate hot key), and AQE's skew-join split covers hot
+        boilerplate lines. No UDFs, no windows over the corpus, no
+        driver state.
+        """
+        lines = documents.select(
+            "doc_id",
+            F.posexplode(F.split("text", "\n")).alias("idx", "ln"),
+        )
+        freq = (
+            lines.where(F.trim("ln") != "")
+            .groupBy(F.trim("ln").alias("key"))
+            .agg(F.countDistinct("doc_id").alias("ndocs"))
+            .where(F.col("ndocs") >= min_docs)
+        )
+        kept = lines.join(
+            freq, F.trim(lines["ln"]) == freq["key"], "left_anti"
+        )
+        per_doc = kept.groupBy("doc_id").agg(
+            F.count("*").alias("n_lines_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "ln"))),
+                    lambda s: s["ln"],
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        totals = lines.groupBy("doc_id").agg(
+            F.count("*").alias("_n_total")
+        )
+        return (
+            totals.join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias(
+                    "n_lines_kept"
+                ),
+                (
+                    F.col("_n_total")
+                    - F.coalesce("n_lines_kept", F.lit(0))
+                ).cast("long").alias("n_lines_dropped"),
+                F.coalesce("text", F.lit("")).alias("text"),
+            )
+        )

@@ -46,3 +46,39 @@ def test_every_scored_doc_gets_exactly_one_row(spark):
     assert out.count() == 6
     assert out.select("doc_id").distinct().count() == 6
     assert out.where("kept").count() == 5  # one pair collapses
+
+
+def test_boilerplate_removal_drops_shared_keeps_unique(spark):
+    from sparker_spark.llm.curation import BoilerplateRemoval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "FOOTER\nbody one\nFOOTER"),
+            (2, "body two\nFOOTER"),
+            (3, "body three\n  FOOTER  "),  # trimmed form matches
+            (4, "FOOTER"),                  # all-boilerplate doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in BoilerplateRemoval.remove_shared_lines(
+            docs, min_docs=3
+        ).collect()
+    }
+    assert out[1]["text"] == "body one"
+    assert out[1]["n_lines_kept"] == 1 and out[1]["n_lines_dropped"] == 2
+    assert out[2]["text"] == "body two"
+    assert out[3]["text"] == "body three"
+    assert out[4]["text"] == "" and out[4]["n_lines_kept"] == 0
+    assert out[4]["n_lines_dropped"] == 1
+
+
+def test_boilerplate_removal_preserves_line_order(spark):
+    from sparker_spark.llm.curation import BoilerplateRemoval
+
+    docs = spark.createDataFrame(
+        [(1, "z\na\nm"), (2, "unrelated")], "doc_id long, text string"
+    )
+    out = BoilerplateRemoval.remove_shared_lines(docs, min_docs=2).collect()
+    assert {r["doc_id"]: r["text"] for r in out}[1] == "z\na\nm"
