@@ -359,6 +359,59 @@ SELECT t.doc_id,
 FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id"""
 
 
+def q_knn_label_vote(spark, sf_dir):
+    """k-NN label vote under the VALUE-HASH gate: same exact top-k
+    cosine neighbor relation ann_topk_cosine grades (rounded-cosine
+    ranking, id tiebreak, bounded query side), then a majority vote
+    over the neighbors' labels with smallest-label tie-break — the
+    mislabel-candidate report a labeling-QA pass ships. At corpus
+    scale the neighbors argument takes IVFIndex.search output
+    instead; the voting plan is identical."""
+    from sparker_spark.entry import ANN_K, ANN_QUERY_MOD, load
+    from sparker_spark.llm.similarity import LabelKNN
+
+    emb = load(spark, sf_dir, "embeddings")
+    return LabelKNN.predict(
+        emb, k=ANN_K, query_filter=f"vec_id % {ANN_QUERY_MOD} = 0"
+    )
+
+
+def _o_knn_label_vote() -> str:
+    from sparker_spark.entry import ANN_K, ANN_QUERY_MOD
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+  FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id % {ANN_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round(list_dot_product(q.emb, v.emb) / (q.norm * v.norm), 6) AS cosine
+  FROM q, v WHERE q.vec_id <> v.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored),
+votes AS (
+  SELECT r.query_id, CAST(v.label AS BIGINT) AS n_label,
+         count(*) AS votes
+  FROM ranked r JOIN v ON r.neighbor_id = v.vec_id
+  WHERE r.rank <= {ANN_K}
+  GROUP BY r.query_id, v.label),
+pred AS (
+  SELECT query_id, n_label AS predicted_label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, n_label ASC) AS rn
+  FROM votes)
+SELECT p.query_id AS vec_id, CAST(q.label AS BIGINT) AS true_label,
+       p.predicted_label, p.votes,
+       p.predicted_label = CAST(q.label AS BIGINT) AS agrees
+FROM pred p JOIN q ON p.query_id = q.vec_id
+WHERE p.rn = 1"""
+
+
 def r6_queries() -> dict:
     return {
         "multimodal_jpeg_features": q_multimodal_jpeg_features,
@@ -366,6 +419,7 @@ def r6_queries() -> dict:
         "video_frame_plan": q_video_frame_plan,
         "dedup_keep_best": q_dedup_keep_best,
         "curation_boilerplate": q_curation_boilerplate,
+        "knn_label_vote": q_knn_label_vote,
     }
 
 
@@ -376,4 +430,5 @@ def r6_oracles() -> dict:
         "video_frame_plan": O_VIDEO_FRAME_PLAN,
         "dedup_keep_best": _o_dedup_keep_best(),
         "curation_boilerplate": O_CURATION_BOILERPLATE,
+        "knn_label_vote": _o_knn_label_vote(),
     }

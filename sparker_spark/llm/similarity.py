@@ -296,3 +296,75 @@ class EmbeddingDiagnostics:
             F.max("n").cast("long").alias("majority_n"),
             rnd(F.max("n") / F.sum("n"), 6).alias("purity"),
         )
+
+
+class LabelKNN:
+    @staticmethod
+    def predict(
+        embeddings: DataFrame,
+        k: int = 10,
+        query_filter: str | None = None,
+        neighbors: DataFrame | None = None,
+    ) -> DataFrame:
+        """Majority-vote label prediction from cosine top-k neighbors —
+        the label-noise / labeling-QA primitive: a vector whose stored
+        label disagrees with its neighborhood's vote is a mislabel
+        candidate for review before training.
+
+        ``neighbors``: optional precomputed (query_id, neighbor_id,
+        rank) relation — pass ``IVFIndex.search`` output at corpus
+        scale so candidate volume stays ~n·n_probe/cells; defaults to
+        the exact ``topk_cosine`` (bounded by ``query_filter``). Vote
+        ties break on the smallest label, so the prediction is
+        deterministic and oracle-stable.
+
+        Returns (vec_id, true_label, predicted_label, votes, agrees).
+        """
+        if neighbors is None:
+            neighbors = SimilaritySearch.topk_cosine(
+                embeddings, k=k, query_filter=query_filter
+            )
+        labels = embeddings.select(
+            "vec_id", F.col("label").cast("long").alias("label")
+        )
+        votes = (
+            neighbors.join(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("n_label"),
+                ),
+                "neighbor_id",
+            )
+            .groupBy("query_id", "n_label")
+            .agg(F.count("*").alias("votes"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("votes").desc(), F.col("n_label").asc()
+        )
+        pred = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                F.col("n_label").alias("predicted_label"),
+                F.col("votes").cast("long").alias("votes"),
+            )
+        )
+        return (
+            pred.join(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("true_label"),
+                ),
+                "query_id",
+            )
+            .select(
+                F.col("query_id").alias("vec_id"),
+                "true_label",
+                "predicted_label",
+                "votes",
+                (F.col("predicted_label") == F.col("true_label")).alias(
+                    "agrees"
+                ),
+            )
+        )

@@ -82,3 +82,29 @@ def test_boilerplate_removal_preserves_line_order(spark):
     )
     out = BoilerplateRemoval.remove_shared_lines(docs, min_docs=2).collect()
     assert {r["doc_id"]: r["text"] for r in out}[1] == "z\na\nm"
+
+
+def test_knn_label_vote_flags_mislabel(spark):
+    from sparker_spark.llm.similarity import LabelKNN, SimilaritySearch
+
+    # two tight clusters; vec 5 sits in cluster A but carries label 1
+    rows = []
+    for i in range(5):
+        rows.append((i, [1.0 + i * 0.01, 0.0], 0))
+        rows.append((10 + i, [0.0, 1.0 + i * 0.01], 1))
+    rows.append((5, [1.0, 0.02], 1))  # mislabeled
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: r for r in LabelKNN.predict(emb, k=3).collect()}
+    assert out[5]["predicted_label"] == 0 and not out[5]["agrees"]
+    assert out[0]["predicted_label"] == 0 and out[0]["agrees"]
+    assert out[12]["predicted_label"] == 1 and out[12]["agrees"]
+
+    # precomputed-neighbors path (the IVF scale shape) matches default
+    nb = SimilaritySearch.topk_cosine(emb, k=3)
+    alt = {
+        r["vec_id"]: r["predicted_label"]
+        for r in LabelKNN.predict(emb, neighbors=nb).collect()
+    }
+    assert alt == {v: r["predicted_label"] for v, r in out.items()}

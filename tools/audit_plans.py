@@ -25,7 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # crossJoin by design: documented O(n²) exact baselines whose scale
 # path is the IVF/LSH variant graded alongside
-ALLOW_NESTED = {"dedup_embedding_cosine", "ann_topk_cosine"}
+ALLOW_NESTED = {
+    "dedup_embedding_cosine",
+    "ann_topk_cosine",
+    # same bounded exact-anchor crossJoin as ann_topk_cosine (query side
+    # is the vec_id %% MOD slice); the scale path is IVFIndex.search
+    "knn_label_vote",
+}
 
 
 def main():
