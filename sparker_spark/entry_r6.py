@@ -253,10 +253,8 @@ def q_dedup_keep_best(spark, sf_dir):
 
 
 def _o_dedup_keep_best() -> str:
-    from sparker_spark.entry import _o_dedup_minhash
-    from sparker_spark.llm.text import LANG_STOPWORDS
+    from sparker_spark.entry import _o_dedup_minhash, _o_text_quality
 
-    stop_list = ",".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
     return f"""WITH RECURSIVE edges AS (
 {_o_dedup_minhash()}
 ),
@@ -268,23 +266,8 @@ reach(u, r) AS (
   SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
 ),
 comp AS (SELECT u, min(r) AS component FROM reach GROUP BY u),
-m AS (
-  SELECT doc_id, text,
-         CAST(len(toks) AS DOUBLE) AS n,
-         CAST(len(list_filter(toks, x -> list_contains([{stop_list}], x))) AS DOUBLE) AS n_stop,
-         CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) AS n_alpha,
-         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct
-  FROM (SELECT doc_id, text,
-               regexp_split_to_array(lower(text), '\\s+') AS toks
-        FROM documents)),
 q AS (
-  SELECT doc_id,
-         round(0.3 * (n_alpha / n)
-             + 0.3 * least(length(text) / 500.0, 1.0)
-             + 0.2 * (n_stop / n)
-             + 0.2 * (1.0 - least(n_punct / length(text) * 5.0, 1.0)), 6)
-           AS quality_score
-  FROM m),
+  SELECT doc_id, quality_score FROM ({_o_text_quality()})),
 lab AS (
   SELECT q.doc_id, COALESCE(comp.component, q.doc_id) AS component,
          q.quality_score
@@ -336,16 +319,20 @@ WITH corpus AS (
                    'ref ' || CAST(doc_id % 250 AS VARCHAR)) AS text
   FROM documents),
 lines AS (
-  SELECT doc_id, i AS idx, ls[i + 1] AS ln
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+  SELECT doc_id, i AS idx, ls[i + 1] AS ln,
+         regexp_replace(ls[i + 1],
+                        '^[ \t\r\f\x0B]+|[ \t\r\f\x0B]+$',
+                        '', 'g') AS key
+  FROM (SELECT doc_id,
+               regexp_split_to_array(text, '\r?\n') AS ls FROM corpus),
        LATERAL (SELECT unnest(range(len(ls))) AS i) t),
 freq AS (
-  SELECT trim(ln) AS key
-  FROM lines WHERE trim(ln) <> ''
+  SELECT key
+  FROM lines WHERE key <> ''
   GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
 kept AS (
   SELECT l.doc_id, l.idx, l.ln
-  FROM lines l LEFT JOIN freq f ON trim(l.ln) = f.key
+  FROM lines l LEFT JOIN freq f USING (key)
   WHERE f.key IS NULL),
 per_doc AS (
   SELECT doc_id, count(*) AS n_lines_kept,

@@ -280,62 +280,64 @@ class RepetitionStats:
 
 
 class BoilerplateRemoval:
+    # Explicit whitespace class for line splitting/normalization —
+    # NOT \s, which differs between Java regex (includes \x0B) and
+    # RE2/DuckDB (does not); same portability rule as the shingle
+    # splits. Lines split on \r?\n so CRLF corpora normalize to the
+    # same keys as LF ones.
+    _WS = "[ \t\r\f\x0B]"
+
     @staticmethod
     def remove_shared_lines(
         documents: DataFrame, min_docs: int = 2
     ) -> DataFrame:
         """Cross-corpus line-level boilerplate removal (the CCNet /
-        CC-style cleanup): drop every line whose trimmed form appears
-        in >= ``min_docs`` DISTINCT documents (navigation chrome,
-        license banners, templated footers), keep everything else in
-        original order, and re-join with newlines. Returns one row per
-        input document: ``(doc_id, n_lines_kept, n_lines_dropped,
-        text)`` — text '' when every line was boilerplate.
+        CC-style cleanup): drop every line whose whitespace-trimmed
+        form appears in >= ``min_docs`` DISTINCT documents (navigation
+        chrome, license banners, templated footers), keep everything
+        else in original order, and re-join with newlines. Returns one
+        row per input document: ``(doc_id, n_lines_kept,
+        n_lines_dropped, text)`` — text '' when every line was
+        boilerplate.
 
-        Scale: explode -> hash-aggregate by line -> join back ->
-        re-aggregate by doc. Every shuffle key is either the line text
-        or doc_id; empty lines never enter the frequency relation (the
-        one degenerate hot key), and AQE's skew-join split covers hot
+        Scale: explode once -> hash-aggregate by normalized line ->
+        one left join back -> ONE conditional aggregate per doc
+        (count/collect_list skip the matched rows via when()). Every
+        shuffle key is either the line key or doc_id; whitespace-only
+        lines normalize to '' and never enter the frequency relation
+        (the degenerate hot key), and AQE's skew-join split covers hot
         boilerplate lines. No UDFs, no windows over the corpus, no
         driver state.
         """
+        ws = BoilerplateRemoval._WS
         lines = documents.select(
             "doc_id",
-            F.posexplode(F.split("text", "\n")).alias("idx", "ln"),
+            F.posexplode(F.split("text", "\r?\n")).alias("idx", "ln"),
+        ).withColumn(
+            "key",
+            F.regexp_replace("ln", f"^{ws}+|{ws}+$", ""),
         )
         freq = (
-            lines.where(F.trim("ln") != "")
-            .groupBy(F.trim("ln").alias("key"))
+            lines.where(F.col("key") != "")
+            .groupBy("key")
             .agg(F.countDistinct("doc_id").alias("ndocs"))
             .where(F.col("ndocs") >= min_docs)
+            .select("key", F.lit(True).alias("_shared"))
         )
-        kept = lines.join(
-            freq, F.trim(lines["ln"]) == freq["key"], "left_anti"
-        )
-        per_doc = kept.groupBy("doc_id").agg(
-            F.count("*").alias("n_lines_kept"),
+        flagged = lines.join(freq, "key", "left")
+        kept_line = F.when(
+            F.col("_shared").isNull(), F.struct("idx", "ln")
+        )  # collect_list skips the NULLs the shared lines become
+        return flagged.groupBy("doc_id").agg(
+            F.count(kept_line).cast("long").alias("n_lines_kept"),
+            (F.count("*") - F.count(kept_line)).cast("long").alias(
+                "n_lines_dropped"
+            ),
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "ln"))),
-                    lambda s: s["ln"],
+                    F.array_sort(F.collect_list(kept_line)),
+                    lambda st: st["ln"],
                 ),
                 "\n",
             ).alias("text"),
-        )
-        totals = lines.groupBy("doc_id").agg(
-            F.count("*").alias("_n_total")
-        )
-        return (
-            totals.join(per_doc, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias(
-                    "n_lines_kept"
-                ),
-                (
-                    F.col("_n_total")
-                    - F.coalesce("n_lines_kept", F.lit(0))
-                ).cast("long").alias("n_lines_dropped"),
-                F.coalesce("text", F.lit("")).alias("text"),
-            )
-        )
+        ).select("doc_id", "n_lines_kept", "n_lines_dropped", "text")

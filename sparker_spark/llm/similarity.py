@@ -314,9 +314,15 @@ class LabelKNN:
         ``neighbors``: optional precomputed (query_id, neighbor_id,
         rank) relation — pass ``IVFIndex.search`` output at corpus
         scale so candidate volume stays ~n·n_probe/cells; defaults to
-        the exact ``topk_cosine`` (bounded by ``query_filter``). Vote
-        ties break on the smallest label, so the prediction is
-        deterministic and oracle-stable.
+        the exact ``topk_cosine`` (bounded by ``query_filter``).
+        ``k`` applies on BOTH paths (a rank column is part of the
+        neighbors contract, so a wider precomputed relation is
+        re-truncated); ``query_filter`` only bounds the default path.
+        Vote ties break on the smallest label, and NULL-labeled
+        vectors (the unlabeled part of a semi-supervised corpus)
+        never vote and never appear as queries — otherwise a NULL
+        vote group would win ties under Spark's nulls-first ascending
+        sort and poison ``agrees`` to NULL.
 
         Returns (vec_id, true_label, predicted_label, votes, agrees).
         """
@@ -324,9 +330,11 @@ class LabelKNN:
             neighbors = SimilaritySearch.topk_cosine(
                 embeddings, k=k, query_filter=query_filter
             )
+        else:
+            neighbors = neighbors.where(F.col("rank") <= F.lit(int(k)))
         labels = embeddings.select(
             "vec_id", F.col("label").cast("long").alias("label")
-        )
+        ).where(F.col("label").isNotNull())
         votes = (
             neighbors.join(
                 labels.select(

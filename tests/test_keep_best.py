@@ -108,3 +108,55 @@ def test_knn_label_vote_flags_mislabel(spark):
         for r in LabelKNN.predict(emb, neighbors=nb).collect()
     }
     assert alt == {v: r["predicted_label"] for v, r in out.items()}
+
+
+def test_boilerplate_crlf_and_whitespace_only_lines(spark):
+    from sparker_spark.llm.curation import BoilerplateRemoval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "FOOTER\r\nbody one"),       # CRLF doc
+            (2, "FOOTER\nbody two"),          # LF doc — same key
+            (3, "\t\nbody three\n\t"),        # whitespace-only lines
+            (4, "\t\nbody four\n\t"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in BoilerplateRemoval.remove_shared_lines(
+            docs, min_docs=2
+        ).collect()
+    }
+    # CRLF and LF footers normalize to one key and both drop
+    assert out[1]["text"] == "body one" and out[2]["text"] == "body two"
+    # whitespace-only lines never enter the frequency relation: kept
+    assert out[3]["n_lines_dropped"] == 0 and out[3]["n_lines_kept"] == 3
+
+
+def test_knn_null_labels_never_vote_or_query(spark):
+    from sparker_spark.llm.similarity import LabelKNN
+
+    rows = [(i, [1.0 + i * 0.01, 0.0], 0) for i in range(4)]
+    rows.append((8, [1.0, 0.01], None))  # unlabeled vector
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: r for r in LabelKNN.predict(emb, k=3).collect()}
+    assert 8 not in out  # unlabeled never a query
+    for r in out.values():  # and never a vote: all predictions real
+        assert r["predicted_label"] == 0 and r["agrees"] is True
+
+
+def test_knn_precomputed_neighbors_truncated_to_k(spark):
+    from sparker_spark.llm.similarity import LabelKNN, SimilaritySearch
+
+    rows = [(i, [1.0, float(i) * 0.1], i % 2) for i in range(8)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    wide = SimilaritySearch.topk_cosine(emb, k=7)
+    narrow = LabelKNN.predict(emb, k=3, neighbors=wide).collect()
+    direct = LabelKNN.predict(emb, k=3).collect()
+    key = lambda rs: sorted((r["vec_id"], r["predicted_label"]) for r in rs)  # noqa: E731
+    assert key(narrow) == key(direct)

@@ -29,7 +29,7 @@ ALLOW_NESTED = {
     "dedup_embedding_cosine",
     "ann_topk_cosine",
     # same bounded exact-anchor crossJoin as ann_topk_cosine (query side
-    # is the vec_id %% MOD slice); the scale path is IVFIndex.search
+    # is the vec_id % MOD slice); the scale path is IVFIndex.search
     "knn_label_vote",
 }
 
