@@ -4,10 +4,12 @@
 ``curate(documents, ...) -> (doc_id, text)`` composes the full
 pretraining cleanup flow behind a single function:
 
-    PII redaction -> quality floor -> repetition (Gopher-style) filter
-    -> exact dedup (canonical per content hash) -> MinHash-LSH near-dup
-    pairs -> distributed connected components -> canonical per near-dup
-    group -> benchmark decontamination vs a held-out eval set
+    boilerplate-line removal (optional) -> PII redaction -> quality
+    floor -> repetition (Gopher-style) filter -> exact dedup (canonical
+    per content hash) -> MinHash-LSH near-dup pairs -> distributed
+    connected components -> canonical per near-dup group (min-id, or
+    keep-best-by-quality) -> benchmark decontamination vs a held-out
+    eval set
 
 Every stage is the same shuffle-bounded DataFrame operator the
 oracle-checked queries run (no crossJoin, no driver state; see each
@@ -37,6 +39,8 @@ def curate(
     bands: int = 8,
     shingle_size: int = 3,
     decon_ngram: int = 5,
+    boilerplate_min_docs: int | None = None,
+    near_dup_keep: str = "min_id",
 ) -> DataFrame:
     """Cleaned corpus ``(id_col, text_col)`` ready for tokenization.
 
@@ -49,6 +53,15 @@ def curate(
       that predicate).
     * ``jaccard_threshold``: near-dup removal threshold; ``None`` skips
       the whole LSH + connected-components stage.
+    * ``boilerplate_min_docs``: when set, lines shared by that many
+      distinct documents are stripped FIRST (CCNet-style cross-corpus
+      cleanup; docs left empty are dropped) so boilerplate neither
+      biases the quality stats nor glues unrelated docs into near-dup
+      clusters.
+    * ``near_dup_keep``: ``"min_id"`` keeps each near-dup cluster's
+      smallest id (the default, matching dedup_cc_clusters);
+      ``"best_quality"`` keeps the cluster's highest quality-score doc
+      (Dedup.keep_best — what a production pipeline usually wants).
     """
     from sparker_spark.graph import ConnectedComponents
     from sparker_spark.llm.curation import (
@@ -59,9 +72,21 @@ def curate(
     from sparker_spark.llm.dedup import Dedup
     from sparker_spark.llm.text import TextAnalysis
 
+    if near_dup_keep not in ("min_id", "best_quality"):
+        raise ValueError(f"invalid near_dup_keep: {near_dup_keep!r}")
     docs = documents.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
+    if boilerplate_min_docs is not None:
+        from sparker_spark.llm.curation import BoilerplateRemoval
+
+        docs = (
+            BoilerplateRemoval.remove_shared_lines(
+                docs, int(boilerplate_min_docs)
+            )
+            .where(F.col("n_lines_kept") > 0)
+            .select("doc_id", "text")
+        )
     if redact:
         # redact first: the redacted text is what gets deduped/shipped
         docs = (
@@ -112,11 +137,21 @@ def curate(
         pairs = Dedup.minhash_lsh_pairs(
             docs, minhash_k, bands, shingle_size, float(jaccard_threshold)
         )
-        dupes = (
-            ConnectedComponents.canonical_groups(pairs)
-            .where(~F.col("is_canonical"))
-            .select(F.col("node").alias("doc_id"))
-        )
+        if near_dup_keep == "best_quality":
+            scores = TextAnalysis.quality_score(docs).select(
+                "doc_id", "quality_score"
+            )
+            dupes = (
+                Dedup.keep_best(scores, pairs)
+                .where(~F.col("kept"))
+                .select("doc_id")
+            )
+        else:
+            dupes = (
+                ConnectedComponents.canonical_groups(pairs)
+                .where(~F.col("is_canonical"))
+                .select(F.col("node").alias("doc_id"))
+            )
         docs = docs.join(dupes, "doc_id", "left_anti")
 
     if eval_docs is not None:

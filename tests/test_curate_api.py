@@ -72,3 +72,34 @@ def test_curate_custom_column_names(spark):
     out = curate(docs, id_col="rid", text_col="body", jaccard_threshold=None)
     assert set(out.columns) == {"rid", "body"}
     assert out.count() == 1  # exact dup collapsed
+
+
+def test_curate_boilerplate_stage_and_keep_best(spark):
+    # shared FOOTER line on every doc; doc 6 is ONLY boilerplate
+    rows = [
+        (0, GOOD + "\nFOOTER"),
+        (1, GOOD2 + "\nFOOTER"),
+        (4, GOOD + "\nFOOTER"),            # exact dup of 0 after strip
+        (5, GOOD + " extra\nFOOTER"),      # near-dup of 0 (longer body)
+        (6, "FOOTER"),                     # drops to empty
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate(
+        docs,
+        jaccard_threshold=0.5,
+        boilerplate_min_docs=3,
+        near_dup_keep="best_quality",
+    )
+    res = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert 6 not in res                    # all-boilerplate doc dropped
+    assert all("FOOTER" not in t for t in res.values())
+    assert 1 in res
+    # keep-best: the longer near-dup (higher length score) survives,
+    # not the min-id; exact dedup already collapsed {0, 4} to 0
+    assert set(res) & {0, 4, 5} == {5}
+
+
+def test_curate_rejects_bad_keep_mode(spark):
+    docs = spark.createDataFrame([(0, GOOD)], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="near_dup_keep"):
+        curate(docs, near_dup_keep="newest")
