@@ -47,6 +47,11 @@ def q_multimodal_jpeg_features(spark, sf_dir):
             payloads = []
             for mid in pdf["media_id"]:
                 mid = int(mid)
+                # the oracle replays this arithmetic with DuckDB's
+                # sign-preserving % — non-negative ids keep the two
+                # engines' modulo (and the unreachable encoder-side
+                # YCbCr clamp corner, see oracle comment) in sync
+                assert mid >= 0, "JPEG gate fixture requires doc_id >= 0"
                 img = np.zeros((6, 8, 3), dtype=np.uint8)
                 img[:, :, 0] = mid % 256
                 img[:, :, 1] = (mid * 7) % 256
@@ -82,6 +87,16 @@ def q_multimodal_jpeg_features(spark, sf_dir):
 # ~1e-13 « the 0.5 rounding margin), then inverse YCbCr->RGB with the
 # same rounding + clamp (jpeg.decode). Term order matches the numpy
 # expressions so both engines compute identical doubles.
+#
+# Domain notes pinned by the fixture-side `assert mid >= 0`:
+# (1) DuckDB % is sign-preserving while Python % is floored, so the
+#     modulo family below matches the fixture only for doc_id >= 0;
+# (2) jpeg.encode clips the forward YCbCr planes at [0, 255] and this
+#     oracle does NOT — the clip can only fire when floor(plane + 0.5)
+#     reaches 256 (e.g. cr at exactly (r,g,b)=(255,0,0)), and no
+#     (m%256, 7m%256, 13m%256) triple with m >= 0 reaches any such
+#     corner: the three residues are coupled mod 256, so the extreme
+#     channel combinations the clamp needs cannot co-occur.
 O_MULTIMODAL_JPEG = """
 WITH rgb AS (
   SELECT doc_id AS media_id,
@@ -138,6 +153,8 @@ def q_audio_wav_features(spark, sf_dir):
             payloads = []
             for mid in pdf["media_id"]:
                 mid = int(mid)
+                # same modulo-sign contract as the JPEG gate fixture
+                assert mid >= 0, "WAV gate fixture requires doc_id >= 0"
                 half = 2 + mid % 14
                 period = 2 * half
                 m = 10 + mid % 7
@@ -382,10 +399,14 @@ ranked AS (
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored),
 votes AS (
+  -- NULL-labeled neighbors consume rank slots but never vote, and
+  -- NULL-labeled queries never reach the output — the same contract
+  -- LabelKNN.predict states (similarity.py), not an accident of the
+  -- fixture having no NULL labels
   SELECT r.query_id, CAST(v.label AS BIGINT) AS n_label,
          count(*) AS votes
   FROM ranked r JOIN v ON r.neighbor_id = v.vec_id
-  WHERE r.rank <= {ANN_K}
+  WHERE r.rank <= {ANN_K} AND v.label IS NOT NULL
   GROUP BY r.query_id, v.label),
 pred AS (
   SELECT query_id, n_label AS predicted_label, votes,
@@ -396,7 +417,7 @@ SELECT p.query_id AS vec_id, CAST(q.label AS BIGINT) AS true_label,
        p.predicted_label, p.votes,
        p.predicted_label = CAST(q.label AS BIGINT) AS agrees
 FROM pred p JOIN q ON p.query_id = q.vec_id
-WHERE p.rn = 1"""
+WHERE p.rn = 1 AND q.label IS NOT NULL"""
 
 
 def r6_queries() -> dict:

@@ -97,12 +97,20 @@ class WNP:
             # without the distinct aggregate
             n_profiles = ctx.profiles.count()
             if n_profiles > WNP.BROADCAST_THRESHOLDS_MAX:
+                # approx_count_distinct's ~5 % rsd can UNDERestimate a
+                # just-over-the-limit relation; shrink the effective
+                # threshold on this path so estimator error can't
+                # admit an oversized broadcast (a false negative only
+                # costs the shuffled plan, which is correct anyway)
                 n_profiles = ctx.profiles.agg(
                     F.approx_count_distinct("profile_id").alias("n")
                 ).first()["n"]
+                small = n_profiles <= 0.9 * WNP.BROADCAST_THRESHOLDS_MAX
+            else:
+                small = True
         else:
             n_profiles = thresholds.count()
-        small = n_profiles <= WNP.BROADCAST_THRESHOLDS_MAX
+            small = n_profiles <= WNP.BROADCAST_THRESHOLDS_MAX
         # t1/t2 are independent plan legs, so on the broadcast path the
         # threshold aggregate runs once per build. That is only safe
         # when the aggregate is merge-order-invariant: MAX is, and AVG

@@ -49,7 +49,14 @@ def _free_session_memory():
     sf0.001), but left alone they pile up in the ONE shared JVM for
     the whole suite and eventually evict/GC-thrash later modules.
     gc.collect() matters as much as clearCache: checkpointed RDDs are
-    only released when Python GC drives the py4j unreference."""
+    only released when Python GC drives the py4j unreference.
+
+    SUITE INVARIANT for future fixtures: clearCache() unpersists EVERY
+    cached relation on the shared session, so no cached relation may
+    outlive its module — a session-scoped fixture that caches a
+    relation for cross-module reuse would be silently uncached here
+    and re-pay its build per module. Keep shared state as plain
+    (uncached) DataFrames or rebuild per module."""
     yield
     import gc
 
