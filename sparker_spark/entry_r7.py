@@ -1,0 +1,240 @@
+"""Round-7 gated queries.
+
+1. ``video_frame_features`` — real video frame DECODE under the
+   value-hash gate: MJPEG-in-AVI payloads (llm/avi.py RIFF container +
+   the builtin T.81 baseline JPEG codec per frame), consuming the same
+   (media_id, frame_ts_ms) work units ``frame_sample_plan`` emits.
+   Fixture + oracle follow the r6 JPEG gate's closed-form YCbCr
+   round-trip argument (entry_r6.py).
+2. ``knn_label_vote_ivf`` — the kNN label vote routed through
+   ``IVFIndex.search`` (cell sketch, Hamming probe map, cell join)
+   instead of the exact-anchor crossJoin. Probing ALL cells makes IVF
+   recall provably 100 % for ANY input — the candidate set is the full
+   relation — so the exact-kNN SQL oracle states the result while the
+   Spark plan exercises the scale path's machinery end-to-end.
+   (Partial-probe recall is covered by tests/test_similarity.py.)
+3. ``jaccard_prefix_join_skew`` — the PPJoin mechanism on a
+   deterministically length-skewed corpus where the prefix + length
+   filters do real pruning work. The original ``jaccard_prefix_join``
+   fixture intentionally defeats pruning (near-all-pairs candidates;
+   setjoin.py) and stays registered as the adversarial correctness
+   anchor, but is EXCLUDED from the bench — this query is the benched
+   sibling that measures the operator, not the fixture's output size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# video fixture: 8x6 frames, 2 fps (500 ms per frame), 2..4 frames per
+# document, sampled every 500 ms — every frame lands on exactly one
+# sampled timestamp (ts = 500·i, frame_index_at(500·i) = i)
+VIDEO_W, VIDEO_H = 8, 6
+VIDEO_FPS = 2
+VIDEO_FRAME_MS = 1000 // VIDEO_FPS
+
+
+def q_video_frame_features(spark, sf_dir):
+    """MJPEG-in-AVI frame decode under the VALUE-HASH gate: each
+    document becomes a real AVI (llm/avi.encode_avi_mjpeg) of
+    2 + doc_id % 3 solid-color quality-100 JPEG frames whose channels
+    are arithmetic in (doc_id, frame_index), decoded back through
+    multimodal.video_frame_features (RIFF parse -> per-frame T.81
+    entropy decode -> IDCT -> color convert -> channel means). The
+    oracle replays the integer YCbCr round trip per frame in closed
+    form — the entire container+codec chain is value-checked."""
+    from sparker_spark.entry import _parallelize_scan, load
+    from sparker_spark.llm.multimodal import video_frame_features
+
+    docs = _parallelize_scan(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def make_avi(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sparker_spark.llm import avi, jpeg
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                # oracle replays the modulo family with DuckDB's
+                # sign-preserving %; same non-negative contract as the
+                # r6 JPEG/WAV gates. The encoder-side YCbCr clamp
+                # corner needs an exact (255,0,0)/(0,0,255)/(255,255,
+                # 255) channel triple, and the coupled residues below
+                # admit none for i in 0..3 (the 90i ≡ c (mod 256)
+                # systems are unsolvable) — see entry_r6's note.
+                assert mid >= 0, "AVI gate fixture requires doc_id >= 0"
+                frames = []
+                for i in range(2 + mid % 3):
+                    img = np.zeros((VIDEO_H, VIDEO_W, 3), dtype=np.uint8)
+                    img[:, :, 0] = (mid + 17 * i) % 256
+                    img[:, :, 1] = (mid * 7 + 29 * i) % 256
+                    img[:, :, 2] = (mid * 13 + 31 * i) % 256
+                    frames.append(jpeg.encode(img, quality=100))
+                payloads.append(
+                    avi.encode_avi_mjpeg(
+                        frames, VIDEO_W, VIDEO_H, fps_num=VIDEO_FPS
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        make_avi, schema="media_id long, payload binary"
+    )
+    feats = video_frame_features(media, every_ms=VIDEO_FRAME_MS)
+    byte = lambda c: F.round(F.col(c) * 255.0).cast("int")  # noqa: E731
+    return feats.select(
+        "media_id",
+        "frame_ts_ms",
+        "frame_index",
+        "width",
+        "height",
+        byte("mean_r").alias("r_byte"),
+        byte("mean_g").alias("g_byte"),
+        byte("mean_b").alias("b_byte"),
+    )
+
+
+O_VIDEO_FRAME_FEATURES = f"""
+WITH v AS (
+  SELECT doc_id AS media_id, 2 + doc_id % 3 AS n_frames FROM documents),
+fr AS (
+  SELECT media_id, unnest(generate_series(0, n_frames - 1)) AS i FROM v),
+rgb AS (
+  SELECT media_id, i,
+         CAST((media_id + 17 * i) % 256 AS DOUBLE) AS r,
+         CAST((media_id * 7 + 29 * i) % 256 AS DOUBLE) AS g,
+         CAST((media_id * 13 + 31 * i) % 256 AS DOUBLE) AS b
+  FROM fr),
+ycc AS (
+  SELECT media_id, i,
+         floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5) AS y,
+         floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5) AS cb,
+         floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5) AS cr
+  FROM rgb)
+SELECT media_id,
+       CAST(i * {VIDEO_FRAME_MS} AS BIGINT) AS frame_ts_ms,
+       CAST(i AS INTEGER) AS frame_index,
+       CAST({VIDEO_W} AS INTEGER) AS width,
+       CAST({VIDEO_H} AS INTEGER) AS height,
+       CAST(least(greatest(floor(y + 1.402 * (cr - 128.0) + 0.5),
+                           0), 255) AS INTEGER) AS r_byte,
+       CAST(least(greatest(floor(y - 0.344136 * (cb - 128.0)
+                                   - 0.714136 * (cr - 128.0) + 0.5),
+                           0), 255) AS INTEGER) AS g_byte,
+       CAST(least(greatest(floor(y + 1.772 * (cb - 128.0) + 0.5),
+                           0), 255) AS INTEGER) AS b_byte
+FROM ycc"""
+
+
+def q_knn_label_vote_ivf(spark, sf_dir):
+    """kNN label vote with neighbors from ``IVFIndex.search`` — the
+    corpus-scale path (cell-sketch assignment, broadcast Hamming probe
+    map, per-cell candidate join) under the VALUE-HASH gate. Probing
+    all IVF_CELLS cells makes the candidate set the full relation, so
+    recall is provably 100 % and the exact-kNN oracle states the
+    output bit-for-bit while the plan is the IVF plan. The graded
+    allow-listed exact anchor is ``knn_label_vote`` (entry_r6); this
+    row grades the scale path itself."""
+    from sparker_spark.entry import ANN_K, ANN_QUERY_MOD, load
+    from sparker_spark.entry_ext import IVF_CELLS, IVF_SEED
+    from sparker_spark.llm.similarity import IVFIndex, LabelKNN
+
+    emb = load(spark, sf_dir, "embeddings")
+    index = IVFIndex.build(emb, num_cells=IVF_CELLS, seed=IVF_SEED)
+    neighbors = index.search(
+        k=ANN_K,
+        n_probe=IVF_CELLS,  # full probe: provably exhaustive candidates
+        query_filter=f"vec_id % {ANN_QUERY_MOD} = 0",
+    )
+    return LabelKNN.predict(emb, k=ANN_K, neighbors=neighbors)
+
+
+# ------------------------------ benched prefix-join sibling (skewed)
+# offset + length both vary per document: a plain first-k truncation
+# of this corpus still yields millions of true near-dup pairs (the
+# generated documents share openings), which would make the benched
+# query output-bound all over again — measured 3.67M pairs at sf0.1 vs
+# 2.7k for the offset-slice fixture at t=0.8
+SETJOIN_SKEW_T = 0.8
+SETJOIN_SKEW_LEN_MOD = 45  # slice lengths 5..49 tokens
+SETJOIN_SKEW_OFF_MOD = 7  # slice offsets 0, 9, ..., 54 tokens
+
+
+def q_jaccard_prefix_join_skew(spark, sf_dir):
+    """PPJoin prefix-filtered exact Jaccard on a length-skewed corpus:
+    each document reduced to a slice of 5 + doc_id % 45 whitespace
+    tokens starting at offset 9·(doc_id % 7), so set sizes spread
+    5..49 across staggered content windows and the lossless length
+    filter (min/max >= t) plus the short t=0.8 prefixes prune hard —
+    the regime the operator is FOR. Same operator as the adversarial
+    anchor ``jaccard_prefix_join``."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.setjoin import SetSimilarityJoin
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            f"array_join(slice(split(text, '\\\\s+'), "
+            f"CAST(1 + (doc_id % {SETJOIN_SKEW_OFF_MOD}) * 9 AS INT), "
+            f"CAST(5 + doc_id % {SETJOIN_SKEW_LEN_MOD} AS INT)), ' ')"
+        ).alias("text"),
+    )
+    return SetSimilarityJoin.jaccard_prefix_join(docs, SETJOIN_SKEW_T)
+
+
+O_JACCARD_PREFIX_SKEW = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         array_to_string(
+           list_slice(regexp_split_to_array(text, '\\s+'),
+                      CAST(1 + (doc_id % {SETJOIN_SKEW_OFF_MOD}) * 9
+                           AS INTEGER),
+                      CAST((doc_id % {SETJOIN_SKEW_OFF_MOD}) * 9
+                           + 5 + doc_id % {SETJOIN_SKEW_LEN_MOD}
+                           AS INTEGER)),
+           ' ') AS text
+  FROM documents),
+toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> len(x) > 0)) AS tok
+        FROM corpus)),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS p1, b.doc_id AS p2, count(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p1, p2, CAST(inter AS BIGINT) AS inter,
+       CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+       round(inter / (s1.n + s2.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON p1 = s1.doc_id
+JOIN sizes s2 ON p2 = s2.doc_id
+WHERE inter / (s1.n + s2.n - inter) >= {SETJOIN_SKEW_T}"""
+
+
+def r7_queries() -> dict:
+    return {
+        "video_frame_features": q_video_frame_features,
+        "knn_label_vote_ivf": q_knn_label_vote_ivf,
+        "jaccard_prefix_join_skew": q_jaccard_prefix_join_skew,
+    }
+
+
+def r7_oracles() -> dict:
+    from sparker_spark.entry_r6 import _o_knn_label_vote
+
+    return {
+        "video_frame_features": O_VIDEO_FRAME_FEATURES,
+        # full-probe IVF output == exact kNN output (see query doc)
+        "knn_label_vote_ivf": _o_knn_label_vote(),
+        "jaccard_prefix_join_skew": O_JACCARD_PREFIX_SKEW,
+    }

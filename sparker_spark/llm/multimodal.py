@@ -437,11 +437,39 @@ def decode_jpeg(payload: bytes) -> list[float]:
     return [float(w), float(h), float(means[0]), float(means[1]), float(means[2])]
 
 
+def decode_avi(payload: bytes) -> list[float]:
+    """MJPEG-in-AVI video decoder (llm/avi.py container parse + the
+    builtin baseline JPEG codec per frame). Whole-file summary feature:
+    ``[width, height, n_frames, duration_s, mean_r, mean_g, mean_b]``
+    with the channel means over the FIRST frame's pixels (dimensions
+    from the decoded frame, which is authoritative over the header).
+    Per-frame extraction goes through :func:`video_frame_features`."""
+    import numpy as np
+
+    from sparker_spark.llm import avi, jpeg
+
+    video = avi.parse_avi(payload)
+    img = jpeg.decode(video.frames[0])
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    means = img.reshape(-1, 3).astype(np.float64).mean(axis=0) / 255.0
+    return [
+        float(img.shape[1]),
+        float(img.shape[0]),
+        float(video.n_frames),
+        float(video.duration_ms) / 1000.0,
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+    ]
+
+
 DecodeRegistry.register("", _fake_byte_histogram)  # default fallback
 DecodeRegistry.register("image/x-portable-pixmap", decode_ppm)
 DecodeRegistry.register("image/png", decode_png)
 DecodeRegistry.register("image/jpeg", decode_jpeg)
 DecodeRegistry.register("audio/wav", decode_wav)
+DecodeRegistry.register("video/x-msvideo", decode_avi)
 
 
 def extract_features(
@@ -607,4 +635,86 @@ def frame_sample_plan(
                 f"ELSE array(0L) END"
             )
         ).alias("frame_ts_ms"),
+    )
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def video_frame_features(
+    media: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    batch_rows: int = 8,
+) -> DataFrame:
+    """Decode sampled frames from MJPEG-in-AVI payloads — the consumer
+    of :func:`frame_sample_plan`'s work units, fused with the decode:
+    the sampled timestamps are the SAME sequence the plan emits
+    (``0, every_ms, ...`` below the clip's duration; a clip shorter
+    than ``every_ms`` contributes its first frame), each mapped to the
+    frame on screen at that instant and decoded through the builtin
+    baseline JPEG codec. One row out per (media_id, frame_ts_ms) work
+    unit: frame dimensions + per-channel pixel means in [0, 1].
+
+    Scale posture: the container is parsed ONCE per payload and a
+    frame is entropy-decoded at most once however many sampled
+    timestamps land on it; parallelism is per-payload via Arrow-
+    batched mapInPandas with ``batch_rows`` bounding the per-chunk
+    working set (video payloads are the largest binaries this engine
+    touches). Duration comes from the container itself, so this
+    accepts media rows with or without a metadata struct."""
+    every = int(every_ms)
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from sparker_spark.llm import avi, jpeg
+
+        def frame_stats(video, idx, cache):
+            if idx not in cache:
+                img = jpeg.decode(video.frames[idx])
+                if img.shape[2] == 1:
+                    img = np.repeat(img, 3, axis=2)
+                means = (
+                    img.reshape(-1, 3).astype(np.float64).mean(axis=0) / 255.0
+                )
+                cache[idx] = (int(img.shape[1]), int(img.shape[0]), means)
+            return cache[idx]
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out: dict[str, list] = {f.name: [] for f in VIDEO_FRAME_SCHEMA}
+                for mid, payload in zip(chunk[id_col], chunk[payload_col]):
+                    video = avi.parse_avi(bytes(payload))
+                    ts_list = list(range(0, video.duration_ms, every)) or [0]
+                    cache: dict = {}
+                    for ts in ts_list:
+                        idx = video.frame_index_at(ts)
+                        w, h, means = frame_stats(video, idx, cache)
+                        out["media_id"].append(int(mid))
+                        out["frame_ts_ms"].append(int(ts))
+                        out["frame_index"].append(idx)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["mean_r"].append(float(means[0]))
+                        out["mean_g"].append(float(means[1]))
+                        out["mean_b"].append(float(means[2]))
+                yield pd.DataFrame(out)
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, schema=VIDEO_FRAME_SCHEMA
     )
