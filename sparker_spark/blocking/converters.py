@@ -33,13 +33,17 @@ class Converters:
         sizes/comparisons and dropping zero-comparison blocks
         (converters.py:86-112). Keeps the original block ids/keys/
         entropies from ``blocks.meta``.
-        """
-        assignments = profile_blocks.select("block_id", "profile_id", "source_id").join(
-            blocks.meta.select("block_id", "key"), "block_id"
-        ).select("block_id", "key", "profile_id", "source_id")
 
+        Plan shape: stats aggregate DIRECTLY over profile_blocks (no
+        pre-join for the key), then ONE small-side join to recover
+        key/entropy/cluster_id, and ONE join of the membership relation
+        against the surviving meta — which attaches the key AND applies
+        the zero-comparison filter in the same pass. The previous
+        formulation joined meta onto the full membership relation
+        before aggregating and again after, i.e. two full passes over
+        the big relation per rebuild."""
         if blocks.clean:
-            per_source = assignments.groupBy("block_id", "source_id").agg(
+            per_source = profile_blocks.groupBy("block_id", "source_id").agg(
                 F.count("*").alias("n")
             )
             stats = per_source.groupBy("block_id").agg(
@@ -51,7 +55,7 @@ class Converters:
             # dirty: no source structure — single-shuffle aggregate
             # (same reasoning as blocks_from_keys)
             stats = (
-                assignments.groupBy("block_id")
+                profile_blocks.groupBy("block_id")
                 .agg(F.count("*").alias("block_size"))
                 .withColumn(
                     "sum_sq", F.col("block_size") * F.col("block_size")
@@ -75,7 +79,11 @@ class Converters:
                 "cluster_id",
             )
         )
-        assignments = assignments.join(meta.select("block_id"), "block_id")
+        assignments = (
+            profile_blocks.select("block_id", "profile_id", "source_id")
+            .join(meta.select("block_id", "key"), "block_id")
+            .select("block_id", "key", "profile_id", "source_id")
+        )
         return BlockCollection(assignments=assignments, meta=meta, clean=blocks.clean)
 
     @staticmethod

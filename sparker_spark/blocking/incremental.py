@@ -39,14 +39,9 @@ class IncrementalBlocking:
         every ingest quadratic; the same keys a full re-block would
         purge). None = no cap.
         """
-        old = old_keys.select("profile_id", "key")
-        new = new_keys.select("profile_id", "key")
-        allk = old.unionByName(new)
-        if max_block_size is not None:
-            sizes = allk.groupBy("key").agg(F.count("*").alias("_bs"))
-            keep = sizes.where(F.col("_bs") <= int(max_block_size)).select("key")
-            allk = allk.join(keep, "key", "left_semi")
-            new = new.join(keep, "key", "left_semi")
+        allk, new = IncrementalBlocking._capped_postings(
+            old_keys, new_keys, max_block_size
+        )
         a = new.select(F.col("key"), F.col("profile_id").alias("pa"))
         b = allk.select(F.col("key"), F.col("profile_id").alias("pb"))
         pairs = (
@@ -64,6 +59,48 @@ class IncrementalBlocking:
         return pairs
 
     @staticmethod
+    def _capped_postings(
+        old_keys: DataFrame,
+        new_keys: DataFrame,
+        max_block_size: int | None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """(all postings, new-batch postings) after the block-size cap,
+        both reading ONE materialized relation.
+
+        The union posting relation feeds four consumers downstream
+        (the size histogram plus both legs of the candidate join, each
+        of which also re-reads the cap's semi-join build side); left
+        lazy, Spark re-runs the caller's keygen lineage (scan + explode
+        + filter) once per consumer — measured SIX keygen passes and
+        three size aggregates in one er_incremental_delta plan (1.2 s
+        standalone at sf0.1 vs 0.85 s materialized; r4's recorded
+        0.30 s was a shared-bench-cache artifact, see BASELINE.md).
+        localCheckpoint (eager, GC-freed) is the repo's multi-consumer
+        idiom; the is_new flag rides along so the new-batch leg is a
+        codegen filter over the SAME materialized blocks instead of a
+        second lineage. The cap's semi-join is left lazy on purpose:
+        both join legs replay it over checkpointed postings (cheap,
+        broadcast build), and a second eager checkpoint costs more in
+        materialization round trips than it saves."""
+        allk = (
+            old_keys.select("profile_id", "key")
+            .withColumn("is_new", F.lit(False))
+            .unionByName(
+                new_keys.select("profile_id", "key").withColumn(
+                    "is_new", F.lit(True)
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        if max_block_size is not None:
+            sizes = allk.groupBy("key").agg(F.count("*").alias("_bs"))
+            keep = sizes.where(
+                F.col("_bs") <= int(max_block_size)
+            ).select("key")
+            allk = allk.join(keep, "key", "left_semi")
+        return allk.drop("is_new"), allk.where("is_new").drop("is_new")
+
+    @staticmethod
     def delta_cbs_edges(
         old_keys: DataFrame,
         new_keys: DataFrame,
@@ -72,14 +109,9 @@ class IncrementalBlocking:
         """Delta pairs with their CBS weight (shared-key count over the
         UNION corpus) — the incremental feed for weight-threshold
         pruning of just-ingested profiles."""
-        old = old_keys.select("profile_id", "key")
-        new = new_keys.select("profile_id", "key")
-        allk = old.unionByName(new)
-        if max_block_size is not None:
-            sizes = allk.groupBy("key").agg(F.count("*").alias("_bs"))
-            keep = sizes.where(F.col("_bs") <= int(max_block_size)).select("key")
-            allk = allk.join(keep, "key", "left_semi")
-            new = new.join(keep, "key", "left_semi")
+        allk, new = IncrementalBlocking._capped_postings(
+            old_keys, new_keys, max_block_size
+        )
         a = new.select(F.col("key"), F.col("profile_id").alias("pa"))
         b = allk.select(F.col("key"), F.col("profile_id").alias("pb"))
         return (
