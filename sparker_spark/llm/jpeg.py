@@ -5,20 +5,27 @@ format for real where a bounded amount of spec work covers the common
 case, and reject everything else with a precise error instead of
 silently corrupting. Coverage:
 
-- decode: baseline sequential DCT (SOF0) and extended sequential
-  (SOF1), 8-bit samples, grayscale or 3-component YCbCr, any
-  sampling-factor combination up to 4 (4:4:4, 4:2:2, 4:2:0, ...),
-  multiple DQT/DHT segments, restart intervals (DRI + RSTn), stuffed
-  0xFF00 bytes. Huffman + quantization tables are read FROM THE
-  STREAM, so decode does not depend on the encoder having used the
-  Annex K defaults.
-- rejected clearly: progressive (SOF2), arithmetic coding, 12-bit
-  precision, CMYK/4-component scans — ``ValueError`` naming the
-  feature (callers may fall back to pillow when installed; see
-  multimodal.decode_jpeg).
+- decode: baseline sequential DCT (SOF0), extended sequential (SOF1)
+  AND progressive (SOF2 — spectral selection + successive
+  approximation, all four scan kinds of T.81 G.2 including EOB runs
+  and AC correction bits), 8-bit samples, grayscale or 3-component
+  YCbCr, any sampling-factor combination up to 4 (4:4:4, 4:2:2,
+  4:2:0, ...), multiple DQT/DHT segments, restart intervals (DRI +
+  RSTn), stuffed 0xFF00 bytes. Huffman + quantization tables are read
+  FROM THE STREAM, so decode does not depend on the encoder having
+  used the Annex K defaults.
+- rejected clearly: arithmetic coding, 12-bit precision,
+  CMYK/4-component scans, partial-component interleaves —
+  ``ValueError`` naming the feature (callers may fall back to pillow
+  when installed; see multimodal.decode_jpeg).
 - encode (fixture writer + resize sink): 8-bit grayscale or RGB,
   quality 1..100 via the IJG scaling of the Annex K tables, optional
-  2x2 chroma subsampling (4:2:0), restart-free single scan.
+  2x2 chroma subsampling (4:2:0), restart-free single scan; plus
+  ``encode_progressive`` emitting a libjpeg-style scan script (DC
+  first/refine interleaved, per-component AC band first/refine) with
+  coefficients identical to the sequential encode — progressive decode
+  output is therefore bit-identical to sequential decode, which is
+  what makes the round-trip tests exact.
 
 Determinism contract (shared with the SQL value-hash oracle): every
 "round to nearest" in the pixel path is floor(x + 0.5) — numpy's
@@ -264,7 +271,7 @@ def _receive_extend(reader: _BitReader, s: int) -> int:
 
 class _Component:
     __slots__ = ("cid", "h", "v", "tq", "td", "ta", "pred", "blocks",
-                 "blocks_x", "blocks_y")
+                 "blocks_x", "blocks_y", "nx", "ny")
 
     def __init__(self, cid, h, v, tq):
         self.cid, self.h, self.v, self.tq = cid, h, v, tq
@@ -287,6 +294,266 @@ def decode(payload: bytes):
         raise ValueError(f"truncated JPEG segment ({exc})") from exc
 
 
+def _decode_scan_sequential(
+    reader, comps, huff_dc, huff_ac, mcus_x, mcus_y, restart_interval
+):
+    """Baseline/extended sequential scan: one MCU-interleaved pass
+    carrying DC diff + all 63 AC coefficients per block (T.81 F.2)."""
+    for c in comps:
+        c.pred = 0
+    rst = 0
+    mcu_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                reader.restart(rst)
+                rst = (rst + 1) & 7
+                for c in comps:
+                    c.pred = 0
+            for c in comps:
+                dc_tbl = huff_dc.get(c.td)
+                ac_tbl = huff_ac.get(c.ta)
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError("scan references missing Huffman table")
+                for by in range(c.v):
+                    for bx in range(c.h):
+                        blk = c.blocks[
+                            (my * c.v + by) * c.blocks_x + mx * c.h + bx
+                        ]
+                        t = reader.huff_decode(dc_tbl)
+                        c.pred += _receive_extend(reader, t)
+                        blk[0] = c.pred
+                        k = 1
+                        while k <= 63:
+                            rs = reader.huff_decode(ac_tbl)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "AC coefficient index overflow"
+                                )
+                            blk[ZIGZAG[k]] = _receive_extend(reader, s)
+                            k += 1
+            mcu_idx += 1
+
+
+def _prog_dc_first(reader, blk, comp, dc_tbl, al):
+    t = reader.huff_decode(dc_tbl)
+    comp.pred += _receive_extend(reader, t)
+    blk[0] = comp.pred << al
+
+
+def _prog_dc_refine(reader, blk, al):
+    if reader.read_bits(1):
+        blk[0] |= 1 << al
+
+
+def _prog_ac_first(reader, blk, ac_tbl, ss, se, al, eobrun):
+    """First AC scan of a band (T.81 G.1.2.2): run/size coding of the
+    point-transformed coefficients plus EOB-run (EOBn) codes. Returns
+    the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.huff_decode(ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # current block ends now
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index overflow in band")
+        blk[ZIGZAG[k]] = _receive_extend(reader, s) << al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine(reader, blk, ac_tbl, ss, se, al, eobrun):
+    """AC refinement scan (T.81 G.1.2.3): one correction bit per
+    already-nonzero coefficient, run/sign codes for newly significant
+    ones, EOB runs carrying correction bits. Returns the remaining
+    EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+
+    def correct(z):
+        # correction bit for a history-nonzero coefficient: move its
+        # magnitude toward the true value if the bit says so and the
+        # bit at this approximation level is still 0
+        if reader.read_bits(1) and not (blk[z] & p1):
+            blk[z] += p1 if blk[z] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.huff_decode(ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "invalid newly-significant magnitude in AC "
+                        "refinement scan"
+                    )
+                val = p1 if reader.read_bits(1) else m1
+            # advance over r zero-history coefficients, emitting
+            # correction bits for nonzero-history ones passed over
+            while k <= se:
+                z = ZIGZAG[k]
+                if blk[z] != 0:
+                    correct(z)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        # the block that terminated with an EOB code (and every block
+        # inside the run) still carries correction bits for its
+        # remaining nonzero-history coefficients
+        while k <= se:
+            z = ZIGZAG[k]
+            if blk[z] != 0:
+                correct(z)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_progressive(
+    reader, comps, scan_comps, huff_dc, huff_ac,
+    mcus_x, mcus_y, restart_interval, ss, se, ah, al,
+):
+    """One progressive scan (T.81 G.2): DC scans may be interleaved
+    (MCU order over all components); AC scans are single-component and
+    walk the component's own block raster. Coefficients accumulate
+    across scans in each component's ``blocks`` array."""
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive scan mixes DC and AC (Ss=0, Se>0)")
+    if not is_dc and len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not is_dc and ah == 0 and al > 13:
+        raise ValueError("invalid successive-approximation shift")
+    for c in scan_comps:
+        c.pred = 0
+    eobrun = 0
+    rst = 0
+    unit_idx = 0
+
+    def at_restart_boundary():
+        nonlocal rst, eobrun
+        reader.restart(rst)
+        rst = (rst + 1) & 7
+        eobrun = 0
+        for c in scan_comps:
+            c.pred = 0
+
+    if is_dc and len(scan_comps) > 1:
+        if len(scan_comps) != len(comps):
+            raise ValueError(
+                "partial-component interleaved progressive scan not "
+                "supported"
+            )
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and unit_idx
+                    and unit_idx % restart_interval == 0
+                ):
+                    at_restart_boundary()
+                for c in scan_comps:
+                    if ah == 0:
+                        dc_tbl = huff_dc.get(c.td)
+                        if dc_tbl is None:
+                            raise ValueError(
+                                "scan references missing Huffman table"
+                            )
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            blk = c.blocks[
+                                (my * c.v + by) * c.blocks_x + mx * c.h + bx
+                            ]
+                            if ah == 0:
+                                _prog_dc_first(reader, blk, c, dc_tbl, al)
+                            else:
+                                _prog_dc_refine(reader, blk, al)
+                unit_idx += 1
+        return
+
+    # single-component scan (all AC scans; DC scans with ns=1): walk
+    # the component's own block raster — NOT the MCU-padded grid
+    c = scan_comps[0]
+    dc_tbl = huff_dc.get(c.td) if is_dc and ah == 0 else None
+    ac_tbl = huff_ac.get(c.ta) if not is_dc else None
+    if is_dc and ah == 0 and dc_tbl is None:
+        raise ValueError("scan references missing Huffman table")
+    if not is_dc and ac_tbl is None:
+        raise ValueError("scan references missing Huffman table")
+    for by in range(c.ny):
+        for bx in range(c.nx):
+            if (
+                restart_interval
+                and unit_idx
+                and unit_idx % restart_interval == 0
+            ):
+                at_restart_boundary()
+            blk = c.blocks[by * c.blocks_x + bx]
+            if is_dc:
+                if ah == 0:
+                    _prog_dc_first(reader, blk, c, dc_tbl, al)
+                else:
+                    _prog_dc_refine(reader, blk, al)
+            elif ah == 0:
+                eobrun = _prog_ac_first(
+                    reader, blk, ac_tbl, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _prog_ac_refine(
+                    reader, blk, ac_tbl, ss, se, al, eobrun
+                )
+            unit_idx += 1
+
+
+def _scan_end(payload: bytes, pos: int) -> int:
+    """End of the entropy-coded data that starts at ``pos``: the offset
+    of the first marker that is not a stuffed byte (FF00) or a restart
+    marker (FFD0-FFD7). Needed for multi-scan (progressive) files,
+    where more segments follow the scan."""
+    i = pos
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
 def _decode_impl(payload: bytes):
     import numpy as np
 
@@ -299,8 +566,42 @@ def _decode_impl(payload: bytes):
     width = height = 0
     restart_interval = 0
     pos = 2
-    scan_data = None
-    scan_comps: list[_Component] = []
+    progressive = False
+    blocks_ready = False
+    n_scans = 0
+    mcus_x = mcus_y = 0
+
+    def _alloc_blocks():
+        nonlocal blocks_ready, mcus_x, mcus_y
+        hmax = max(c.h for c in comps)
+        vmax = max(c.v for c in comps)
+        # replication upsampling (plane.repeat below) requires every
+        # component factor to divide the max — T.81 permits layouts
+        # like h=(3,2,1) that don't, and floor-division repeats would
+        # then produce mismatched plane shapes and an opaque numpy
+        # error
+        for c in comps:
+            if hmax % c.h or vmax % c.v:
+                raise ValueError(
+                    "unsupported JPEG sampling-factor layout h="
+                    f"{[x.h for x in comps]} v={[x.v for x in comps]}: "
+                    "factors must divide the max (pillow can decode these)"
+                )
+        mcus_x = -(-width // (8 * hmax))
+        mcus_y = -(-height // (8 * vmax))
+        for c in comps:
+            c.blocks_x = mcus_x * c.h
+            c.blocks_y = mcus_y * c.v
+            # non-interleaved (single-component) scans cover only the
+            # blocks of the component's own sample area (T.81 A.2.2),
+            # which can be smaller than the MCU-padded grid
+            comp_w = -(-width * c.h // hmax)  # ceil(width·h/hmax)
+            comp_h = -(-height * c.v // vmax)
+            c.nx = -(-comp_w // 8)
+            c.ny = -(-comp_h // 8)
+            c.blocks = np.zeros((c.blocks_y * c.blocks_x, 64), dtype=np.int32)
+            c.pred = 0
+        blocks_ready = True
 
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -362,7 +663,8 @@ def _decode_impl(payload: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
                     bits, symbols
                 )
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog
+            progressive = marker == 0xC2
             prec = body[0]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG sample precision {prec}")
@@ -377,11 +679,6 @@ def _decode_impl(payload: bytes):
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
-        elif marker == 0xC2:
-            raise ValueError(
-                "progressive JPEG (SOF2) not supported by the builtin "
-                "codec — install pillow for progressive decode"
-            )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -389,7 +686,11 @@ def _decode_impl(payload: bytes):
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS — single-scan baseline: decode and stop
+        elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
+            if width == 0 or height == 0:
+                raise ValueError("JPEG declares zero dimension")
             ns = body[0]
             scan_comps = []
             for i in range(ns):
@@ -399,80 +700,44 @@ def _decode_impl(payload: bytes):
                     raise ValueError(f"SOS references unknown component {cs}")
                 comp.td, comp.ta = tdta >> 4, tdta & 0x0F
                 scan_comps.append(comp)
-            if len(scan_comps) != len(comps):
-                raise ValueError(
-                    "multi-scan JPEG not supported (baseline single scan only)"
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not blocks_ready:
+                _alloc_blocks()
+            end = _scan_end(payload, pos)
+            reader = _BitReader(payload[pos:end])
+            if progressive:
+                _decode_scan_progressive(
+                    reader, comps, scan_comps, huff_dc, huff_ac,
+                    mcus_x, mcus_y, restart_interval, ss, se, ah, al,
                 )
-            scan_data = payload[pos:]
-            break
+            else:
+                if n_scans:
+                    raise ValueError(
+                        "multi-scan sequential JPEG not supported "
+                        "(baseline single scan only)"
+                    )
+                if len(scan_comps) != len(comps):
+                    raise ValueError(
+                        "partial-component sequential scan not supported"
+                    )
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError(
+                        "sequential JPEG scan with non-baseline spectral/"
+                        "approximation parameters"
+                    )
+                _decode_scan_sequential(
+                    reader, comps, huff_dc, huff_ac, mcus_x, mcus_y,
+                    restart_interval,
+                )
+            n_scans += 1
+            pos = end
         # APPn / COM / anything else: skipped
 
-    if not comps or scan_data is None:
+    if not comps or n_scans == 0:
         raise ValueError("JPEG missing SOF or SOS")
-    if width == 0 or height == 0:
-        raise ValueError("JPEG declares zero dimension")
-
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
-    # replication upsampling (plane.repeat below) requires every
-    # component factor to divide the max — T.81 permits layouts like
-    # h=(3,2,1) that don't, and floor-division repeats would then
-    # produce mismatched plane shapes and an opaque numpy error
-    for c in comps:
-        if hmax % c.h or vmax % c.v:
-            raise ValueError(
-                "unsupported JPEG sampling-factor layout h="
-                f"{[x.h for x in comps]} v={[x.v for x in comps]}: "
-                "factors must divide the max (pillow can decode these)"
-            )
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-    for c in comps:
-        c.blocks_x = mcus_x * c.h
-        c.blocks_y = mcus_y * c.v
-        c.blocks = np.zeros((c.blocks_y * c.blocks_x, 64), dtype=np.int32)
-        c.pred = 0
-
-    reader = _BitReader(scan_data)
-    rst = 0
-    mcu_idx = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                reader.restart(rst)
-                rst = (rst + 1) & 7
-                for c in comps:
-                    c.pred = 0
-            for c in comps:
-                dc_tbl = huff_dc.get(c.td)
-                ac_tbl = huff_ac.get(c.ta)
-                if dc_tbl is None or ac_tbl is None:
-                    raise ValueError("scan references missing Huffman table")
-                for by in range(c.v):
-                    for bx in range(c.h):
-                        blk = c.blocks[
-                            (my * c.v + by) * c.blocks_x + mx * c.h + bx
-                        ]
-                        t = reader.huff_decode(dc_tbl)
-                        c.pred += _receive_extend(reader, t)
-                        blk[0] = c.pred
-                        k = 1
-                        while k <= 63:
-                            rs = reader.huff_decode(ac_tbl)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "AC coefficient index overflow"
-                                )
-                            blk[ZIGZAG[k]] = _receive_extend(reader, s)
-                            k += 1
-            mcu_idx += 1
 
     # dequantize + IDCT, vectorized across every block of a component
     a = _dct_matrix()
@@ -602,72 +867,10 @@ def encode(
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (resettable decode — what a parallel decoder keys
     on)."""
-    import numpy as np
-
-    img = np.asarray(img)
-    if img.ndim == 2:
-        img = img[..., None]
-    if img.ndim != 3 or img.shape[2] not in (1, 3):
-        raise ValueError("encode expects (H,W[,1|3]) uint8")
-    h, w = img.shape[:2]
-    if h == 0 or w == 0:
-        raise ValueError("cannot encode empty image")
-    gray = img.shape[2] == 1
-    fimg = img.astype(np.float64)
-
-    q_lum = _scale_quant(QUANT_LUM, quality)
-    q_chr = _scale_quant(QUANT_CHROM, quality)
-
-    if gray:
-        planes = [fimg[..., 0]]
-        factors = [(1, 1)]
-        qtabs = [q_lum]
-        qids = [0]
-    else:
-        r, g, b = fimg[..., 0], fimg[..., 1], fimg[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        # integer YCbCr with the shared rounding rule: the decoder (and
-        # the SQL oracle) reproduce these exact planes for DC-only
-        # content, which is what makes solid-color fixtures value-exact
-        y, cb, cr = (
-            np.clip(_round_half_up(p), 0, 255) for p in (y, cb, cr)
-        )
-        if subsample:
-            cbp = _pad_plane(cb, 2, 2)
-            crp = _pad_plane(cr, 2, 2)
-            cb = _round_half_up(
-                cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2)
-                .mean(axis=(1, 3))
-            )
-            cr = _round_half_up(
-                crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2)
-                .mean(axis=(1, 3))
-            )
-            factors = [(2, 2), (1, 1), (1, 1)]
-        else:
-            factors = [(1, 1), (1, 1), (1, 1)]
-        planes = [y, cb, cr]
-        qtabs = [q_lum, q_chr, q_chr]
-        qids = [0, 1, 1]
-
-    hmax = max(f[0] for f in factors)
-    vmax = max(f[1] for f in factors)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-
-    comp_blocks = []
-    for plane, (fh, fv), qt in zip(planes, factors, qtabs):
-        target_h = mcus_y * fv * 8
-        target_w = mcus_x * fh * 8
-        p = _pad_plane(plane, 1, 1)  # no-op, keeps types uniform
-        p = np.pad(
-            p,
-            ((0, target_h - p.shape[0]), (0, target_w - p.shape[1])),
-            mode="edge",
-        )
-        comp_blocks.append(_encode_blocks(p - 128.0, qt))
+    (
+        comp_blocks, factors, qids, q_lum, q_chr, gray, h, w,
+        mcus_x, mcus_y,
+    ) = _prepare_planes(img, quality, subsample)
 
     # ---- container
     out = bytearray(b"\xff\xd8")  # SOI
@@ -765,4 +968,283 @@ def encode(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _prepare_planes(img, quality: int, subsample: bool):
+    """Shared encoder front half: color convert / subsample / block DCT.
+    Returns (comp_blocks, factors, qids, q_lum, q_chr, gray, h, w)."""
+    import numpy as np
+
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.ndim != 3 or img.shape[2] not in (1, 3):
+        raise ValueError("encode expects (H,W[,1|3]) uint8")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode empty image")
+    gray = img.shape[2] == 1
+    fimg = img.astype(np.float64)
+    q_lum = _scale_quant(QUANT_LUM, quality)
+    q_chr = _scale_quant(QUANT_CHROM, quality)
+    if gray:
+        planes = [fimg[..., 0]]
+        factors = [(1, 1)]
+        qtabs = [q_lum]
+        qids = [0]
+    else:
+        r, g, b = fimg[..., 0], fimg[..., 1], fimg[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        y, cb, cr = (
+            np.clip(_round_half_up(p), 0, 255) for p in (y, cb, cr)
+        )
+        if subsample:
+            cbp = _pad_plane(cb, 2, 2)
+            crp = _pad_plane(cr, 2, 2)
+            cb = _round_half_up(
+                cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2)
+                .mean(axis=(1, 3))
+            )
+            cr = _round_half_up(
+                crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2)
+                .mean(axis=(1, 3))
+            )
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            factors = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qtabs = [q_lum, q_chr, q_chr]
+        qids = [0, 1, 1]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    comp_blocks = []
+    for plane, (fh, fv), qt in zip(planes, factors, qtabs):
+        target_h = mcus_y * fv * 8
+        target_w = mcus_x * fh * 8
+        p = np.pad(
+            plane,
+            ((0, target_h - plane.shape[0]), (0, target_w - plane.shape[1])),
+            mode="edge",
+        )
+        comp_blocks.append(_encode_blocks(p - 128.0, qt))
+    return comp_blocks, factors, qids, q_lum, q_chr, gray, h, w, mcus_x, mcus_y
+
+
+def encode_progressive(
+    img, quality: int = 90, subsample: bool = False,
+    dc_al: int = 1, ac_al: int = 1, ac_split: int = 5,
+) -> bytes:
+    """Encode a progressive (SOF2) JFIF JPEG — the fixture writer for
+    the progressive decode path, emitting all four scan kinds a real
+    web JPEG uses (libjpeg-style scan script):
+
+      1. DC first, interleaved, successive approximation Al=``dc_al``
+      2. DC refinement scan(s) down to Al=0
+      3. per component: AC first scans for the two spectral bands
+         (1..``ac_split``, ``ac_split``+1..63) at Al=``ac_al``
+      4. per component: AC refinement scans for both bands down to Al=0
+
+    Coefficient data is identical to :func:`encode` at the same
+    quality — progressive only reorders the bits — so decode output is
+    bit-identical to the sequential file's."""
+    (
+        comp_blocks, factors, qids, q_lum, q_chr, gray, h, w,
+        mcus_x, mcus_y,
+    ) = _prepare_planes(img, quality, subsample)
+    ncomp = len(comp_blocks)
+    if not (0 <= dc_al <= 13 and 0 <= ac_al <= 13):
+        raise ValueError("successive-approximation shifts must be in 0..13")
+    if not 1 <= ac_split <= 63:
+        raise ValueError("ac_split must be in 1..63")
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+
+    def dqt(tid, base):
+        zz = bytes(int(base.reshape(64)[ZIGZAG[i]]) for i in range(64))
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz
+
+    out += dqt(0, q_lum)
+    if not gray:
+        out += dqt(1, q_chr)
+
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        fh, fv = factors[i]
+        sof += bytes([i + 1, (fh << 4) | fv, qids[i]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def dht(tc, th, table):
+        bits, symbols = table
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(symbols)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, HUFF_DC_LUM) + dht(1, 0, HUFF_AC_LUM)
+    if not gray:
+        out += dht(0, 1, HUFF_DC_CHROM) + dht(1, 1, HUFF_AC_CHROM)
+
+    dc_codes = [_encode_codes(*HUFF_DC_LUM)] + (
+        [] if gray else [_encode_codes(*HUFF_DC_CHROM)] * 2
+    )
+    ac_codes = [_encode_codes(*HUFF_AC_LUM)] + (
+        [] if gray else [_encode_codes(*HUFF_AC_CHROM)] * 2
+    )
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            tid = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (tid << 4) | tid])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # non-interleaved geometry per component (see decoder _alloc_blocks)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    geo = []
+    for i in range(ncomp):
+        fh, fv = factors[i]
+        comp_w = -(-w * fh // hmax)
+        comp_h = -(-h * fv // vmax)
+        geo.append((-(-comp_w // 8), -(-comp_h // 8), mcus_x * fh))
+
+    # ---- scan 1: DC first, interleaved, shift dc_al
+    out += sos_header(list(range(ncomp)), 0, 0, 0, dc_al)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                fh, fv = factors[ci]
+                bw_ = mcus_x * fh
+                for by in range(fv):
+                    for bx in range(fh):
+                        blk = comp_blocks[ci][
+                            (my * fv + by) * bw_ + mx * fh + bx
+                        ]
+                        v = int(blk[0]) >> dc_al  # arithmetic shift
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s, raw = _magnitude(diff)
+                        code, length = dc_codes[ci][s]
+                        writer.write(code, length)
+                        if s:
+                            writer.write(raw, s)
+    writer.flush()
+    out += writer.out
+
+    # ---- DC refinement scans, Al = dc_al-1 .. 0 (one raw bit/block)
+    for al in range(dc_al - 1, -1, -1):
+        out += sos_header(list(range(ncomp)), 0, 0, al + 1, al)
+        writer = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    fh, fv = factors[ci]
+                    bw_ = mcus_x * fh
+                    for by in range(fv):
+                        for bx in range(fh):
+                            blk = comp_blocks[ci][
+                                (my * fv + by) * bw_ + mx * fh + bx
+                            ]
+                            writer.write((int(blk[0]) >> al) & 1, 1)
+        writer.flush()
+        out += writer.out
+
+    bands = [(1, ac_split), (ac_split + 1, 63)] if ac_split < 63 else [(1, 63)]
+
+    # ---- AC first scans (per component, per band) at shift ac_al
+    for ci in range(ncomp):
+        nx, ny, stride = geo[ci]
+        for ss, se in bands:
+            out += sos_header([ci], ss, se, 0, ac_al)
+            writer = _BitWriter()
+            for by in range(ny):
+                for bx in range(nx):
+                    blk = comp_blocks[ci][by * stride + bx]
+                    run = 0
+                    for k in range(ss, se + 1):
+                        v = int(blk[ZIGZAG[k]])
+                        v = (abs(v) >> ac_al) * (1 if v >= 0 else -1)
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, length = ac_codes[ci][0xF0]  # ZRL
+                            writer.write(code, length)
+                            run -= 16
+                        s, raw = _magnitude(v)
+                        code, length = ac_codes[ci][(run << 4) | s]
+                        writer.write(code, length)
+                        writer.write(raw, s)
+                        run = 0
+                    if run:
+                        code, length = ac_codes[ci][0x00]  # EOB (run 1)
+                        writer.write(code, length)
+            writer.flush()
+            out += writer.out
+
+    # ---- AC refinement scans, Al = ac_al-1 .. 0
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            nx, ny, stride = geo[ci]
+            for ss, se in bands:
+                out += sos_header([ci], ss, se, al + 1, al)
+                writer = _BitWriter()
+                for by in range(ny):
+                    for bx in range(nx):
+                        blk = comp_blocks[ci][by * stride + bx]
+                        # T.81 G.1.2.3 encoder: runs count zero-HISTORY
+                        # positions; correction bits for already-
+                        # significant coefficients buffer until the
+                        # next emitted code
+                        absval = {}
+                        for k in range(ss, se + 1):
+                            absval[k] = abs(int(blk[ZIGZAG[k]])) >> al
+                        eob = 0  # last newly-significant index
+                        for k in range(ss, se + 1):
+                            if absval[k] == 1:
+                                eob = k
+                        run = 0
+                        buffered = []
+                        for k in range(ss, se + 1):
+                            t = absval[k]
+                            if t == 0:
+                                run += 1
+                                continue
+                            while run > 15 and k <= eob:
+                                code, length = ac_codes[ci][0xF0]
+                                writer.write(code, length)
+                                run -= 16
+                                for bit in buffered:
+                                    writer.write(bit, 1)
+                                buffered = []
+                            if t > 1:  # already significant: buffer bit
+                                buffered.append(t & 1)
+                                continue
+                            # newly significant: (run, 1) + sign bit
+                            code, length = ac_codes[ci][(run << 4) | 1]
+                            writer.write(code, length)
+                            writer.write(
+                                1 if int(blk[ZIGZAG[k]]) >= 0 else 0, 1
+                            )
+                            run = 0
+                            for bit in buffered:
+                                writer.write(bit, 1)
+                            buffered = []
+                        if run or buffered:
+                            code, length = ac_codes[ci][0x00]  # EOB run 1
+                            writer.write(code, length)
+                            for bit in buffered:
+                                writer.write(bit, 1)
+                writer.flush()
+                out += writer.out
+
+    out += b"\xff\xd9"
     return bytes(out)

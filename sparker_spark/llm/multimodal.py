@@ -404,14 +404,15 @@ def decode_png(payload: bytes) -> list[float]:
 
 
 def decode_jpeg(payload: bytes) -> list[float]:
-    """JPEG image decoder: the builtin baseline codec (llm/jpeg.py —
-    stdlib + numpy, no pillow needed) first; pillow, when installed,
-    as the fallback for the variants the builtin rejects (progressive,
-    12-bit, CMYK). Registration is unconditional because the builtin
-    path really decodes — baseline-sequential is the overwhelming
-    majority of real corpora — and an unsupported variant raises an
-    error naming the exact missing capability rather than silently
-    routing through the fake histogram."""
+    """JPEG image decoder: the builtin codec (llm/jpeg.py — stdlib +
+    numpy, no pillow needed) first, covering baseline/extended
+    sequential AND progressive (SOF2); pillow, when installed, as the
+    fallback for the variants the builtin rejects (12-bit, CMYK,
+    arithmetic coding). Registration is unconditional because the
+    builtin path really decodes — sequential + progressive is
+    essentially all of the real JPEG web corpus — and an unsupported
+    variant raises an error naming the exact missing capability rather
+    than silently routing through the fake histogram."""
     import numpy as np
 
     from sparker_spark.llm import jpeg

@@ -198,12 +198,86 @@ def test_restart_interval_is_transparent():
 # ------------------------------------------------ rejection / errors
 
 
-def test_progressive_rejected_with_named_feature():
-    sof2 = (b"\xff\xd8"
-            + _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-            + b"\xff\xd9")
-    with pytest.raises(ValueError, match="progressive"):
-        jpeg.decode(sof2)
+# --------------------------------------------------- progressive (SOF2)
+# The progressive file carries the SAME quantized coefficients as the
+# sequential file at equal quality — SOF2 only reorders the bits across
+# scans — so decode output must be bit-identical to the sequential
+# decode, which makes every round trip below an exact assertion even
+# though JPEG itself is lossy.
+
+
+@pytest.mark.parametrize(
+    "h,w,gray,quality,subsample,dc_al,ac_al,ac_split",
+    [
+        (8, 8, False, 90, False, 1, 1, 5),  # canonical 4-kind scan script
+        (6, 8, False, 100, False, 1, 1, 5),  # r6 gate fixture shape
+        (16, 24, False, 75, False, 2, 2, 9),  # two refinement levels
+        (17, 23, False, 90, True, 1, 1, 5),  # 4:2:0 + odd dims
+        (9, 13, True, 85, False, 1, 2, 63),  # grayscale, single band
+        (32, 32, False, 50, False, 0, 0, 5),  # spectral selection only
+        (8, 8, False, 90, False, 0, 1, 1),  # minimal first band
+    ],
+)
+def test_progressive_matches_sequential(
+    h, w, gray, quality, subsample, dc_al, ac_al, ac_split
+):
+    rng = np.random.RandomState(h * 100 + w)
+    img = rng.randint(0, 256, (h, w, 1 if gray else 3)).astype(np.uint8)
+    seq = jpeg.decode(jpeg.encode(img, quality=quality, subsample=subsample))
+    prog_payload = jpeg.encode_progressive(
+        img, quality=quality, subsample=subsample,
+        dc_al=dc_al, ac_al=ac_al, ac_split=ac_split,
+    )
+    assert prog_payload[2:4] != b"\xff\xc0"
+    assert b"\xff\xc2" in prog_payload[:200]  # SOF2 present
+    prog = jpeg.decode(prog_payload)
+    assert np.array_equal(seq, prog)
+
+
+def test_progressive_random_sweep():
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        h, w = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        gray = bool(rng.randint(2))
+        q = int(rng.randint(30, 101))
+        sub = bool(rng.randint(2)) and not gray
+        img = rng.randint(0, 256, (h, w, 1 if gray else 3)).astype(np.uint8)
+        seq = jpeg.decode(jpeg.encode(img, quality=q, subsample=sub))
+        prog = jpeg.decode(
+            jpeg.encode_progressive(
+                img, quality=q, subsample=sub,
+                dc_al=int(rng.randint(0, 3)), ac_al=int(rng.randint(0, 3)),
+                ac_split=int(rng.choice([1, 5, 20, 63])),
+            )
+        )
+        assert np.array_equal(seq, prog), (h, w, gray, q, sub)
+
+
+def test_progressive_solid_color_exact_ycc_roundtrip():
+    """Solid-color quality-100 progressive decodes to the exact integer
+    YCbCr round trip — the property the multimodal value-hash gate
+    relies on for sequential fixtures holds for SOF2 too."""
+    img = np.zeros((6, 8, 3), dtype=np.uint8)
+    img[:, :, 0], img[:, :, 1], img[:, :, 2] = 123, 37, 201
+    seq = jpeg.decode(jpeg.encode(img, quality=100))
+    prog = jpeg.decode(jpeg.encode_progressive(img, quality=100))
+    assert np.array_equal(seq, prog)
+    assert (prog == prog[0, 0, :]).all()
+
+
+def test_progressive_rejects_malformed_scans():
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    payload = bytearray(jpeg.encode_progressive(img))
+    # corrupt the first SOS's spectral selection: Ss=0 with Se>0 mixes
+    # DC and AC in one progressive scan — must be named, not garbled
+    i = payload.find(b"\xff\xda")
+    assert i > 0
+    (size,) = struct.unpack(">H", payload[i + 2 : i + 4])
+    ss_off = i + 4 + 1 + 2 * payload[i + 4]
+    assert payload[ss_off] == 0  # DC scan
+    payload[ss_off + 1] = 13  # Se
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        jpeg.decode(bytes(payload))
 
 
 def test_truncated_entropy_stream_raises():
