@@ -507,26 +507,31 @@ def main():
             f.write("\n")
     except OSError as e:
         print(f"# could not write {artifact}: {e}", file=sys.stderr)
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-    )
-    compact = {
-        "metric": "registry_suite_total_sec",
-        "value": total,
-        "unit": "sec",
-        "sf": float(sf),
-        "reps": REPS,
-        "n_queries": len(timings),
-        "first_run_total_sec": round(first_run_total, 3),
-        "queries": {
-            **{k: timings[k] for k in PIPELINES if k in timings},
-            **slowest,
-        },
-        "full_record": "BENCH_LOCAL.json",
-        "series_break": "r7: pipelines+streaming isolated post-warmup",
-    }
-    line = json.dumps(compact)
-    assert len(line) < 2000, f"compact bench line too long: {len(line)}"
+    # compact line must stay under the driver's recorded-tail window;
+    # trim the slowest-queries map (never crash — a missing "slowest"
+    # entry is recoverable from BENCH_LOCAL.json, a missing line is
+    # the unparseable-record failure this exists to prevent)
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    while True:
+        compact = {
+            "metric": "registry_suite_total_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf),
+            "reps": REPS,
+            "n_queries": len(timings),
+            "first_run_total_sec": round(first_run_total, 3),
+            "queries": {
+                **{k: timings[k] for k in PIPELINES if k in timings},
+                **dict(slowest),
+            },
+            "full_record": "BENCH_LOCAL.json",
+            "series_break": "r7: pipelines+streaming isolated post-warmup",
+        }
+        line = json.dumps(compact)
+        if len(line) < 1900 or not slowest:
+            break
+        slowest = slowest[:-1]
     print(line)
 
 

@@ -100,7 +100,20 @@ class AviVideo:
 
 
 def parse_avi(payload: bytes) -> AviVideo:
-    """Parse an MJPEG AVI payload into frames + timing metadata."""
+    """Parse an MJPEG AVI payload into frames + timing metadata.
+
+    Every malformed-payload failure surfaces as ValueError (same shim
+    as jpeg.decode): header fields shorter than the structs parsed out
+    of them raise struct.error deep in the walk, which would otherwise
+    escape the module's documented ValueError contract and kill a
+    mapInPandas task with an unnamed error."""
+    try:
+        return _parse_avi_impl(payload)
+    except struct.error as exc:
+        raise ValueError(f"truncated AVI header ({exc})") from exc
+
+
+def _parse_avi_impl(payload: bytes) -> AviVideo:
     _expect(len(payload) >= 12, "not an AVI: shorter than a RIFF header")
     _expect(payload[0:4] == b"RIFF", "not an AVI: missing RIFF magic")
     _expect(payload[8:12] == b"AVI ", "not an AVI: RIFF form is not 'AVI '")
@@ -129,7 +142,10 @@ def parse_avi(payload: bytes) -> AviVideo:
         for fcc, b, s in _chunks(payload, inner_start, inner_end):
             if fcc == b"LIST":
                 walk_list(b, s)
-            elif fcc == b"avih" and s >= 32:
+            elif fcc == b"avih" and s >= 40:
+                # 40 = offset of dwHeight's end: dwWidth/dwHeight live
+                # at body+32..40, so a shorter (still legal-looking)
+                # chunk must not read past its declared body
                 micro_per_frame = struct.unpack_from("<I", payload, b)[0]
                 width, height = struct.unpack_from("<II", payload, b + 32)
             elif fcc == b"strh" and s >= 32:

@@ -451,10 +451,20 @@ def _decode_scan_progressive(
     is_dc = ss == 0
     if is_dc and se != 0:
         raise ValueError("progressive scan mixes DC and AC (Ss=0, Se>0)")
+    # range-check the band BEFORE decoding: entropy data can push k to
+    # Se via ZRL runs, and an out-of-range Se would otherwise surface
+    # as an IndexError into ZIGZAG instead of the documented ValueError
+    # (which callers route to the pillow fallback)
+    if not 0 <= ss <= se <= 63:
+        raise ValueError(
+            f"invalid progressive spectral selection Ss={ss} Se={se}"
+        )
     if not is_dc and len(scan_comps) != 1:
         raise ValueError("progressive AC scan must be single-component")
-    if not is_dc and ah == 0 and al > 13:
-        raise ValueError("invalid successive-approximation shift")
+    if al > 13 or ah > 14:
+        raise ValueError(
+            f"invalid successive-approximation shift Ah={ah} Al={al}"
+        )
     for c in scan_comps:
         c.pred = 0
     eobrun = 0
@@ -540,18 +550,23 @@ def _scan_end(payload: bytes, pos: int) -> int:
     """End of the entropy-coded data that starts at ``pos``: the offset
     of the first marker that is not a stuffed byte (FF00) or a restart
     marker (FFD0-FFD7). Needed for multi-scan (progressive) files,
-    where more segments follow the scan."""
+    where more segments follow the scan.
+
+    ``bytes.find`` hops between 0xFF positions at C speed — a Python-
+    level loop over every byte would make this pre-pass rival the
+    entropy decode itself on large scans (this runs once per scan,
+    including the single baseline one)."""
     i = pos
     n = len(payload)
-    while i + 1 < n:
-        if payload[i] == 0xFF:
-            nxt = payload[i + 1]
-            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
-                i += 2
-                continue
-            return i
-        i += 1
-    return n
+    while True:
+        i = payload.find(0xFF, i)
+        if i < 0 or i + 1 >= n:
+            return n
+        nxt = payload[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+            continue
+        return i
 
 
 def _decode_impl(payload: bytes):

@@ -438,6 +438,22 @@ def decode_jpeg(payload: bytes) -> list[float]:
     return [float(w), float(h), float(means[0]), float(means[1]), float(means[2])]
 
 
+def _jpeg_frame_stats(payload: bytes) -> tuple[int, int, "list[float]"]:
+    """(width, height, [mean_r, mean_g, mean_b] in [0, 1]) of one JPEG
+    frame — the single pixel-stats convention shared by the whole-file
+    AVI summary and the per-frame extractor (the value-hash gates pin
+    this exact arithmetic)."""
+    import numpy as np
+
+    from sparker_spark.llm import jpeg
+
+    img = jpeg.decode(payload)
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    means = img.reshape(-1, 3).astype(np.float64).mean(axis=0) / 255.0
+    return int(img.shape[1]), int(img.shape[0]), [float(m) for m in means]
+
+
 def decode_avi(payload: bytes) -> list[float]:
     """MJPEG-in-AVI video decoder (llm/avi.py container parse + the
     builtin baseline JPEG codec per frame). Whole-file summary feature:
@@ -445,23 +461,18 @@ def decode_avi(payload: bytes) -> list[float]:
     with the channel means over the FIRST frame's pixels (dimensions
     from the decoded frame, which is authoritative over the header).
     Per-frame extraction goes through :func:`video_frame_features`."""
-    import numpy as np
-
-    from sparker_spark.llm import avi, jpeg
+    from sparker_spark.llm import avi
 
     video = avi.parse_avi(payload)
-    img = jpeg.decode(video.frames[0])
-    if img.shape[2] == 1:
-        img = np.repeat(img, 3, axis=2)
-    means = img.reshape(-1, 3).astype(np.float64).mean(axis=0) / 255.0
+    w, h, means = _jpeg_frame_stats(video.frames[0])
     return [
-        float(img.shape[1]),
-        float(img.shape[0]),
+        float(w),
+        float(h),
         float(video.n_frames),
         float(video.duration_ms) / 1000.0,
-        float(means[0]),
-        float(means[1]),
-        float(means[2]),
+        means[0],
+        means[1],
+        means[2],
     ]
 
 
@@ -679,20 +690,13 @@ def video_frame_features(
     every = int(every_ms)
 
     def run(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
-        from sparker_spark.llm import avi, jpeg
+        from sparker_spark.llm import avi
 
         def frame_stats(video, idx, cache):
             if idx not in cache:
-                img = jpeg.decode(video.frames[idx])
-                if img.shape[2] == 1:
-                    img = np.repeat(img, 3, axis=2)
-                means = (
-                    img.reshape(-1, 3).astype(np.float64).mean(axis=0) / 255.0
-                )
-                cache[idx] = (int(img.shape[1]), int(img.shape[0]), means)
+                cache[idx] = _jpeg_frame_stats(video.frames[idx])
             return cache[idx]
 
         for pdf in batches:

@@ -100,6 +100,20 @@ def test_avi_rejects_garbage_and_wrong_codec():
         avi.encode_avi_mjpeg([], 8, 6)
 
 
+def test_avi_truncated_header_raises_value_error():
+    """Header fields shorter than the structs parsed from them must
+    surface as ValueError (the module contract), never struct.error."""
+    import struct as _s
+
+    payload = (
+        b"RIFF" + _s.pack("<I", 4 + 8 + 36) + b"AVI "
+        + b"LIST" + _s.pack("<I", 4 + 40) + b"hdrl"
+        + b"avih" + _s.pack("<I", 32) + b"\x00" * 32
+    )
+    with pytest.raises(ValueError):
+        avi.parse_avi(payload)
+
+
 def test_avi_timing_fallback_micro_per_frame():
     """strh dwScale/dwRate zeroed -> timing falls back to the main
     header's dwMicroSecPerFrame."""

@@ -265,6 +265,25 @@ def test_progressive_solid_color_exact_ycc_roundtrip():
     assert (prog == prog[0, 0, :]).all()
 
 
+def test_progressive_rejects_out_of_range_band():
+    """Se past 63 must raise the documented ValueError (which callers
+    route to the pillow fallback), not an IndexError into ZIGZAG."""
+    img = np.full((8, 8, 3), 50, dtype=np.uint8)
+    payload = bytearray(jpeg.encode_progressive(img))
+    pos = 2
+    while True:  # first AC scan's Se -> 120
+        i = payload.find(b"\xff\xda", pos)
+        assert i > 0
+        ns = payload[i + 4]
+        ss_off = i + 5 + 2 * ns
+        if payload[ss_off] != 0:
+            payload[ss_off + 1] = 120
+            break
+        pos = i + 2
+    with pytest.raises(ValueError, match="spectral selection"):
+        jpeg.decode(bytes(payload))
+
+
 def test_progressive_rejects_malformed_scans():
     img = np.full((8, 8, 3), 77, dtype=np.uint8)
     payload = bytearray(jpeg.encode_progressive(img))
