@@ -221,11 +221,89 @@ JOIN sizes s2 ON p2 = s2.doc_id
 WHERE inter / (s1.n + s2.n - inter) >= {SETJOIN_SKEW_T}"""
 
 
+def q_audio_flac_features(spark, sf_dir):
+    """The FLAC codec under the VALUE-HASH gate: the same square-wave
+    construction as the r6 WAV gate (entry_r6.q_audio_wav_features),
+    but the payload is a real FLAC stream built worker-side by
+    llm/flac.encode (fixed/constant subframes, rice residuals, CRCs)
+    and decoded back through the audio_samples dispatcher's FLAC
+    branch. FLAC is LOSSLESS, so the closed-form time-domain oracle
+    (RMS == amplitude, peak == amplitude, 2m−1 zero crossings) carries
+    over from the WAV gate with no new rounding argument — the gate
+    value-checks the entire entropy-decode + predictor-reconstruction
+    chain. Distinct arithmetic constants keep this row independent of
+    the WAV row."""
+    from sparker_spark.entry import _parallelize_scan, load
+    from sparker_spark.llm.audio import audio_features
+    from sparker_spark.rounding import rnd
+
+    docs = _parallelize_scan(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def make_flac(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sparker_spark.llm import flac
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                # same modulo-sign contract as the r6 gate fixtures
+                assert mid >= 0, "FLAC gate fixture requires doc_id >= 0"
+                half = 2 + mid % 11
+                period = 2 * half
+                m = 8 + mid % 5
+                amp = 700 + (mid * 17) % 27000
+                t = np.arange(m * period)
+                samples = np.where(t % period < half, amp, -amp)
+                payloads.append(flac.encode(samples, sample_rate=8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        make_flac, schema="media_id long, payload binary"
+    )
+    feats = audio_features(media)
+    return feats.select(
+        "media_id",
+        F.col("n_channels").cast("int").alias("n_channels"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        rnd("duration_s", 6).alias("duration_s"),
+        rnd("rms", 6).alias("rms"),
+        F.col("peak").cast("int").alias("peak"),
+        F.col("zero_crossings").cast("bigint").alias("zero_crossings"),
+    )
+
+
+O_AUDIO_FLAC = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         2 * (2 + doc_id % 11) AS period,
+         8 + doc_id % 5 AS m,
+         700 + (doc_id * 17) % 27000 AS amp
+  FROM documents)
+SELECT media_id,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(m * period AS BIGINT) AS n_frames,
+       round(CAST(m * period AS DOUBLE) / 8000.0, 6) AS duration_s,
+       round(CAST(amp AS DOUBLE), 6) AS rms,
+       CAST(amp AS INTEGER) AS peak,
+       CAST(2 * m - 1 AS BIGINT) AS zero_crossings
+FROM p"""
+
+
 def r7_queries() -> dict:
     return {
         "video_frame_features": q_video_frame_features,
         "knn_label_vote_ivf": q_knn_label_vote_ivf,
         "jaccard_prefix_join_skew": q_jaccard_prefix_join_skew,
+        "audio_flac_features": q_audio_flac_features,
     }
 
 
@@ -237,4 +315,5 @@ def r7_oracles() -> dict:
         # full-probe IVF output == exact kNN output (see query doc)
         "knn_label_vote_ivf": _o_knn_label_vote(),
         "jaccard_prefix_join_skew": O_JACCARD_PREFIX_SKEW,
+        "audio_flac_features": O_AUDIO_FLAC,
     }

@@ -110,10 +110,23 @@ def wav_samples(payload: bytes):
     )
 
 
+def audio_samples(payload: bytes):
+    """Format dispatcher over the shared samples contract
+    ``(n_channels, sample_rate, frames (n, ch) int32)``: RIFF/WAVE →
+    :func:`wav_samples`, native FLAC → llm/flac.decode (lossless, so
+    the downstream features are identical for identical audio
+    regardless of container)."""
+    if payload[:4] == b"fLaC":
+        from sparker_spark.llm import flac
+
+        return flac.decode(payload)
+    return wav_samples(payload)
+
+
 def _features_one(payload: bytes, n_bands: int):
     import numpy as np
 
-    ch, sr, frames = wav_samples(bytes(payload))
+    ch, sr, frames = audio_samples(bytes(payload))
     n = frames.shape[0]
     if n == 0:
         return (ch, sr, 0, 0.0, 0.0, 0, 0, 0.0, [0.0] * n_bands)
@@ -149,8 +162,9 @@ def audio_features(
     payload_col: str = "payload",
     n_bands: int = 3,
 ) -> DataFrame:
-    """Arrow-batched per-payload WAV feature extraction (schema:
-    AUDIO_FEATURE_SCHEMA)."""
+    """Arrow-batched per-payload WAV/FLAC feature extraction (schema:
+    AUDIO_FEATURE_SCHEMA; format dispatch per payload via
+    :func:`audio_samples`)."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

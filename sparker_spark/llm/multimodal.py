@@ -476,11 +476,36 @@ def decode_avi(payload: bytes) -> list[float]:
     ]
 
 
+def decode_flac(payload: bytes) -> list[float]:
+    """FLAC audio decoder (llm/flac.py — lossless, stdlib + numpy).
+    Same summary-feature contract as :func:`decode_wav`:
+    ``[n_channels, sample_rate, duration_s, mean_abs_amplitude]`` with
+    amplitude normalized to [0, 1] by the stream's sample-bit range,
+    so the same audio yields the same feature regardless of
+    container."""
+    import numpy as np
+
+    from sparker_spark.llm import flac
+
+    n_channels, sample_rate, frames = flac.decode(payload)
+    if frames.shape[0] == 0:
+        return [float(n_channels), float(sample_rate), 0.0, 0.0]
+    full_scale = float(1 << (flac.bits_per_sample(payload) - 1))
+    mean_abs = float(np.abs(frames.astype(np.float64)).mean() / full_scale)
+    return [
+        float(n_channels),
+        float(sample_rate),
+        frames.shape[0] / float(sample_rate),
+        mean_abs,
+    ]
+
+
 DecodeRegistry.register("", _fake_byte_histogram)  # default fallback
 DecodeRegistry.register("image/x-portable-pixmap", decode_ppm)
 DecodeRegistry.register("image/png", decode_png)
 DecodeRegistry.register("image/jpeg", decode_jpeg)
 DecodeRegistry.register("audio/wav", decode_wav)
+DecodeRegistry.register("audio/flac", decode_flac)
 DecodeRegistry.register("video/x-msvideo", decode_avi)
 
 
