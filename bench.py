@@ -431,24 +431,18 @@ def main():
 
     # pipelines, timed end-to-end (construction + all internal actions
     # + final count) so round-over-round regressions in the full
-    # chains are visible, not just per stage
-    for name, fn in PIPELINES.items():
-        barrier()
-        t0 = time.time()
-        n = fn(spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
-        colds[name] = timings[name]
-        first_run_total += timings[name]
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
-
-    stream_queries = [q for q in QUERIES if q.startswith("stream_")]
-    barrier()
-
-    def run_reps(name, fn):
+    # chains are visible, not just per stage. Same median-of-REPS
+    # protocol as the registry queries: the cold first run (kept in
+    # the "cold" map) carries the whole JVM's first-touch codegen/JIT
+    # since pipelines now run before everything else, and a single
+    # cold shot cannot distinguish a plan regression from warmup
+    # (r6's recorded 36 s curation vs 6.8 s controlled was exactly
+    # that failure mode, in the other direction).
+    def run_reps(name, fn, isolate_fn=None):
         nonlocal first_run_total
         reps: list[float] = []
         for _ in range(REPS):
-            isolate()
+            (isolate_fn or isolate)()
             t0 = time.time()
             n = fn(spark, SF_DIR).count()
             reps.append(time.time() - t0)
@@ -465,6 +459,19 @@ def main():
             file=sys.stderr,
         )
 
+    # barrier between pipeline REPS, not just between pipelines: each
+    # rep constructs FRESH DataFrames whose internal .cache() calls
+    # register new entries (no reuse across reps), so without the
+    # sweep the reps ACCUMULATE 12M-row cached relations and the
+    # median drifts upward with GC pressure (observed: gsmb median >
+    # its own first run). With the barrier every rep measures the
+    # same clean-JVM-warm plan — the protocol of the r6 judge's
+    # controlled reruns.
+    for name, fn in PIPELINES.items():
+        run_reps(name, fn, isolate_fn=barrier)
+
+    stream_queries = [q for q in QUERIES if q.startswith("stream_")]
+    barrier()
     for name in stream_queries:
         run_reps(name, QUERIES[name])
 

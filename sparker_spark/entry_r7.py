@@ -34,17 +34,11 @@ VIDEO_FPS = 2
 VIDEO_FRAME_MS = 1000 // VIDEO_FPS
 
 
-def q_video_frame_features(spark, sf_dir):
-    """MJPEG-in-AVI frame decode under the VALUE-HASH gate: each
-    document becomes a real AVI (llm/avi.encode_avi_mjpeg) of
-    2 + doc_id % 3 solid-color quality-100 JPEG frames whose channels
-    are arithmetic in (doc_id, frame_index), decoded back through
-    multimodal.video_frame_features (RIFF parse -> per-frame T.81
-    entropy decode -> IDCT -> color convert -> channel means). The
-    oracle replays the integer YCbCr round trip per frame in closed
-    form — the entire container+codec chain is value-checked."""
+def _avi_fixture_media(spark, sf_dir):
+    """One AVI per document: 2 + doc_id % 3 solid-color quality-100
+    JPEG frames whose channels are arithmetic in (doc_id,
+    frame_index), built worker-side by the repo's own encoders."""
     from sparker_spark.entry import _parallelize_scan, load
-    from sparker_spark.llm.multimodal import video_frame_features
 
     docs = _parallelize_scan(load(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id")
@@ -84,9 +78,23 @@ def q_video_frame_features(spark, sf_dir):
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
 
-    media = docs.mapInPandas(
+    return docs.mapInPandas(
         make_avi, schema="media_id long, payload binary"
     )
+
+
+def q_video_frame_features(spark, sf_dir):
+    """MJPEG-in-AVI frame decode under the VALUE-HASH gate: each
+    document becomes a real AVI (llm/avi.encode_avi_mjpeg) of
+    2 + doc_id % 3 solid-color quality-100 JPEG frames whose channels
+    are arithmetic in (doc_id, frame_index), decoded back through
+    multimodal.video_frame_features (RIFF parse -> per-frame T.81
+    entropy decode -> IDCT -> color convert -> channel means). The
+    oracle replays the integer YCbCr round trip per frame in closed
+    form — the entire container+codec chain is value-checked."""
+    from sparker_spark.llm.multimodal import video_frame_features
+
+    media = _avi_fixture_media(spark, sf_dir)
     feats = video_frame_features(media, every_ms=VIDEO_FRAME_MS)
     byte = lambda c: F.round(F.col(c) * 255.0).cast("int")  # noqa: E731
     return feats.select(
@@ -221,6 +229,107 @@ JOIN sizes s2 ON p2 = s2.doc_id
 WHERE inter / (s1.n + s2.n - inter) >= {SETJOIN_SKEW_T}"""
 
 
+THUMB_W, THUMB_H = 4, 3
+
+
+def q_video_thumbnails(spark, sf_dir):
+    """The full video decode→resize→re-encode→decode chain under the
+    VALUE-HASH gate: the same AVI fixture as video_frame_features is
+    pushed through multimodal.video_thumbnails (frame sample →
+    nearest-neighbor resize to 4x3 → JPEG quality-100 re-encode), and
+    the query then DECODES each thumbnail payload back through the
+    registry's extract_features — so the gate value-checks two
+    complete encode/decode round trips. Solid frames make both trips
+    closed-form: the oracle applies the integer YCbCr round trip
+    TWICE, modeling the encoder-side clamp explicitly at every stage
+    (the stage-2 inputs are arbitrary [0,255] triples, so the r6
+    unreachability argument does not apply — the clamp is simply
+    stated in SQL instead)."""
+    from sparker_spark.llm.multimodal import (
+        extract_features,
+        video_thumbnails,
+    )
+
+    media = _avi_fixture_media(spark, sf_dir)
+    thumbs = video_thumbnails(
+        media, THUMB_W, THUMB_H, every_ms=VIDEO_FRAME_MS, quality=100
+    )
+    # frame_index < 8 always (≤4 frames per fixture video), so the
+    # packed id is collision-free and invertible
+    packed = thumbs.select(
+        (F.col("media_id") * 8 + F.col("frame_index")).alias("media_id"),
+        "payload",
+        F.lit("image/jpeg").alias("mime"),
+    )
+    feats = extract_features(packed)
+    byte = lambda i: F.round(  # noqa: E731
+        F.element_at("feature", i) * 255.0
+    ).cast("int")
+    return feats.select(
+        (F.col("media_id") / 8).cast("long").alias("media_id"),
+        (F.col("media_id") % 8).cast("int").alias("frame_index"),
+        F.element_at("feature", 1).cast("int").alias("width"),
+        F.element_at("feature", 2).cast("int").alias("height"),
+        byte(3).alias("r_byte"),
+        byte(4).alias("g_byte"),
+        byte(5).alias("b_byte"),
+    )
+
+
+def _clamped_roundtrip_sql(r, g, b, out_prefix):
+    """SQL fragment: one encode(clamped forward YCbCr)+decode(clamped
+    inverse) round trip of a solid color — the exact arithmetic of
+    jpeg.encode/decode at quality 100 on DC-only content, term order
+    matching the numpy expressions."""
+    clamp = "least(greatest({x}, 0), 255)"
+    y = clamp.format(x=f"floor(0.299 * {r} + 0.587 * {g} + 0.114 * {b} + 0.5)")
+    cb = clamp.format(
+        x=f"floor(-0.168736 * {r} - 0.331264 * {g} + 0.5 * {b} + 128.0 + 0.5)"
+    )
+    cr = clamp.format(
+        x=f"floor(0.5 * {r} - 0.418688 * {g} - 0.081312 * {b} + 128.0 + 0.5)"
+    )
+    return (
+        f"{y} AS {out_prefix}y, {cb} AS {out_prefix}cb, {cr} AS {out_prefix}cr"
+    )
+
+
+O_VIDEO_THUMBNAILS = f"""
+WITH v AS (
+  SELECT doc_id AS media_id, 2 + doc_id % 3 AS n_frames FROM documents),
+fr AS (
+  SELECT media_id, unnest(generate_series(0, n_frames - 1)) AS i FROM v),
+rgb0 AS (
+  SELECT media_id, i,
+         CAST((media_id + 17 * i) % 256 AS DOUBLE) AS r,
+         CAST((media_id * 7 + 29 * i) % 256 AS DOUBLE) AS g,
+         CAST((media_id * 13 + 31 * i) % 256 AS DOUBLE) AS b
+  FROM fr),
+ycc1 AS (SELECT media_id, i, {_clamped_roundtrip_sql("r", "g", "b", "")}
+         FROM rgb0),
+rgb1 AS (
+  SELECT media_id, i,
+         least(greatest(floor(y + 1.402 * (cr - 128.0) + 0.5), 0), 255) AS r,
+         least(greatest(floor(y - 0.344136 * (cb - 128.0)
+                                - 0.714136 * (cr - 128.0) + 0.5), 0), 255) AS g,
+         least(greatest(floor(y + 1.772 * (cb - 128.0) + 0.5), 0), 255) AS b
+  FROM ycc1),
+ycc2 AS (SELECT media_id, i, {_clamped_roundtrip_sql("r", "g", "b", "")}
+         FROM rgb1)
+SELECT media_id,
+       CAST(i AS INTEGER) AS frame_index,
+       CAST({THUMB_W} AS INTEGER) AS width,
+       CAST({THUMB_H} AS INTEGER) AS height,
+       CAST(least(greatest(floor(y + 1.402 * (cr - 128.0) + 0.5),
+                           0), 255) AS INTEGER) AS r_byte,
+       CAST(least(greatest(floor(y - 0.344136 * (cb - 128.0)
+                                   - 0.714136 * (cr - 128.0) + 0.5),
+                           0), 255) AS INTEGER) AS g_byte,
+       CAST(least(greatest(floor(y + 1.772 * (cb - 128.0) + 0.5),
+                           0), 255) AS INTEGER) AS b_byte
+FROM ycc2"""
+
+
 def q_audio_flac_features(spark, sf_dir):
     """The FLAC codec under the VALUE-HASH gate: the same square-wave
     construction as the r6 WAV gate (entry_r6.q_audio_wav_features),
@@ -304,6 +413,7 @@ def r7_queries() -> dict:
         "knn_label_vote_ivf": q_knn_label_vote_ivf,
         "jaccard_prefix_join_skew": q_jaccard_prefix_join_skew,
         "audio_flac_features": q_audio_flac_features,
+        "video_thumbnails": q_video_thumbnails,
     }
 
 
@@ -316,4 +426,5 @@ def r7_oracles() -> dict:
         "knn_label_vote_ivf": _o_knn_label_vote(),
         "jaccard_prefix_join_skew": O_JACCARD_PREFIX_SKEW,
         "audio_flac_features": O_AUDIO_FLAC,
+        "video_thumbnails": O_VIDEO_THUMBNAILS,
     }

@@ -748,3 +748,83 @@ def video_frame_features(
     return media.select(id_col, payload_col).mapInPandas(
         run, schema=VIDEO_FRAME_SCHEMA
     )
+
+
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def video_thumbnails(
+    media: DataFrame,
+    width: int,
+    height: int,
+    every_ms: int = 1000,
+    quality: int = 90,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    batch_rows: int = 8,
+) -> DataFrame:
+    """Video → per-frame JPEG thumbnails: the decode→transform→
+    re-encode composition over MJPEG-in-AVI payloads — frame sampling
+    as in :func:`video_frame_features`, nearest-neighbor resize with
+    the same integer grid as :func:`resize_images`, re-encoded as
+    baseline JPEG. One output row per (media_id, frame_ts_ms) work
+    unit: (payload, width, height) — the thumbnail relation a
+    multimodal training pipeline joins back to its documents.
+
+    Scale posture identical to the other media transforms: container
+    parsed once per payload, each distinct frame decoded and resized
+    at most once (sampled timestamps landing on the same frame reuse
+    the encoded thumbnail), Arrow-batched row-parallelism, no driver
+    state."""
+    tw, th = int(width), int(height)
+    if tw <= 0 or th <= 0:
+        raise ValueError("target width/height must be positive")
+    every = int(every_ms)
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from sparker_spark.llm import avi, jpeg
+
+        def thumb(video, idx, cache):
+            if idx not in cache:
+                img = jpeg.decode(video.frames[idx])
+                if img.shape[2] == 1:
+                    img = np.repeat(img, 3, axis=2)
+                ys = (np.arange(th) * img.shape[0]) // th
+                xs = (np.arange(tw) * img.shape[1]) // tw
+                out = np.ascontiguousarray(img[ys][:, xs])
+                cache[idx] = jpeg.encode(out, quality=quality)
+            return cache[idx]
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out: dict[str, list] = {f.name: [] for f in THUMBNAIL_SCHEMA}
+                for mid, payload in zip(chunk[id_col], chunk[payload_col]):
+                    video = avi.parse_avi(bytes(payload))
+                    ts_list = list(range(0, video.duration_ms, every)) or [0]
+                    cache: dict = {}
+                    for ts in ts_list:
+                        idx = video.frame_index_at(ts)
+                        out["media_id"].append(int(mid))
+                        out["frame_ts_ms"].append(int(ts))
+                        out["frame_index"].append(idx)
+                        out["payload"].append(thumb(video, idx, cache))
+                        out["width"].append(tw)
+                        out["height"].append(th)
+                yield pd.DataFrame(out)
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, schema=THUMBNAIL_SCHEMA
+    )

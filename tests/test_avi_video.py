@@ -168,6 +168,29 @@ def test_video_frame_features_end_to_end(spark):
         assert (r["width"], r["height"]) == (8, 6)
 
 
+def test_video_thumbnails_resize_and_reencode(spark):
+    """Thumbnails are decodable JPEGs at the target size; solid frames
+    survive the double round trip as the twice-applied YCbCr map."""
+    from sparker_spark.llm.multimodal import video_thumbnails
+
+    rows = [
+        (1, avi.encode_avi_mjpeg(_solid_frames(COLORS), 8, 6, fps_num=2)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = video_thumbnails(
+        media, 4, 3, every_ms=500, quality=100
+    ).collect()
+    assert sorted(r["frame_ts_ms"] for r in out) == [0, 500, 1000, 1500]
+    for r in out:
+        img = jpeg.decode(bytes(r["payload"]))
+        assert img.shape == (3, 4, 3)
+        once = _ycc_roundtrip(*map(float, COLORS[r["frame_index"]]))
+        twice = _ycc_roundtrip(*map(float, once))
+        assert tuple(img[0, 0, :]) == twice
+        assert (img == img[0, 0, :]).all()
+        assert (r["width"], r["height"]) == (4, 3)
+
+
 def test_video_frame_features_clip_shorter_than_every_ms(spark):
     rows = [(7, avi.encode_avi_mjpeg(_solid_frames(COLORS[:2]), 8, 6, fps_num=8))]
     media = spark.createDataFrame(rows, "media_id long, payload binary")
