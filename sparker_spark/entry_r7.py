@@ -266,7 +266,8 @@ def q_video_thumbnails(spark, sf_dir):
         F.element_at("feature", i) * 255.0
     ).cast("int")
     return feats.select(
-        (F.col("media_id") / 8).cast("long").alias("media_id"),
+        # integer `div`, not float division: exact at any id magnitude
+        F.expr("media_id div 8").alias("media_id"),
         (F.col("media_id") % 8).cast("int").alias("frame_index"),
         F.element_at("feature", 1).cast("int").alias("width"),
         F.element_at("feature", 2).cast("int").alias("height"),

@@ -200,6 +200,11 @@ def _decode_subframe(bits: _Bits, block_size: int, bps: int) -> list[int]:
     if bits.read(1):
         wasted = 1 + bits.read_unary()
     eff = bps - wasted
+    if eff <= 0:
+        raise ValueError(
+            f"FLAC wasted-bits count {wasted} consumes the whole "
+            f"{bps}-bit sample width"
+        )
     if sftype == 0:  # CONSTANT
         v = bits.read_signed(eff)
         out = [v] * block_size
@@ -320,15 +325,25 @@ def decode(payload: bytes):
         else:
             block_size = _BLOCKSIZE_CODES[bs_code]
         if rate_code == 0:
-            pass  # from STREAMINFO
+            frame_rate = sample_rate  # from STREAMINFO
         elif rate_code in _RATE_CODES:
-            pass
+            frame_rate = _RATE_CODES[rate_code]
         elif rate_code == 12:
-            bits.read(8)
-        elif rate_code in (13, 14):
-            bits.read(16)
+            frame_rate = bits.read(8) * 1000
+        elif rate_code == 13:
+            frame_rate = bits.read(16)
+        elif rate_code == 14:
+            frame_rate = bits.read(16) * 10
         else:
             raise ValueError("invalid FLAC sample rate code 15")
+        if frame_rate != sample_rate:
+            # a conforming stream repeats the STREAMINFO rate; decoding
+            # mixed-rate frames into one sample array would silently
+            # corrupt every downstream duration/spectral feature
+            raise ValueError(
+                f"FLAC frame sample rate {frame_rate} disagrees with "
+                f"STREAMINFO rate {sample_rate}"
+            )
         if size_code == 0:
             bps = bps_stream
         elif size_code in _BITS_CODES:
@@ -384,6 +399,14 @@ def decode(payload: bytes):
         decoded += block_size
         pos = bits.bytepos
 
+    if total_samples and decoded < total_samples:
+        # fail loudly (module contract): a payload truncated at a frame
+        # boundary would otherwise return a silently short stream with
+        # wrong duration/RMS features
+        raise ValueError(
+            f"truncated FLAC stream: {decoded} of {total_samples} "
+            "declared samples decoded"
+        )
     if total_samples and decoded > total_samples:
         channels = [c[:total_samples] for c in channels]
     frames = np.array(channels, dtype=np.int64).T.astype(np.int32)
@@ -603,6 +626,11 @@ def encode(
         raise ValueError(f"samples out of int{bits_per_sample} range")
     if stereo_mode != "independent" and n_channels != 2:
         raise ValueError("stereo decorrelation requires exactly 2 channels")
+    if not 16 <= block_size <= 65536:
+        # the frame header's blocksize field is 16 bits (value-1) and
+        # the spec floor is 16; masking instead of validating would
+        # emit an undecodable stream (CRC mismatch at the first frame)
+        raise ValueError("block_size must be in 16..65536")
     frames = arr.reshape(-1, n_channels)
     n_total = frames.shape[0]
     if n_total == 0:
@@ -610,7 +638,12 @@ def encode(
 
     out = bytearray(b"fLaC")
     si = _BitsW()
-    si.write(min(block_size, n_total) if n_total < block_size else block_size, 16)
+    # a final partial frame may be shorter than block_size; STREAMINFO
+    # wants the smallest/largest frame sizes actually emitted (a tiny
+    # fixture's single short frame can legally sit below the 16-sample
+    # streamable-subset floor — the field is informational)
+    last = n_total % block_size or block_size
+    si.write(min(block_size, last, n_total), 16)
     si.write(block_size, 16)
     si.write(0, 24)  # min frame size unknown
     si.write(0, 24)

@@ -611,30 +611,25 @@ def resize_images(
 
         def one(payload) -> tuple[bytes, int, int]:
             p = bytes(payload)
-            ys = lambda h: (np.arange(th) * h) // th  # noqa: E731
-            xs = lambda w: (np.arange(tw) * w) // tw  # noqa: E731
             if p[:8] == _PNG_MAGIC:
                 img = _png_decode_rgb(p)
-                out = img[ys(img.shape[0])][:, xs(img.shape[1])]
-                return _png_encode_rgb(np.ascontiguousarray(out)), tw, th
+                return _png_encode_rgb(_nn_resize(img, tw, th)), tw, th
             if p[:2] == b"\xff\xd8":
                 from sparker_spark.llm import jpeg
 
                 img = jpeg.decode(p)
                 if img.shape[2] == 1:
                     img = np.repeat(img, 3, axis=2)
-                out = img[ys(img.shape[0])][:, xs(img.shape[1])]
                 return (
-                    jpeg.encode(np.ascontiguousarray(out), quality=90),
+                    jpeg.encode(_nn_resize(img, tw, th), quality=90),
                     tw,
                     th,
                 )
             w, h, maxval, off = _ppm_header(p)
             raster = np.frombuffer(p, dtype=np.uint8, count=3 * w * h, offset=off)
             img = raster.reshape(h, w, 3)
-            out = img[ys(h)][:, xs(w)]
             header = f"P6\n{tw} {th}\n{maxval}\n".encode("ascii")
-            return header + out.tobytes(), tw, th
+            return header + _nn_resize(img, tw, th).tobytes(), tw, th
 
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
@@ -689,6 +684,67 @@ VIDEO_FRAME_SCHEMA = T.StructType(
 )
 
 
+def _nn_resize(img, tw: int, th: int):
+    """Nearest-neighbor resample to (th, tw) with the integer grid
+    ``(arange(target)·src)//target`` — the ONE resize convention the
+    value-hash gates pin, shared by resize_images and
+    video_thumbnails."""
+    import numpy as np
+
+    ys = (np.arange(th) * img.shape[0]) // th
+    xs = (np.arange(tw) * img.shape[1]) // tw
+    return np.ascontiguousarray(img[ys][:, xs])
+
+
+def _map_video_frames(
+    media: DataFrame,
+    every_ms: int,
+    schema: T.StructType,
+    frame_fn,
+    id_col: str,
+    payload_col: str,
+    batch_rows: int,
+) -> DataFrame:
+    """Shared AVI frame-sampling harness behind Arrow-batched
+    mapInPandas: the container is parsed ONCE per payload, the sampled
+    timestamps are frame_sample_plan's sequence (``0, every_ms, ...``
+    below the clip's duration; a shorter clip contributes its first
+    frame), and ``frame_fn(video, frame_index) -> dict`` runs at most
+    once per DISTINCT frame however many timestamps land on it. One
+    output row per (media_id, frame_ts_ms) work unit; ``batch_rows``
+    bounds the per-chunk working set (video payloads are the largest
+    binaries this engine touches)."""
+    every = int(every_ms)
+    if every <= 0:
+        raise ValueError("every_ms must be positive")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from sparker_spark.llm import avi
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out: dict[str, list] = {f.name: [] for f in schema}
+                for mid, payload in zip(chunk[id_col], chunk[payload_col]):
+                    video = avi.parse_avi(bytes(payload))
+                    ts_list = list(range(0, video.duration_ms, every)) or [0]
+                    cache: dict = {}
+                    for ts in ts_list:
+                        idx = video.frame_index_at(ts)
+                        if idx not in cache:
+                            cache[idx] = frame_fn(video, idx)
+                        out["media_id"].append(int(mid))
+                        out["frame_ts_ms"].append(int(ts))
+                        out["frame_index"].append(idx)
+                        for k, v in cache[idx].items():
+                            out[k].append(v)
+                yield pd.DataFrame(out)
+
+    return media.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
 def video_frame_features(
     media: DataFrame,
     every_ms: int = 1000,
@@ -697,56 +753,26 @@ def video_frame_features(
     batch_rows: int = 8,
 ) -> DataFrame:
     """Decode sampled frames from MJPEG-in-AVI payloads — the consumer
-    of :func:`frame_sample_plan`'s work units, fused with the decode:
-    the sampled timestamps are the SAME sequence the plan emits
-    (``0, every_ms, ...`` below the clip's duration; a clip shorter
-    than ``every_ms`` contributes its first frame), each mapped to the
-    frame on screen at that instant and decoded through the builtin
-    baseline JPEG codec. One row out per (media_id, frame_ts_ms) work
-    unit: frame dimensions + per-channel pixel means in [0, 1].
+    of :func:`frame_sample_plan`'s work units, fused with the decode
+    (see :func:`_map_video_frames` for the sampling/caching contract).
+    One row per (media_id, frame_ts_ms): frame dimensions +
+    per-channel pixel means in [0, 1]. Duration comes from the
+    container itself, so this accepts media rows with or without a
+    metadata struct."""
 
-    Scale posture: the container is parsed ONCE per payload and a
-    frame is entropy-decoded at most once however many sampled
-    timestamps land on it; parallelism is per-payload via Arrow-
-    batched mapInPandas with ``batch_rows`` bounding the per-chunk
-    working set (video payloads are the largest binaries this engine
-    touches). Duration comes from the container itself, so this
-    accepts media rows with or without a metadata struct."""
-    every = int(every_ms)
+    def frame_fn(video, idx):
+        w, h, means = _jpeg_frame_stats(video.frames[idx])
+        return {
+            "width": w,
+            "height": h,
+            "mean_r": means[0],
+            "mean_g": means[1],
+            "mean_b": means[2],
+        }
 
-    def run(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        from sparker_spark.llm import avi
-
-        def frame_stats(video, idx, cache):
-            if idx not in cache:
-                cache[idx] = _jpeg_frame_stats(video.frames[idx])
-            return cache[idx]
-
-        for pdf in batches:
-            for start in range(0, len(pdf), batch_rows):
-                chunk = pdf.iloc[start : start + batch_rows]
-                out: dict[str, list] = {f.name: [] for f in VIDEO_FRAME_SCHEMA}
-                for mid, payload in zip(chunk[id_col], chunk[payload_col]):
-                    video = avi.parse_avi(bytes(payload))
-                    ts_list = list(range(0, video.duration_ms, every)) or [0]
-                    cache: dict = {}
-                    for ts in ts_list:
-                        idx = video.frame_index_at(ts)
-                        w, h, means = frame_stats(video, idx, cache)
-                        out["media_id"].append(int(mid))
-                        out["frame_ts_ms"].append(int(ts))
-                        out["frame_index"].append(idx)
-                        out["width"].append(w)
-                        out["height"].append(h)
-                        out["mean_r"].append(float(means[0]))
-                        out["mean_g"].append(float(means[1]))
-                        out["mean_b"].append(float(means[2]))
-                yield pd.DataFrame(out)
-
-    return media.select(id_col, payload_col).mapInPandas(
-        run, schema=VIDEO_FRAME_SCHEMA
+    return _map_video_frames(
+        media, every_ms, VIDEO_FRAME_SCHEMA, frame_fn,
+        id_col, payload_col, batch_rows,
     )
 
 
@@ -784,47 +810,26 @@ def video_thumbnails(
     parsed once per payload, each distinct frame decoded and resized
     at most once (sampled timestamps landing on the same frame reuse
     the encoded thumbnail), Arrow-batched row-parallelism, no driver
-    state."""
+    state (see :func:`_map_video_frames`)."""
     tw, th = int(width), int(height)
     if tw <= 0 or th <= 0:
         raise ValueError("target width/height must be positive")
-    every = int(every_ms)
 
-    def run(batches: Iterator) -> Iterator:
+    def frame_fn(video, idx):
         import numpy as np
-        import pandas as pd
 
-        from sparker_spark.llm import avi, jpeg
+        from sparker_spark.llm import jpeg
 
-        def thumb(video, idx, cache):
-            if idx not in cache:
-                img = jpeg.decode(video.frames[idx])
-                if img.shape[2] == 1:
-                    img = np.repeat(img, 3, axis=2)
-                ys = (np.arange(th) * img.shape[0]) // th
-                xs = (np.arange(tw) * img.shape[1]) // tw
-                out = np.ascontiguousarray(img[ys][:, xs])
-                cache[idx] = jpeg.encode(out, quality=quality)
-            return cache[idx]
+        img = jpeg.decode(video.frames[idx])
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        return {
+            "payload": jpeg.encode(_nn_resize(img, tw, th), quality=quality),
+            "width": tw,
+            "height": th,
+        }
 
-        for pdf in batches:
-            for start in range(0, len(pdf), batch_rows):
-                chunk = pdf.iloc[start : start + batch_rows]
-                out: dict[str, list] = {f.name: [] for f in THUMBNAIL_SCHEMA}
-                for mid, payload in zip(chunk[id_col], chunk[payload_col]):
-                    video = avi.parse_avi(bytes(payload))
-                    ts_list = list(range(0, video.duration_ms, every)) or [0]
-                    cache: dict = {}
-                    for ts in ts_list:
-                        idx = video.frame_index_at(ts)
-                        out["media_id"].append(int(mid))
-                        out["frame_ts_ms"].append(int(ts))
-                        out["frame_index"].append(idx)
-                        out["payload"].append(thumb(video, idx, cache))
-                        out["width"].append(tw)
-                        out["height"].append(th)
-                yield pd.DataFrame(out)
-
-    return media.select(id_col, payload_col).mapInPandas(
-        run, schema=THUMBNAIL_SCHEMA
+    return _map_video_frames(
+        media, every_ms, THUMBNAIL_SCHEMA, frame_fn,
+        id_col, payload_col, batch_rows,
     )

@@ -100,6 +100,54 @@ def test_rejects_garbage_and_corruption():
         flac.decode(bytes(payload))
 
 
+def test_truncated_stream_fails_loudly():
+    """A payload cut at a frame boundary must not return a silently
+    short stream (wrong duration/RMS features downstream)."""
+    sig = (1000 * np.sin(np.arange(8192) * 0.01)).astype(np.int64)
+    payload = flac.encode(sig, block_size=4096)
+    # find the second frame's sync byte pair to cut before it
+    cut = payload.find(b"\xff\xf8", 50)
+    assert cut > 0
+    with pytest.raises(ValueError, match="truncated|declared samples"):
+        flac.decode(payload[:cut])
+
+
+def test_encode_rejects_bad_block_size():
+    with pytest.raises(ValueError, match="block_size"):
+        flac.encode(np.full(100, 5), block_size=70000)
+    with pytest.raises(ValueError, match="block_size"):
+        flac.encode(np.full(100, 5), block_size=8)
+
+
+def test_frame_rate_mismatch_rejected():
+    """A frame header carrying an explicit rate code must agree with
+    STREAMINFO; decoding mixed rates would corrupt duration features.
+    (The repo's encoder always writes rate-from-STREAMINFO, so the
+    explicit-code paths are exercised by patching the header and
+    re-stamping its CRC-8.)"""
+    payload = bytearray(flac.encode(np.full(64, 9), sample_rate=8000))
+    start = payload.find(b"\xff\xf8")
+    assert start > 0
+
+    def with_rate_code(code):
+        p = bytearray(payload)
+        p[start + 2] = (p[start + 2] & 0xF0) | code
+        # header = sync..blocksize field (7 bytes for frame 0 with the
+        # encoder's 16-bit blocksize layout); CRC-8 follows, and the
+        # frame-wide CRC-16 is the stream's last two bytes (one frame)
+        p[start + 7] = flac._crc8(bytes(p[start : start + 7]))
+        crc16 = flac._crc16(bytes(p[start:-2]))
+        p[-2:] = crc16.to_bytes(2, "big")
+        return bytes(p)
+
+    # explicit matching rate (code 4 = 8000 Hz): decodes fine
+    n_channels, rate, frames = flac.decode(with_rate_code(4))
+    assert rate == 8000 and frames.shape[0] == 64
+    # explicit mismatching rate (code 9 = 44100 Hz): named rejection
+    with pytest.raises(ValueError, match="disagrees"):
+        flac.decode(with_rate_code(9))
+
+
 def test_audio_samples_dispatcher_and_registry():
     t = np.arange(320)
     sq = np.where(t % 16 < 8, 5000, -5000)
