@@ -408,6 +408,84 @@ SELECT media_id,
 FROM p"""
 
 
+# ----------------------------------------- pretraining sequence packing
+PACK_SEQ_LEN = 512  # power of two: the fill-ratio division is exact
+PACK_SEP = 1
+
+
+def q_pack_sequences(spark, sf_dir):
+    """The concat-and-chunk pretraining packing plan under the
+    VALUE-HASH gate: documents in doc_id order, one separator token
+    per document, fixed 512-token sequences — every (sequence,
+    document-slice) assignment value-checked. The Spark side computes
+    the global running offset with ranking.global_cumsum (distributed
+    prefix sums), the oracle with a plain windowed sum — identical
+    integers, very different physical plans."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.packing import SequencePacking
+
+    return SequencePacking.pack_plan(
+        load(spark, sf_dir, "documents"),
+        PACK_SEQ_LEN,
+        sep_tokens=PACK_SEP,
+    )
+
+
+O_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> len(x) > 0)) AS BIGINT) AS n
+  FROM documents),
+offs AS (
+  SELECT doc_id, n,
+         CAST(sum(n + {PACK_SEP}) OVER (ORDER BY doc_id)
+              - (n + {PACK_SEP}) AS BIGINT) AS off
+  FROM toks),
+spans AS (
+  SELECT doc_id, n, off,
+         CAST(unnest(generate_series(off // {PACK_SEQ_LEN},
+                                     (off + n - 1) // {PACK_SEQ_LEN}))
+          AS BIGINT) AS seq_id
+  FROM offs WHERE n > 0)
+SELECT seq_id, doc_id,
+       greatest(CAST(0 AS BIGINT), seq_id * {PACK_SEQ_LEN} - off)
+         AS tok_start,
+       least(n, (seq_id + 1) * {PACK_SEQ_LEN} - off) AS tok_end,
+       least(n, (seq_id + 1) * {PACK_SEQ_LEN} - off)
+         - greatest(CAST(0 AS BIGINT), seq_id * {PACK_SEQ_LEN} - off)
+         AS n_toks,
+       greatest(CAST(0 AS BIGINT), off - seq_id * {PACK_SEQ_LEN})
+         AS seq_pos
+FROM spans"""
+
+
+def q_pack_fill_stats(spark, sf_dir):
+    """Per-sequence packing fill report (docs per sequence, document
+    tokens, fill ratio) over the same plan — the data-quality check a
+    pretraining run does before writing sequences. seq_len is a power
+    of two so the fill-ratio division is float-exact in both
+    engines."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.packing import SequencePacking
+
+    plan = SequencePacking.pack_plan(
+        load(spark, sf_dir, "documents"),
+        PACK_SEQ_LEN,
+        sep_tokens=PACK_SEP,
+    )
+    return SequencePacking.pack_stats(plan, PACK_SEQ_LEN)
+
+
+O_PACK_FILL_STATS = f"""
+WITH plan AS ({O_PACK_SEQUENCES.strip()})
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_doc_tokens,
+       CAST(sum(n_toks) AS DOUBLE) / {float(PACK_SEQ_LEN)} AS fill_ratio
+FROM plan GROUP BY seq_id"""
+
+
 def r7_queries() -> dict:
     return {
         "video_frame_features": q_video_frame_features,
@@ -415,6 +493,8 @@ def r7_queries() -> dict:
         "jaccard_prefix_join_skew": q_jaccard_prefix_join_skew,
         "audio_flac_features": q_audio_flac_features,
         "video_thumbnails": q_video_thumbnails,
+        "pack_sequences": q_pack_sequences,
+        "pack_fill_stats": q_pack_fill_stats,
     }
 
 
@@ -428,4 +508,6 @@ def r7_oracles() -> dict:
         "jaccard_prefix_join_skew": O_JACCARD_PREFIX_SKEW,
         "audio_flac_features": O_AUDIO_FLAC,
         "video_thumbnails": O_VIDEO_THUMBNAILS,
+        "pack_sequences": O_PACK_SEQUENCES,
+        "pack_fill_stats": O_PACK_FILL_STATS,
     }

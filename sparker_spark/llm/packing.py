@@ -1,0 +1,131 @@
+"""Sequence packing for pretraining — the concat-and-chunk plan.
+
+The standard LLM pretraining data layout concatenates the tokenized
+corpus in a deterministic order (each document followed by a fixed
+number of separator tokens, e.g. one EOS) and cuts the stream into
+fixed-length training sequences; a document whose tokens straddle a
+cut simply continues in the next sequence. The PLAN for that layout —
+which token span of which document lands at which position of which
+sequence — is pure integer arithmetic over a global running token
+offset, so this module emits it as a relation without touching the
+text bytes twice:
+
+    (seq_id, doc_id, tok_start, tok_end, n_toks, seq_pos)
+
+meaning: tokens ``[tok_start, tok_end)`` of ``doc_id`` (0-based within
+the document's own token stream) occupy positions ``[seq_pos,
+seq_pos + n_toks)`` of training sequence ``seq_id``. A downstream
+writer joins the plan back to the tokenized text and materializes
+sequences with an ordinary groupBy(seq_id) — every shuffle is keyed,
+nothing is driver-resident.
+
+Scale posture: the one global dependency is the running offset, which
+is NOT computed with an unpartitioned window (single-partition sort —
+fatal at corpus scale) but with ``ranking.global_cumsum``: range
+repartition + per-partition prefix sums + a #partitions-sized driver
+offset list. Everything after the cumsum is per-row arithmetic plus
+one bounded ``sequence()`` explode (a document of n tokens spans at
+most ``n // seq_len + 2`` sequences).
+
+No reference counterpart — sparker has no pretraining surface; this
+extends the engine per the training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparker_spark import ranking
+
+
+class SequencePacking:
+    @staticmethod
+    def token_counts(
+        docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """(doc_id, n) whitespace-token counts — the same tokenizer
+        convention as the text-analysis operators (split on ``\\s+``,
+        empty tokens dropped)."""
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(
+                F.filter(
+                    F.split(F.col(text_col), "\\s+"),
+                    lambda t: F.length(t) > 0,
+                )
+            ).cast("long").alias("n"),
+        )
+
+    @staticmethod
+    def pack_plan(
+        docs: DataFrame,
+        seq_len: int,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        sep_tokens: int = 1,
+    ) -> DataFrame:
+        """The concat-and-chunk packing plan (module docstring).
+
+        Documents are laid out in ascending ``doc_id`` order; each
+        occupies its ``n`` tokens plus ``sep_tokens`` separator
+        positions (separators are accounted for in the offsets but
+        never emitted as document slices). Zero-token documents
+        contribute their separators to the stream and no plan rows.
+        """
+        seq_len = int(seq_len)
+        if seq_len <= 0:
+            raise ValueError("seq_len must be positive")
+        if sep_tokens < 0:
+            raise ValueError("sep_tokens must be >= 0")
+        counts = SequencePacking.token_counts(docs, text_col, id_col)
+        counts = counts.withColumn(
+            "_w", F.col("n") + F.lit(int(sep_tokens))
+        )
+        cum = ranking.global_cumsum(counts, ["doc_id"], "_w", out="_cum")
+        # exclusive prefix: first stream position of this doc's tokens
+        offs = cum.withColumn("off", (F.col("_cum") - F.col("_w"))).drop(
+            "_cum", "_w"
+        )
+        spans = offs.where(F.col("n") > 0).select(
+            "doc_id",
+            "n",
+            "off",
+            F.explode(
+                F.expr(
+                    f"sequence(off div {seq_len}, (off + n - 1) div {seq_len})"
+                )
+            ).alias("seq_id"),
+        )
+        out = spans.select(
+            "seq_id",
+            "doc_id",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("seq_id") * seq_len - F.col("off"),
+            ).alias("tok_start"),
+            F.least(
+                F.col("n"), (F.col("seq_id") + 1) * seq_len - F.col("off")
+            ).alias("tok_end"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("off") - F.col("seq_id") * seq_len,
+            ).alias("seq_pos"),
+        ).withColumn("n_toks", F.col("tok_end") - F.col("tok_start"))
+        return out.select(
+            "seq_id", "doc_id", "tok_start", "tok_end", "n_toks", "seq_pos"
+        )
+
+    @staticmethod
+    def pack_stats(plan: DataFrame, seq_len: int) -> DataFrame:
+        """Per-sequence fill report over a pack_plan relation:
+        (seq_id, n_docs, n_doc_tokens, fill_ratio) — separator and
+        tail positions are the unfilled remainder. The final (ragged)
+        sequence legitimately reports a low fill."""
+        return plan.groupBy("seq_id").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_doc_tokens"),
+            (F.sum("n_toks") / F.lit(float(int(seq_len)))).alias(
+                "fill_ratio"
+            ),
+        )

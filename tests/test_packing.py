@@ -1,0 +1,113 @@
+"""Sequence-packing tests (sparker_spark/llm/packing.py).
+
+The plan's invariants are checked structurally (they hold for ANY
+corpus): stream positions partition exactly, slices per document
+reassemble the full token range in order, sequence positions never
+collide, and the distributed-cumsum offsets equal the windowed-sum
+definition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparker_spark.llm.packing import SequencePacking
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_pack_plan_tiny_hand_checked(spark):
+    # doc0: 3 tokens (+1 sep -> offs 0..3), doc1: 5 tokens (off 4),
+    # doc2: 2 tokens (off 10); seq_len 4
+    docs = _docs(spark, ["a b c", "d e f g h", "i j"])
+    rows = {
+        (r["seq_id"], r["doc_id"]): r
+        for r in SequencePacking.pack_plan(docs, 4).collect()
+    }
+    # doc0 fully in seq 0 at pos 0
+    assert rows[(0, 0)]["tok_start"] == 0
+    assert rows[(0, 0)]["tok_end"] == 3
+    assert rows[(0, 0)]["seq_pos"] == 0
+    # doc1 spans seqs 1 and 2: stream [4, 9) -> seq1 [4,8) pos 0..4,
+    # seq2 [8,9) pos 0
+    assert rows[(1, 1)]["tok_start"] == 0
+    assert rows[(1, 1)]["tok_end"] == 4
+    assert rows[(1, 1)]["seq_pos"] == 0
+    assert rows[(2, 1)]["tok_start"] == 4
+    assert rows[(2, 1)]["tok_end"] == 5
+    assert rows[(2, 1)]["seq_pos"] == 0
+    # doc2 stream [10, 12) -> seq2 pos 2..4
+    assert rows[(2, 2)]["tok_start"] == 0
+    assert rows[(2, 2)]["tok_end"] == 2
+    assert rows[(2, 2)]["seq_pos"] == 2
+    assert len(rows) == 4
+
+
+def test_pack_plan_invariants(spark, sf_dir):
+    from sparker_spark.entry import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = SequencePacking.pack_plan(docs, 128, sep_tokens=1).cache()
+    counts = SequencePacking.token_counts(docs)
+
+    # every document's slices cover [0, n) contiguously in seq order
+    per_doc = (
+        plan.groupBy("doc_id")
+        .agg(
+            F.min("tok_start").alias("lo"),
+            F.max("tok_end").alias("hi"),
+            F.sum("n_toks").alias("tot"),
+        )
+        .join(counts.where("n > 0"), "doc_id", "full")
+    )
+    bad = per_doc.where(
+        "lo != 0 OR hi IS NULL OR hi != n OR tot != n"
+    ).count()
+    assert bad == 0
+
+    # no two slices overlap within a sequence, and no slice exceeds it
+    seq = plan.groupBy("seq_id").agg(
+        F.sum("n_toks").alias("tot"),
+        F.min("seq_pos").alias("minpos"),
+        F.max(F.col("seq_pos") + F.col("n_toks")).alias("maxend"),
+    )
+    assert seq.where("tot > 128 OR minpos < 0 OR maxend > 128").count() == 0
+    # slices within a sequence are disjoint: total == span coverage
+    overl = (
+        plan.alias("a")
+        .join(plan.alias("b"), "seq_id")
+        .where(
+            "a.doc_id < b.doc_id AND a.seq_pos < b.seq_pos + b.n_toks "
+            "AND b.seq_pos < a.seq_pos + a.n_toks"
+        )
+        .count()
+    )
+    assert overl == 0
+    plan.unpersist()
+
+
+def test_pack_stats_and_validation(spark):
+    docs = _docs(spark, ["a b c", "d e f g h", "i j"])
+    plan = SequencePacking.pack_plan(docs, 4)
+    stats = {
+        r["seq_id"]: r
+        for r in SequencePacking.pack_stats(plan, 4).collect()
+    }
+    assert stats[0]["n_docs"] == 1 and stats[0]["n_doc_tokens"] == 3
+    assert stats[2]["n_docs"] == 2 and stats[2]["fill_ratio"] == 0.75
+    with pytest.raises(ValueError, match="seq_len"):
+        SequencePacking.pack_plan(docs, 0)
+    with pytest.raises(ValueError, match="sep_tokens"):
+        SequencePacking.pack_plan(docs, 4, sep_tokens=-1)
+
+
+def test_empty_and_zero_token_docs(spark):
+    docs = _docs(spark, ["", "   ", "a b"])
+    rows = SequencePacking.pack_plan(docs, 4).collect()
+    # only doc2 emits slices; its offset accounts for the two empty
+    # docs' separators (stream positions 0 and 1 -> doc2 off=2)
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["seq_id"], r["seq_pos"]) == (2, 0, 2)
