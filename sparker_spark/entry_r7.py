@@ -460,6 +460,46 @@ SELECT seq_id, doc_id,
 FROM spans"""
 
 
+def q_pack_texts(spark, sf_dir):
+    """The packed-sequence MATERIALIZER under the VALUE-HASH gate:
+    the plan joined back to the tokenized text, slices assembled in
+    seq_pos order with separators rendered at their reserved in-
+    sequence positions — the (seq_id, text) relation a pretraining
+    run hands to tokenization. Gate checks every byte of every packed
+    sequence."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.packing import SequencePacking
+
+    docs = load(spark, sf_dir, "documents")
+    plan = SequencePacking.pack_plan(
+        docs, PACK_SEQ_LEN, sep_tokens=PACK_SEP
+    )
+    return SequencePacking.pack_texts(docs, plan, PACK_SEQ_LEN)
+
+
+O_PACK_TEXTS = f"""
+WITH plan AS ({O_PACK_SEQUENCES.strip()}),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> len(x) > 0) AS t
+  FROM documents),
+sliced AS (
+  SELECT p.seq_id, p.seq_pos, p.n_toks,
+         array_to_string(list_slice(t, CAST(p.tok_start + 1 AS INTEGER),
+                                    CAST(p.tok_end AS INTEGER)), ' ')
+           AS piece,
+         p.tok_end = len(t)
+           AND p.seq_pos + p.n_toks < {PACK_SEQ_LEN} AS ends_doc
+  FROM plan p JOIN toks USING (doc_id))
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       string_agg(CASE WHEN ends_doc THEN piece || ' <|sep|>'
+                       ELSE piece END, ' ' ORDER BY seq_pos) AS text
+FROM sliced GROUP BY seq_id"""
+
+
 def q_pack_fill_stats(spark, sf_dir):
     """Per-sequence packing fill report (docs per sequence, document
     tokens, fill ratio) over the same plan — the data-quality check a
@@ -495,6 +535,7 @@ def r7_queries() -> dict:
         "video_thumbnails": q_video_thumbnails,
         "pack_sequences": q_pack_sequences,
         "pack_fill_stats": q_pack_fill_stats,
+        "pack_texts": q_pack_texts,
     }
 
 
@@ -510,4 +551,5 @@ def r7_oracles() -> dict:
         "video_thumbnails": O_VIDEO_THUMBNAILS,
         "pack_sequences": O_PACK_SEQUENCES,
         "pack_fill_stats": O_PACK_FILL_STATS,
+        "pack_texts": O_PACK_TEXTS,
     }

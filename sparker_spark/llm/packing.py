@@ -117,6 +117,76 @@ class SequencePacking:
         )
 
     @staticmethod
+    def pack_texts(
+        docs: DataFrame,
+        plan: DataFrame,
+        seq_len: int,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        sep: str = "<|sep|>",
+    ) -> DataFrame:
+        """Materialize the packed sequences: join the plan back to the
+        tokenized text and emit (seq_id, n_docs, n_tokens, text) with
+        each document slice's tokens in stream order, ``sep`` rendered
+        at every separator position that falls INSIDE the sequence
+        (a document ending exactly on a sequence boundary puts its
+        separator at the head of the NEXT sequence, where it is
+        dropped from the rendering — the position accounting matches
+        the plan's offsets either way).
+
+        Plan shape: one slice() per plan row over the document's token
+        array (no per-token explode — the join moves each document's
+        token array once per covering sequence, which is bounded by
+        n//seq_len + 2), then one groupBy(seq_id) assembling slices in
+        seq_pos order. Both shuffles are keyed; nothing driver-side."""
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.filter(
+                F.split(F.col(text_col), "\\s+"), lambda t: F.length(t) > 0
+            ).alias("_toks"),
+        )
+        sliced = plan.join(toks, "doc_id").select(
+            "seq_id",
+            "seq_pos",
+            "n_toks",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "_toks",
+                    F.col("tok_start").cast("int") + 1,
+                    F.col("n_toks").cast("int"),
+                ),
+            ).alias("_piece"),
+            # the separator after a document lands in this sequence iff
+            # the slice ENDS the document AND the slice's end is not
+            # flush with the sequence boundary — emit it with the piece
+            # so reassembly is a plain ordered concat
+            (
+                (F.col("tok_end") == F.size("_toks"))
+                & (F.col("seq_pos") + F.col("n_toks") < int(seq_len))
+            ).alias("_ends_doc"),
+        )
+        assembled = sliced.groupBy("seq_id").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("seq_pos", "_piece", "_ends_doc")
+                        )
+                    ),
+                    lambda s: F.when(
+                        s["_ends_doc"],
+                        F.concat(s["_piece"], F.lit(" " + sep)),
+                    ).otherwise(s["_piece"]),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        return assembled.select("seq_id", "n_docs", "n_tokens", "text")
+
+    @staticmethod
     def pack_stats(plan: DataFrame, seq_len: int) -> DataFrame:
         """Per-sequence fill report over a pack_plan relation:
         (seq_id, n_docs, n_doc_tokens, fill_ratio) — separator and

@@ -103,6 +103,31 @@ def test_pack_stats_and_validation(spark):
         SequencePacking.pack_plan(docs, 4, sep_tokens=-1)
 
 
+def test_pack_texts_reconstruction(spark):
+    """Concatenating the rendered sequences in seq_id order recovers
+    the token stream: every document's tokens in doc_id order, with a
+    separator after each document whose boundary is not flush with a
+    sequence cut (flush separators land at the next sequence's head
+    and are dropped from the rendering)."""
+    texts = ["a b c", "d e f g h", "i j", "k l m n"]
+    docs = _docs(spark, texts)
+    plan = SequencePacking.pack_plan(docs, 4)
+    out = {
+        r["seq_id"]: r
+        for r in SequencePacking.pack_texts(docs, plan, 4).collect()
+    }
+    # stream: a b c | d e f g h | i j | k l m n with sep positions at
+    # 3, 9, 12, 17 -> seq0 "a b c <|sep|>"? position 3 is the sep and
+    # 3 < 4, so yes; doc1 spans seq1 [4,8) and seq2 [8,9), sep at 9
+    # inside seq2; doc2 [10,12) sep at 12 = seq3 boundary -> dropped
+    assert out[0]["text"] == "a b c <|sep|>"
+    assert out[1]["text"] == "d e f g"
+    assert out[2]["text"] == "h <|sep|> i j"
+    assert out[3]["text"] == "k l m"
+    assert out[4]["text"] == "n <|sep|>"
+    assert out[2]["n_docs"] == 2 and out[2]["n_tokens"] == 3
+
+
 def test_empty_and_zero_token_docs(spark):
     docs = _docs(spark, ["", "   ", "a b"])
     rows = SequencePacking.pack_plan(docs, 4).collect()
