@@ -62,14 +62,33 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
     ONE scan task and every narrow map stacked on it (tokenize,
     shingle assembly, hashing) runs on one core until the first
     shuffle — measured 2.8 s -> 0.5 s on the sf0.1 shingle keygen.
-    The pre-explode relation is documents-sized, so the added
-    exchange is tiny. At real scale the input has more splits than
-    cores, the condition is false, and NO shuffle is added — this is
-    a small-file fixup, not a partitioning strategy."""
+
+    Split COUNT alone can lie: parquet byte-range splits cannot cross
+    row-group boundaries, so a mid-size single-row-group file plans
+    many splits of which ONE carries every row (observed: a 150 MB
+    one-row-group corpus reported 19 partitions and serialized 500k
+    codec payloads onto one python worker). So small inputs by BYTES
+    are also respread — for them the exchange costs ~the file size,
+    while the skew costs (cores−1)× the whole downstream stage. At
+    real scale inputs are multi-GB with many row groups per file:
+    both conditions are false and NO shuffle is added — this is a
+    small-file fixup, not a partitioning strategy."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= target:
         return df.repartition(target)
+    try:
+        import os
+        from urllib.parse import unquote, urlparse
+
+        local = [f for f in df.inputFiles() if f.startswith("file:")]
+        total = sum(
+            os.path.getsize(unquote(urlparse(f).path)) for f in local
+        )
+        if local and total < 1 << 30:  # < 1 GiB: respread is cheap
+            return df.repartition(target)
+    except OSError:
+        pass
     return df
 
 
