@@ -81,11 +81,15 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
         import os
         from urllib.parse import unquote, urlparse
 
-        local = [f for f in df.inputFiles() if f.startswith("file:")]
+        files = df.inputFiles()
+        local = [f for f in files if f.startswith("file:")]
         total = sum(
             os.path.getsize(unquote(urlparse(f).path)) for f in local
         )
-        if local and total < 1 << 30:  # < 1 GiB: respread is cheap
+        # ALL inputs must be local and small: a relation mixing one
+        # small local file with large remote inputs must never be
+        # reshuffled on the strength of the local part alone
+        if local and len(local) == len(files) and total < 1 << 30:
             return df.repartition(target)
     except OSError:
         pass

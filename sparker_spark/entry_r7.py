@@ -474,7 +474,9 @@ def q_pack_texts(spark, sf_dir):
     plan = SequencePacking.pack_plan(
         docs, PACK_SEQ_LEN, sep_tokens=PACK_SEP
     )
-    return SequencePacking.pack_texts(docs, plan, PACK_SEQ_LEN)
+    return SequencePacking.pack_texts(
+        docs, plan, PACK_SEQ_LEN, sep_tokens=PACK_SEP
+    )
 
 
 O_PACK_TEXTS = f"""
@@ -485,6 +487,9 @@ toks AS (
                      x -> len(x) > 0) AS t
   FROM documents),
 sliced AS (
+  -- PACK_SEP = 1: the general render rule (min(sep_tokens, boundary
+  -- room) separators per document-ending slice) reduces to one
+  -- separator iff the slice's end is not flush with the sequence cut
   SELECT p.seq_id, p.seq_pos, p.n_toks,
          array_to_string(list_slice(t, CAST(p.tok_start + 1 AS INTEGER),
                                     CAST(p.tok_end AS INTEGER)), ' ')

@@ -39,22 +39,29 @@ from pyspark.sql import functions as F
 from sparker_spark import ranking
 
 
+def _ws_tokens(col):
+    """Whitespace token array (split on ``\\s+``, empty tokens
+    dropped; NULL text = zero tokens). The ONE tokenizer expression
+    shared by the plan's counts and the materializer's slices — the
+    ends-doc test and slice bounds silently break if these ever
+    diverge."""
+    return F.coalesce(
+        F.filter(F.split(col, "\\s+"), lambda t: F.length(t) > 0),
+        F.array().cast("array<string>"),
+    )
+
+
 class SequencePacking:
     @staticmethod
     def token_counts(
         docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> DataFrame:
-        """(doc_id, n) whitespace-token counts — the same tokenizer
-        convention as the text-analysis operators (split on ``\\s+``,
-        empty tokens dropped)."""
+        """(doc_id, n) whitespace-token counts (``_ws_tokens``
+        convention; NULL-text documents count zero tokens and, like
+        empty ones, still reserve their separators in the plan)."""
         return docs.select(
             F.col(id_col).alias("doc_id"),
-            F.size(
-                F.filter(
-                    F.split(F.col(text_col), "\\s+"),
-                    lambda t: F.length(t) > 0,
-                )
-            ).cast("long").alias("n"),
+            F.size(_ws_tokens(F.col(text_col))).cast("long").alias("n"),
         )
 
     @staticmethod
@@ -124,47 +131,59 @@ class SequencePacking:
         text_col: str = "text",
         id_col: str = "doc_id",
         sep: str = "<|sep|>",
+        sep_tokens: int = 1,
     ) -> DataFrame:
         """Materialize the packed sequences: join the plan back to the
         tokenized text and emit (seq_id, n_docs, n_tokens, text) with
-        each document slice's tokens in stream order, ``sep`` rendered
-        at every separator position that falls INSIDE the sequence
-        (a document ending exactly on a sequence boundary puts its
-        separator at the head of the NEXT sequence, where it is
-        dropped from the rendering — the position accounting matches
-        the plan's offsets either way).
+        each document slice's tokens in stream order and ``sep``
+        rendered at every reserved separator position that falls
+        INSIDE the sequence. ``sep_tokens`` MUST match the value the
+        plan was built with — the plan reserved that many stream
+        positions per document, and this renders exactly the reserved
+        positions that land before the sequence boundary (separators
+        flush with or past a cut continue at the next sequence's head,
+        where rendering drops them — position accounting matches the
+        plan's offsets either way).
 
         Plan shape: one slice() per plan row over the document's token
         array (no per-token explode — the join moves each document's
         token array once per covering sequence, which is bounded by
         n//seq_len + 2), then one groupBy(seq_id) assembling slices in
         seq_pos order. Both shuffles are keyed; nothing driver-side."""
+        if sep_tokens < 0:
+            raise ValueError("sep_tokens must be >= 0")
         toks = docs.select(
             F.col(id_col).alias("doc_id"),
-            F.filter(
-                F.split(F.col(text_col), "\\s+"), lambda t: F.length(t) > 0
-            ).alias("_toks"),
+            _ws_tokens(F.col(text_col)).alias("_toks"),
         )
+        # how many of this document's reserved separators land inside
+        # THIS sequence: the slice must end the document, and only the
+        # positions before the sequence boundary render here
+        n_seps = F.when(
+            F.col("tok_end") == F.size("_toks"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(int(sep_tokens)).cast("long"),
+                    F.lit(int(seq_len)) - F.col("seq_pos") - F.col("n_toks"),
+                ),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
         sliced = plan.join(toks, "doc_id").select(
             "seq_id",
             "seq_pos",
             "n_toks",
             F.concat_ws(
                 " ",
-                F.slice(
-                    "_toks",
-                    F.col("tok_start").cast("int") + 1,
-                    F.col("n_toks").cast("int"),
+                F.concat(
+                    F.slice(
+                        "_toks",
+                        F.col("tok_start").cast("int") + 1,
+                        F.col("n_toks").cast("int"),
+                    ),
+                    F.array_repeat(F.lit(sep), n_seps.cast("int")),
                 ),
             ).alias("_piece"),
-            # the separator after a document lands in this sequence iff
-            # the slice ENDS the document AND the slice's end is not
-            # flush with the sequence boundary — emit it with the piece
-            # so reassembly is a plain ordered concat
-            (
-                (F.col("tok_end") == F.size("_toks"))
-                & (F.col("seq_pos") + F.col("n_toks") < int(seq_len))
-            ).alias("_ends_doc"),
         )
         assembled = sliced.groupBy("seq_id").agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -172,14 +191,9 @@ class SequencePacking:
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(
-                            F.struct("seq_pos", "_piece", "_ends_doc")
-                        )
+                        F.collect_list(F.struct("seq_pos", "_piece"))
                     ),
-                    lambda s: F.when(
-                        s["_ends_doc"],
-                        F.concat(s["_piece"], F.lit(" " + sep)),
-                    ).otherwise(s["_piece"]),
+                    lambda s: s["_piece"],
                 ),
                 " ",
             ).alias("text"),

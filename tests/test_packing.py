@@ -62,8 +62,11 @@ def test_pack_plan_invariants(spark, sf_dir):
         )
         .join(counts.where("n > 0"), "doc_id", "full")
     )
+    # n IS NULL catches plan rows for docs OUTSIDE counts.where(n>0)
+    # (a spurious zero-token slice); without it the != predicates go
+    # NULL and WHERE would silently drop exactly the failure rows
     bad = per_doc.where(
-        "lo != 0 OR hi IS NULL OR hi != n OR tot != n"
+        "lo != 0 OR hi IS NULL OR n IS NULL OR hi != n OR tot != n"
     ).count()
     assert bad == 0
 
@@ -128,11 +131,41 @@ def test_pack_texts_reconstruction(spark):
     assert out[2]["n_docs"] == 2 and out[2]["n_tokens"] == 3
 
 
-def test_empty_and_zero_token_docs(spark):
-    docs = _docs(spark, ["", "   ", "a b"])
+def test_empty_null_and_zero_token_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "a b")], ["doc_id", "text"]
+    )
     rows = SequencePacking.pack_plan(docs, 4).collect()
-    # only doc2 emits slices; its offset accounts for the two empty
-    # docs' separators (stream positions 0 and 1 -> doc2 off=2)
+    # only doc2 emits slices; its offset accounts for the empty AND
+    # NULL docs' separators (stream positions 0 and 1 -> doc2 off=2)
     assert len(rows) == 1
     r = rows[0]
     assert (r["doc_id"], r["seq_id"], r["seq_pos"]) == (2, 0, 2)
+
+
+def test_pack_texts_sep_tokens_variants(spark):
+    """pack_texts must honor the sep_tokens the plan was built with:
+    zero separators render nothing; two reserve two positions and
+    render however many fit before the boundary."""
+    texts = ["a b c", "d e"]
+    docs = _docs(spark, texts)
+    # sep_tokens=0: stream a b c d e -> seqs of 4: "a b c d", "e"
+    plan0 = SequencePacking.pack_plan(docs, 4, sep_tokens=0)
+    out0 = {
+        r["seq_id"]: r["text"]
+        for r in SequencePacking.pack_texts(
+            docs, plan0, 4, sep_tokens=0
+        ).collect()
+    }
+    assert out0 == {0: "a b c d", 1: "e"}
+    # sep_tokens=2: stream a b c . . d e . . -> doc0 sep positions 3,4
+    # (one fits in seq0 at pos 3, one opens seq1 and is dropped); doc1
+    # at stream [5,7) -> seq1 pos 1..3, its seps at 7 (fits) and 8
+    plan2 = SequencePacking.pack_plan(docs, 4, sep_tokens=2)
+    out2 = {
+        r["seq_id"]: r["text"]
+        for r in SequencePacking.pack_texts(
+            docs, plan2, 4, sep_tokens=2, sep="<s>"
+        ).collect()
+    }
+    assert out2 == {0: "a b c <s>", 1: "d e <s>"}
