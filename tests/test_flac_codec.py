@@ -161,6 +161,46 @@ def test_audio_samples_dispatcher_and_registry():
     assert feat[3] == pytest.approx(5000 / 32768.0)
 
 
+def test_flac_roundtrip_property():
+    """Property: encode∘decode is the identity for ANY int16 signal,
+    any channel count/stereo mode, any block size — hypothesis drives
+    the subframe/rice/decorrelation choices through arbitrary
+    inputs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        data=st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=600,
+        ),
+        ch=st.integers(min_value=1, max_value=3),
+        bs=st.sampled_from([16, 64, 256, 4096]),
+        mode=st.sampled_from(
+            ["independent", "left_side", "right_side", "mid_side"]
+        ),
+        lpc=st.booleans(),
+    )
+    def run(data, ch, bs, mode, lpc):
+        if mode != "independent" and ch != 2:
+            mode = "independent"
+        n = (len(data) // ch) * ch
+        if n == 0:
+            return
+        samples = np.asarray(data[:n], dtype=np.int64)
+        payload = flac.encode(
+            samples, sample_rate=8000, n_channels=ch,
+            block_size=bs, stereo_mode=mode, use_lpc=lpc,
+        )
+        nch, sr, frames = flac.decode(payload)
+        assert (nch, sr) == (ch, 8000)
+        assert np.array_equal(frames.flatten(), samples)
+
+    run()
+
+
 def test_bits_per_sample_accessor():
     p8 = flac.encode(np.full(64, 7), bits_per_sample=8)
     p16 = flac.encode(np.full(64, 7))
