@@ -408,6 +408,81 @@ SELECT media_id,
 FROM p"""
 
 
+def q_multimodal_gif_features(spark, sf_dir):
+    """The GIF codec under the VALUE-HASH gate: each document becomes
+    a real multi-frame GIF (llm/gif.encode_gif — LZW, global color
+    table, animation blocks) of 1 + doc_id % 3 solid frames whose
+    first-frame palette color is arithmetic in doc_id, decoded back
+    through DecodeRegistry -> gif.decode (LZW decode + palette lookup
+    + compositing). GIF is LOSSLESS, so the oracle is the direct
+    modulo arithmetic — no color-space round trip to model."""
+    from sparker_spark.entry import _parallelize_scan, load
+    from sparker_spark.llm.multimodal import extract_features
+
+    docs = _parallelize_scan(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def make_gif(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sparker_spark.llm import gif
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                # same modulo-sign contract as the other media gates
+                assert mid >= 0, "GIF gate fixture requires doc_id >= 0"
+                palette = [
+                    (
+                        (mid + 31 * i) % 256,
+                        (mid * 5 + 37 * i) % 256,
+                        (mid * 11 + 41 * i) % 256,
+                    )
+                    for i in range(4)
+                ]
+                n_frames = 1 + mid % 3
+                frames = [
+                    np.full((5, 7), i % 4, dtype=np.uint8)
+                    for i in range(n_frames)
+                ]
+                payloads.append(gif.encode_gif(frames, palette))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads,
+                 "mime": "image/gif"}
+            )
+
+    media = docs.mapInPandas(
+        make_gif, schema="media_id long, payload binary, mime string"
+    )
+    feats = extract_features(media)
+    byte = lambda i: F.round(  # noqa: E731
+        F.element_at("feature", i) * 255.0
+    ).cast("int")
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("int").alias("width"),
+        F.element_at("feature", 2).cast("int").alias("height"),
+        F.element_at("feature", 3).cast("int").alias("n_frames"),
+        byte(4).alias("r_byte"),
+        byte(5).alias("g_byte"),
+        byte(6).alias("b_byte"),
+    )
+
+
+O_MULTIMODAL_GIF = """
+SELECT doc_id AS media_id,
+       CAST(7 AS INTEGER) AS width,
+       CAST(5 AS INTEGER) AS height,
+       CAST(1 + doc_id % 3 AS INTEGER) AS n_frames,
+       CAST(doc_id % 256 AS INTEGER) AS r_byte,
+       CAST((doc_id * 5) % 256 AS INTEGER) AS g_byte,
+       CAST((doc_id * 11) % 256 AS INTEGER) AS b_byte
+FROM documents"""
+
+
 # ----------------------------------------- pretraining sequence packing
 PACK_SEQ_LEN = 512  # power of two: the fill-ratio division is exact
 PACK_SEP = 1
@@ -541,6 +616,7 @@ def r7_queries() -> dict:
         "pack_sequences": q_pack_sequences,
         "pack_fill_stats": q_pack_fill_stats,
         "pack_texts": q_pack_texts,
+        "multimodal_gif_features": q_multimodal_gif_features,
     }
 
 
@@ -557,4 +633,5 @@ def r7_oracles() -> dict:
         "pack_sequences": O_PACK_SEQUENCES,
         "pack_fill_stats": O_PACK_FILL_STATS,
         "pack_texts": O_PACK_TEXTS,
+        "multimodal_gif_features": O_MULTIMODAL_GIF,
     }

@@ -500,10 +500,32 @@ def decode_flac(payload: bytes) -> list[float]:
     ]
 
 
+def decode_gif(payload: bytes) -> list[float]:
+    """GIF image/animation decoder (llm/gif.py — full LZW, interlace,
+    multi-frame compositing, transparency; lossless). Summary feature:
+    ``[width, height, n_frames, mean_r, mean_g, mean_b]`` with the
+    channel means over the FIRST composited frame in [0, 1]."""
+    import numpy as np
+
+    from sparker_spark.llm import gif
+
+    n_frames, img = gif.decode(payload)
+    means = img.reshape(-1, 3).astype(np.float64).mean(axis=0) / 255.0
+    return [
+        float(img.shape[1]),
+        float(img.shape[0]),
+        float(n_frames),
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+    ]
+
+
 DecodeRegistry.register("", _fake_byte_histogram)  # default fallback
 DecodeRegistry.register("image/x-portable-pixmap", decode_ppm)
 DecodeRegistry.register("image/png", decode_png)
 DecodeRegistry.register("image/jpeg", decode_jpeg)
+DecodeRegistry.register("image/gif", decode_gif)
 DecodeRegistry.register("audio/wav", decode_wav)
 DecodeRegistry.register("audio/flac", decode_flac)
 DecodeRegistry.register("video/x-msvideo", decode_avi)
