@@ -1,0 +1,68 @@
+"""One-call prepare_training_data(): curation drops the planted
+offenders, packing lays the survivors out deterministically."""
+
+from sparker_spark.llm.packing import SequencePacking
+from sparker_spark.pretrain import prepare_training_data
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew quirky potions beneath a glowing autumn sky tonight"
+)
+GOOD2 = (
+    "mountain rivers carve ancient valleys through granite stone as "
+    "eagles circle high above the misty northern ridge line today"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, GOOD),
+        (1, GOOD2),
+        (2, "spam spam spam spam spam spam spam spam spam spam"),
+        (3, GOOD),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_prepare_training_data_end_to_end(spark):
+    out = prepare_training_data(
+        _docs(spark), seq_len=16, jaccard_threshold=0.5
+    ).collect()
+    text = " ".join(
+        r["text"] for r in sorted(out, key=lambda r: r["seq_id"])
+    )
+    # survivors are doc 0 (canonical of {0,3}) and doc 1, in id order,
+    # separator-delimited; the repetition offender is gone
+    assert "spam" not in text
+    assert text.index("quick brown fox") < text.index("mountain rivers")
+    assert "<|sep|>" in text
+    toks = [t for t in text.split() if t != "<|sep|>"]
+    assert len(toks) == len(GOOD.split()) + len(GOOD2.split())
+    # per-sequence accounting matches the layout
+    assert sum(r["n_tokens"] for r in out) == len(toks)
+
+
+def test_prepare_training_data_plan_form(spark):
+    docs = _docs(spark)
+    plan = prepare_training_data(
+        docs, seq_len=16, jaccard_threshold=0.5, return_plan=True
+    )
+    assert set(plan.columns) == {
+        "seq_id", "doc_id", "tok_start", "tok_end", "n_toks", "seq_pos"
+    }
+    # the plan is consistent: materializing it by hand gives the same
+    # sequences as the one-call text form
+    from sparker_spark.curate import curate
+
+    clean = curate(docs, jaccard_threshold=0.5)
+    by_hand = {
+        r["seq_id"]: r["text"]
+        for r in SequencePacking.pack_texts(clean, plan, 16).collect()
+    }
+    one_call = {
+        r["seq_id"]: r["text"]
+        for r in prepare_training_data(
+            docs, seq_len=16, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert by_hand == one_call
