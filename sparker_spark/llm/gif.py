@@ -212,7 +212,10 @@ def _parse(payload: bytes):
             f.indices, f.palette = indices, palette
             f.transparent, f.disposal = transparent, disposal
             frames.append(f)
-            transparent = None  # GCE applies to ONE following image
+            # GCE applies to ONE following image: reset BOTH fields, or
+            # a GCE's disposal would leak onto later GCE-less frames
+            transparent = None
+            disposal = 0
             continue
         raise ValueError(f"unknown GIF block 0x{block:02X}")
     _expect(bool(frames), "GIF contains no image data")

@@ -33,7 +33,9 @@ extends the engine per the training-data-pipeline brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sparker_spark import ranking
@@ -41,7 +43,7 @@ from sparker_spark import ranking
 
 def _ws_tokens(col):
     """Whitespace token array (split on ``\\s+``, empty tokens
-    dropped; NULL text = zero tokens). The ONE tokenizer expression
+    dropped; NULL text = zero tokens). The DEFAULT tokenizer expression
     shared by the plan's counts and the materializer's slices — the
     ends-doc test and slice bounds silently break if these ever
     diverge."""
@@ -51,17 +53,50 @@ def _ws_tokens(col):
     )
 
 
+def _tokens(col, tokenizer: Callable[[Column], Column] | None):
+    """Token array under the pluggable tokenizer contract: any
+    Column -> Column(array) expression (e.g. a BPE-ish
+    ``regexp_extract_all``); NULL text always counts zero tokens.
+    Plan counts and text slices MUST flow through the SAME tokenizer
+    or the ends-doc test and slice bounds silently diverge — which is
+    why every entry point threads one ``tokenizer`` argument to both.
+    """
+    if tokenizer is None:
+        return _ws_tokens(col)
+    return F.coalesce(tokenizer(col), F.array().cast("array<string>"))
+
+
 class SequencePacking:
     @staticmethod
     def token_counts(
-        docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        tokenizer: Callable[[Column], Column] | None = None,
+        counts_col: str | None = None,
     ) -> DataFrame:
-        """(doc_id, n) whitespace-token counts (``_ws_tokens``
-        convention; NULL-text documents count zero tokens and, like
-        empty ones, still reserve their separators in the plan)."""
+        """(doc_id, n) token counts. Default: whitespace tokens
+        (``_ws_tokens``); NULL-text documents count zero tokens and,
+        like empty ones, still reserve their separators in the plan.
+
+        * ``tokenizer``: any Column -> Column(array) expression (a
+          BPE-ish regex, a pre-split column reference, ...) replacing
+          the whitespace default.
+        * ``counts_col``: a PRECOMPUTED token-count column on ``docs``
+          (e.g. written by an external BPE/SentencePiece run) — the
+          plan then never touches the text at all. NULLs count zero.
+        """
+        if counts_col is not None:
+            return docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.coalesce(F.col(counts_col).cast("long"), F.lit(0))
+                .alias("n"),
+            )
         return docs.select(
             F.col(id_col).alias("doc_id"),
-            F.size(_ws_tokens(F.col(text_col))).cast("long").alias("n"),
+            F.size(_tokens(F.col(text_col), tokenizer))
+            .cast("long")
+            .alias("n"),
         )
 
     @staticmethod
@@ -71,6 +106,8 @@ class SequencePacking:
         text_col: str = "text",
         id_col: str = "doc_id",
         sep_tokens: int = 1,
+        tokenizer: Callable[[Column], Column] | None = None,
+        counts_col: str | None = None,
     ) -> DataFrame:
         """The concat-and-chunk packing plan (module docstring).
 
@@ -79,13 +116,24 @@ class SequencePacking:
         positions (separators are accounted for in the offsets but
         never emitted as document slices). Zero-token documents
         contribute their separators to the stream and no plan rows.
+
+        The plan only needs a ``(doc_id, n)`` relation, so any
+        tokenization plugs in: ``tokenizer`` (a Column -> array
+        expression applied to ``text_col``) or ``counts_col`` (a
+        precomputed per-document token count — the form an external
+        BPE run hands over). Eagerly materializes the per-document
+        offsets (a 3-long-column relation) so the distributed cumsum's
+        internal cache can be released before returning — repeated
+        pack_plan calls never accumulate pinned session state.
         """
         seq_len = int(seq_len)
         if seq_len <= 0:
             raise ValueError("seq_len must be positive")
         if sep_tokens < 0:
             raise ValueError("sep_tokens must be >= 0")
-        counts = SequencePacking.token_counts(docs, text_col, id_col)
+        counts = SequencePacking.token_counts(
+            docs, text_col, id_col, tokenizer=tokenizer, counts_col=counts_col
+        )
         counts = counts.withColumn(
             "_w", F.col("n") + F.lit(int(sep_tokens))
         )
@@ -94,6 +142,12 @@ class SequencePacking:
         offs = cum.withColumn("off", (F.col("_cum") - F.col("_w"))).drop(
             "_cum", "_w"
         )
+        # materialize the offsets once (localCheckpoint is GC-freed,
+        # unlike a session-pinned cache), then release the cumsum's
+        # internal cache — the offsets are fixed, so downstream
+        # consumers read the checkpoint and the pin is gone
+        offs = offs.localCheckpoint(eager=True)
+        ranking.release(cum)
         spans = offs.where(F.col("n") > 0).select(
             "doc_id",
             "n",
@@ -132,6 +186,8 @@ class SequencePacking:
         id_col: str = "doc_id",
         sep: str = "<|sep|>",
         sep_tokens: int = 1,
+        tokenizer: Callable[[Column], Column] | None = None,
+        tokens_col: str | None = None,
     ) -> DataFrame:
         """Materialize the packed sequences: join the plan back to the
         tokenized text and emit (seq_id, n_docs, n_tokens, text) with
@@ -145,6 +201,13 @@ class SequencePacking:
         where rendering drops them — position accounting matches the
         plan's offsets either way).
 
+        ``tokenizer`` / ``tokens_col`` MUST match what the plan was
+        built with: ``tokenizer`` re-tokenizes ``text_col`` with the
+        same expression; ``tokens_col`` names a PRE-TOKENIZED array
+        column on ``docs`` (``array<string>`` or any castable element
+        type — elements are rendered with their string form), the form
+        to use when the plan was built from precomputed counts.
+
         Plan shape: one slice() per plan row over the document's token
         array (no per-token explode — the join moves each document's
         token array once per covering sequence, which is bounded by
@@ -152,9 +215,15 @@ class SequencePacking:
         seq_pos order. Both shuffles are keyed; nothing driver-side."""
         if sep_tokens < 0:
             raise ValueError("sep_tokens must be >= 0")
+        if tokens_col is not None:
+            tok_expr = F.coalesce(
+                F.transform(F.col(tokens_col), lambda t: t.cast("string")),
+                F.array().cast("array<string>"),
+            )
+        else:
+            tok_expr = _tokens(F.col(text_col), tokenizer)
         toks = docs.select(
-            F.col(id_col).alias("doc_id"),
-            _ws_tokens(F.col(text_col)).alias("_toks"),
+            F.col(id_col).alias("doc_id"), tok_expr.alias("_toks")
         )
         # how many of this document's reserved separators land inside
         # THIS sequence: the slice must end the document, and only the
@@ -199,6 +268,80 @@ class SequencePacking:
             ).alias("text"),
         )
         return assembled.select("seq_id", "n_docs", "n_tokens", "text")
+
+    @staticmethod
+    def pack_token_ids(
+        docs: DataFrame,
+        plan: DataFrame,
+        seq_len: int,
+        tokens_col: str,
+        id_col: str = "doc_id",
+        sep_id: int = -1,
+        sep_tokens: int = 1,
+    ) -> DataFrame:
+        """Materialize packed INTEGER sequences — the relation a
+        pretraining run actually writes: ``(seq_id, n_docs, n_tokens,
+        input_ids)`` with ``input_ids`` an ``array<long>`` of the
+        documents' token ids in stream order and ``sep_id`` at every
+        reserved separator position that falls inside the sequence
+        (same separator-rendering rule as :meth:`pack_texts`; the
+        final ragged sequence is shorter than ``seq_len``).
+
+        ``tokens_col`` is a pre-tokenized ``array`` column on ``docs``
+        (any integer element type) whose per-document length matches
+        the counts the plan was built from — pair it with
+        ``pack_plan(counts_col=...)`` or
+        ``pack_plan(tokenizer=...)`` + an id-mapping of the same
+        tokenizer. Identical plan shape to pack_texts: one slice per
+        plan row, one keyed groupBy(seq_id), flatten in seq_pos order.
+        """
+        if sep_tokens < 0:
+            raise ValueError("sep_tokens must be >= 0")
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(
+                F.transform(F.col(tokens_col), lambda t: t.cast("long")),
+                F.array().cast("array<long>"),
+            ).alias("_toks"),
+        )
+        n_seps = F.when(
+            F.col("tok_end") == F.size("_toks"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(int(sep_tokens)).cast("long"),
+                    F.lit(int(seq_len)) - F.col("seq_pos") - F.col("n_toks"),
+                ),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        sliced = plan.join(toks, "doc_id").select(
+            "seq_id",
+            "seq_pos",
+            "n_toks",
+            F.concat(
+                F.slice(
+                    "_toks",
+                    F.col("tok_start").cast("int") + 1,
+                    F.col("n_toks").cast("int"),
+                ),
+                F.array_repeat(
+                    F.lit(int(sep_id)).cast("long"), n_seps.cast("int")
+                ),
+            ).alias("_piece"),
+        )
+        assembled = sliced.groupBy("seq_id").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seq_pos", "_piece"))
+                    ),
+                    lambda s: s["_piece"],
+                )
+            ).alias("input_ids"),
+        )
+        return assembled.select("seq_id", "n_docs", "n_tokens", "input_ids")
 
     @staticmethod
     def pack_stats(plan: DataFrame, seq_len: int) -> DataFrame:

@@ -19,7 +19,10 @@ runs reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from sparker_spark.curate import curate
 from sparker_spark.llm.packing import SequencePacking
@@ -34,6 +37,8 @@ def prepare_training_data(
     sep_tokens: int = 1,
     sep: str = "<|sep|>",
     return_plan: bool = False,
+    tokenizer: Callable[[Column], Column] | None = None,
+    token_counts: DataFrame | None = None,
     **curate_knobs,
 ) -> DataFrame:
     """Cleaned, packed training sequences
@@ -45,11 +50,34 @@ def prepare_training_data(
     * ``eval_docs`` + ``**curate_knobs``: forwarded to
       :func:`curate` (quality floor, repetition filter, near-dup
       threshold, boilerplate removal, decontamination, ...).
+    * ``tokenizer``: a Column -> Column(array) expression replacing
+      the whitespace default for BOTH the plan's counts and the
+      materialized slices — how a BPE-ish regex (or any Spark-
+      expressible tokenization) plugs in consistently. Applied to the
+      CURATED text, so it composes with redaction/boilerplate.
+    * ``token_counts``: a precomputed ``(id_col, n)`` relation from an
+      EXTERNAL tokenizer run; the plan lays out the curation survivors
+      under those counts (inner join — every surviving doc must have a
+      count). The engine cannot materialize text slices for a
+      tokenization it didn't perform, so this requires
+      ``return_plan=True`` (the plan is the artifact to persist when
+      one corpus feeds several tokenizations); it is also mutually
+      exclusive with ``tokenizer``. NOTE: external counts are counts
+      of the text as tokenized OUTSIDE this call — disable the
+      text-mutating stages (``redact=False``, no boilerplate removal)
+      or the counts will describe different bytes than the survivors.
     * ``return_plan=True`` returns the (seq_id, doc_id, tok_start,
       tok_end, n_toks, seq_pos) plan relation instead of materialized
-      text — the form to persist when the same corpus feeds several
-      tokenizations.
+      text.
     """
+    if token_counts is not None and tokenizer is not None:
+        raise ValueError("pass either tokenizer or token_counts, not both")
+    if token_counts is not None and not return_plan:
+        raise ValueError(
+            "token_counts (an external tokenization) requires "
+            "return_plan=True — text slices cannot be materialized for "
+            "a tokenizer this engine did not run"
+        )
     clean = curate(
         documents,
         eval_docs=eval_docs,
@@ -57,12 +85,23 @@ def prepare_training_data(
         text_col=text_col,
         **curate_knobs,
     )
+    counts_col = None
+    if token_counts is not None:
+        clean = clean.join(
+            token_counts.select(
+                F.col(id_col), F.col("n").alias("_ext_n")
+            ),
+            id_col,
+        )
+        counts_col = "_ext_n"
     plan = SequencePacking.pack_plan(
         clean,
         seq_len,
         text_col=text_col,
         id_col=id_col,
         sep_tokens=sep_tokens,
+        tokenizer=tokenizer,
+        counts_col=counts_col,
     )
     if return_plan:
         return plan
@@ -74,4 +113,5 @@ def prepare_training_data(
         id_col=id_col,
         sep=sep,
         sep_tokens=sep_tokens,
+        tokenizer=tokenizer,
     )

@@ -109,3 +109,24 @@ def test_decode_registry_summary():
     feat = DecodeRegistry.decode("image/gif", gif.encode_gif(frames, PAL))
     assert feat[:3] == [7.0, 5.0, 2.0]
     assert [round(x * 255) for x in feat[3:]] == list(PAL[1])
+
+
+def test_gce_disposal_applies_to_one_frame_only():
+    """ADVICE r8: a graphic-control extension applies to exactly ONE
+    following image (GIF89a §23) — a GCE-less frame after a
+    disposal=2 frame must parse with disposal 0, not inherit 2."""
+    frames = [
+        np.full((2, 2), 1, dtype=np.uint8),
+        np.full((2, 2), 2, dtype=np.uint8),
+    ]
+    payload = bytearray(gif.encode_gif(frames, PAL))
+    first = payload.find(b"\x21\xf9")
+    payload[first + 3] |= 2 << 2  # frame 1: disposal 2
+    second = payload.find(b"\x21\xf9", first + 2)
+    assert second > 0
+    del payload[second : second + 8]  # strip frame 2's GCE entirely
+    _, _, parsed = gif._parse(bytes(payload))
+    assert [f.disposal for f in parsed] == [2, 0]
+    # compositing: frame 2's pixels persist (no spurious canvas clear)
+    out = gif.frames_rgb(bytes(payload))
+    assert tuple(out[1][0, 0, :]) == PAL[2]
