@@ -335,11 +335,24 @@ def pipeline_events_e2e(spark, sf_dir):
     )
 
 
+def pipeline_pretrain_e2e(spark, sf_dir):
+    """prepare_training_data() end-to-end — the SAME definition as the
+    oracle-gated registry query (entry_r8.q_pipeline_pretrain_e2e:
+    quality floor -> exact dedup -> packed sequences), so the benched
+    number and the value-hash gate describe one plan. Runs here in the
+    pipelines section (clean-JVM-warm, behind the clearCache barrier)
+    and is skipped by the registry sweep below via the name match."""
+    from sparker_spark.entry_r8 import q_pipeline_pretrain_e2e
+
+    return q_pipeline_pretrain_e2e(spark, sf_dir)
+
+
 PIPELINES = {
     "pipeline_blast_e2e": pipeline_blast_e2e,
     "pipeline_gsmb_e2e": pipeline_gsmb_e2e,
     "pipeline_curation_e2e": pipeline_curation_e2e,
     "pipeline_events_e2e": pipeline_events_e2e,
+    "pipeline_pretrain_e2e": pipeline_pretrain_e2e,
 }
 
 
