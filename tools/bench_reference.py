@@ -16,6 +16,15 @@ Stage timings include each side's own materialization idiom — the
 reference's driver-collected broadcast block index is charged to the
 reference (it is the documented memory cliff, AllTest.scala:440-452),
 our caches to us.
+
+COLD vs WARM (r8): each (engine, regime) leg now runs BENCH_REF_REPS
+times (default 2) inside its one JVM, with all caches/persistent RDDs
+swept between reps so every rep recomputes the full work. Rep 0 is the
+COLD leg (carries first-plan codegen/JIT for that engine's operators);
+the best later rep is the WARM leg — the steady-state number a long-
+running session sees. BASELINE.md's r7 claim that the token-regime
+filtering gap is codegen warmup was previously supported only by a
+side measurement; the warm column now measures it in the same harness.
 """
 
 from __future__ import annotations
@@ -349,7 +358,33 @@ def _run_one(sf_dir, engine, regime):
     #   our side uses it for Arrow batches)
     spark.sparkContext.parallelize(range(32), 8).map(lambda x: x + 1).count()
     fn = bench_ours if engine == "ours" else bench_reference
-    print("RESULT" + json.dumps(fn(spark, sf_dir, regime)))
+    reps = max(1, int(os.environ.get("BENCH_REF_REPS", "2")))
+    runs = []
+    for i in range(reps):
+        if i:
+            _sweep_session(spark)
+        runs.append(fn(spark, sf_dir, regime))
+    # historical schema: top-level stage timings are the COLD rep
+    rec = dict(runs[0])
+    rec["cold_total"] = runs[0]["total"]
+    if len(runs) > 1:
+        warm = min(runs[1:], key=lambda r: r["total"])
+        rec["warm"] = {k: v for k, v in warm.items() if k != "counts"}
+        rec["warm_total"] = warm["total"]
+    print("RESULT" + json.dumps(rec))
+
+
+def _sweep_session(spark):
+    """Drop every cached DataFrame and persistent RDD so a warm rep
+    recomputes the full work (JIT/codegen stay warm — that is the
+    point); without the sweep rep 2 would partially read rep 1's
+    caches and measure I/O, not the operators."""
+    import gc
+
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+    gc.collect()
 
 
 def main():
@@ -381,13 +416,18 @@ def main():
                     f"{engine}/{regime} failed:\n{proc.stderr[-2000:]}"
                 )
             res[engine] = json.loads(line[-1][len("RESULT"):])
-        out[regime] = {
+        entry = {
             "reference": res["reference"],
             "ours": res["ours"],
             "speedup_total": round(
                 res["reference"]["total"] / res["ours"]["total"], 2
             ),
         }
+        if "warm_total" in res["reference"] and "warm_total" in res["ours"]:
+            entry["speedup_warm_total"] = round(
+                res["reference"]["warm_total"] / res["ours"]["warm_total"], 2
+            )
+        out[regime] = entry
     print(json.dumps(out))
 
 
