@@ -463,6 +463,9 @@ def r8_queries() -> dict:
         "pretrain_plan_external_counts": q_pretrain_plan_external_counts,
         "ann_topk_ivf_probe1": q_ann_topk_ivf_probe1,
         "knn_label_vote_ivf_probe1": q_knn_label_vote_ivf_probe1,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_first_merge": q_bpe_first_merge,
+        "bpe_encode_fixed": q_bpe_encode_fixed,
     }
 
 
@@ -475,4 +478,156 @@ def r8_oracles() -> dict:
         "pretrain_plan_external_counts": _o_pretrain_plan_external(),
         "ann_topk_ivf_probe1": O_ANN_TOPK_IVF_PROBE1,
         "knn_label_vote_ivf_probe1": O_KNN_LABEL_VOTE_IVF_PROBE1,
+        "bpe_pair_counts": O_BPE_PAIR_COUNTS,
+        "bpe_first_merge": O_BPE_FIRST_MERGE,
+        "bpe_encode_fixed": _o_bpe_encode_fixed(),
     }
+
+
+# ----------------------------------------------------- BPE tokenizer
+# Training iteration 0 (pair counts over the corpus word vocabulary)
+# and the argmax merge are exactly SQL-expressible, so they carry the
+# value-hash gate for the trainer's counting+selection core; the
+# k-iteration loop and the priority encoder are pinned against an
+# independent pure-Python reference in tests/test_bpe.py.
+
+_VOCAB_SQL = """
+w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> len(x) > 0)) AS word
+  FROM documents),
+v AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word),
+ch AS (SELECT word, n, regexp_extract_all(word, '.') AS cs FROM v),
+pr AS (
+  SELECT cs[i] AS sym_left, cs[i + 1] AS sym_right, n
+  FROM (SELECT word, n, cs,
+               unnest(generate_series(1, len(cs) - 1)) AS i
+        FROM ch)),
+pc AS (
+  SELECT sym_left, sym_right, CAST(sum(n) AS BIGINT) AS n
+  FROM pr GROUP BY 1, 2)"""
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE training iteration 0 under the VALUE-HASH gate: adjacent
+    single-character symbol-pair counts over the corpus word
+    vocabulary (the relation every training iteration aggregates;
+    bounded by |charset|² rows at iteration 0). One corpus pass for
+    the vocab + one explode + one hash aggregate — keyed shuffles
+    only."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.bpe import BPE
+
+    state = BPE._init_state(
+        BPE.word_vocab(load(spark, sf_dir, "documents"))
+    )
+    return BPE.pair_counts(state).select(
+        F.col("left").alias("sym_left"),
+        F.col("right").alias("sym_right"),
+        "n",
+    )
+
+
+O_BPE_PAIR_COUNTS = f"""
+WITH {_VOCAB_SQL.strip()}
+SELECT sym_left, sym_right, n FROM pc"""
+
+
+def q_bpe_first_merge(spark, sf_dir):
+    """The trainer's selection rule under the gate: the single
+    highest-count pair with the full deterministic tie-break (count
+    desc, left asc, right asc) — i.e. BPE.train(num_merges=1)."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.bpe import BPE
+
+    return BPE.train(load(spark, sf_dir, "documents"), 1)
+
+
+O_BPE_FIRST_MERGE = f"""
+WITH {_VOCAB_SQL.strip()}
+SELECT CAST(1 AS INTEGER) AS rank, sym_left AS "left",
+       sym_right AS "right", sym_left || sym_right AS merged
+FROM pc
+ORDER BY n DESC, sym_left, sym_right LIMIT 1"""
+
+
+# Hand-written cascade-free merge table for the ENCODE gate. Two
+# provable properties make the SQL oracle exact (reasoning in
+# tests/test_bpe_gate_fixture.py):
+#   * every pair has left != right, so one merge pass's left-to-right
+#     non-overlapping semantics equals a simultaneous string replace
+#     on a both-sides-wrapped symbol encoding;
+#   * no merge's RESULT equals an EARLIER merge's operand, so a pair
+#     can never re-appear after a later-rank merge — priority
+#     encoding (what BPE.encode runs) coincides with one pass per
+#     rank in rank order (what the replace chain replays).
+BPE_FIXED_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+]
+
+
+def q_bpe_encode_fixed(spark, sf_dir):
+    """The priority ENCODER under the value-hash gate: every document
+    tokenized with the fixed cascade-free merge table, every token of
+    every document value-checked (space-joined — BPE tokens contain
+    no whitespace by construction)."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.bpe import BPE
+
+    merges = spark.createDataFrame(
+        [
+            (r + 1, a, b, a + b)
+            for r, (a, b) in enumerate(BPE_FIXED_MERGES)
+        ],
+        "rank int, left string, right string, merged string",
+    )
+    enc = BPE.encode(load(spark, sf_dir, "documents"), merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(" ", "tokens").alias("tokens_str"),
+    )
+
+
+def _o_bpe_encode_fixed() -> str:
+    # symbol encoding: chr(31) || sym || chr(30) per symbol; merges
+    # replay as string replaces in rank order (valid for this fixture
+    # — see BPE_FIXED_MERGES comment)
+    def w(sym: str) -> str:
+        return f"chr(31) || '{sym}' || chr(30)"
+
+    expr = (
+        "chr(31) || array_to_string(regexp_extract_all(x, '.'),"
+        " chr(30) || chr(31)) || chr(30)"
+    )
+    for a, b in BPE_FIXED_MERGES:
+        expr = f"replace({expr}, {w(a)} || {w(b)}, {w(a + b)})"
+    # wrapped symbols -> space-joined token string
+    word_tokens = (
+        f"rtrim(ltrim(replace({expr}, chr(30) || chr(31), ' '),"
+        " chr(31)), chr(30))"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> len(x) > 0) AS words
+  FROM documents),
+t AS (
+  SELECT doc_id,
+         array_to_string(list_transform(words, x -> {word_tokens}),
+                         ' ') AS tokens_str
+  FROM d)
+SELECT doc_id,
+       CAST(CASE WHEN tokens_str = '' THEN 0
+                 ELSE len(string_split(tokens_str, ' ')) END AS BIGINT)
+         AS n_tokens,
+       tokens_str
+FROM t"""

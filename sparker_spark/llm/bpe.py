@@ -1,0 +1,328 @@
+"""Distributed BPE (byte-pair-encoding) tokenizer training + encoding.
+
+Completes the engine's tokenizer story: ``BPE.train`` learns a merge
+table from the corpus, ``BPE.encode`` tokenizes documents with it, and
+the token arrays/counts flow straight into
+``SequencePacking.pack_plan(counts_col=...)`` /
+``pack_texts(tokens_col=...)`` — corpus in, trained-tokenizer packed
+sequences out, all inside one engine.
+
+Algorithm (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units"): start from the corpus WORD VOCABULARY with
+counts (Heaps-small relative to the corpus — the reason BPE training
+is tractable at 100 TB: one corpus pass builds the vocab, every
+iteration after that touches only vocab rows), each word a sequence of
+single-character symbols; repeatedly count adjacent symbol pairs
+weighted by word count, merge the most frequent pair (ties: count
+desc, then left asc, right asc — fully deterministic), and record the
+merge. Word boundaries are never crossed (no end-of-word marker;
+merges apply within words only — the GPT-2-style convention without
+byte-level pre-mapping).
+
+Scale posture:
+
+* ``train`` is the fully-distributed loop: per merge, one pair-count
+  aggregate and one symbol-rewrite projection over the cached vocab
+  relation — two keyed jobs per merge, no driver-resident vocab. The
+  per-merge job overhead makes it the right path for moderate merge
+  counts or vocabularies too large to collect.
+* ``train_local`` collects the (word, count) vocab — GUARDED by an
+  explicit row cap (the same bounded-driver-scalar discipline as the
+  purging threshold collects) — and runs the classic in-memory
+  trainer. Vocabulary is sublinear in corpus size (Heaps' law), so
+  this is the practical path for real merge counts (32k+) where the
+  distributed loop's 2·k job latency dominates; equality with
+  ``train`` is property-tested.
+* ``encode`` broadcasts the MERGE TABLE (the model itself, ≤ the
+  number of merges — bounded and small by construction) and runs the
+  standard priority encoder in Arrow-batched ``mapInPandas`` with a
+  per-batch word cache; Zipf's law makes the cache hit rate high.
+
+No reference counterpart — sparker has no tokenizer surface; this
+extends the engine per the training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# stop training when the best pair occurs fewer times than this
+# (merging singletons memorizes the corpus tail instead of learning
+# subword structure)
+DEFAULT_MIN_COUNT = 2
+
+
+def _chars(col):
+    """Single-character symbol array of a word (split on the empty
+    pattern drops no characters; Spark emits no empty trailing
+    element for '')."""
+    return F.filter(F.split(col, ""), lambda x: x != F.lit(""))
+
+
+class BPE:
+    # ---------------------------------------------------------- corpus
+    @staticmethod
+    def word_vocab(
+        docs: DataFrame, text_col: str = "text"
+    ) -> DataFrame:
+        """(word, n) whitespace-word counts over the corpus — the ONE
+        corpus-sized pass of BPE training; everything after operates
+        on this Heaps-small relation."""
+        words = docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.col(text_col), "\\s+"),
+                    lambda t: F.length(t) > 0,
+                )
+            ).alias("word")
+        )
+        return words.groupBy("word").agg(F.count("*").cast("long").alias("n"))
+
+    @staticmethod
+    def pair_counts(vocab_syms: DataFrame) -> DataFrame:
+        """(left, right, n) adjacent-symbol pair counts over a
+        (word, n, syms) vocabulary state — the per-iteration counting
+        relation (one explode + one hash aggregate, keyed shuffle
+        only)."""
+        pairs = vocab_syms.select(
+            "n",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(
+                        a.alias("left"), b.alias("right")
+                    ),
+                )
+            ).alias("p"),
+        )
+        return pairs.groupBy("p.left", "p.right").agg(
+            F.sum("n").cast("long").alias("n")
+        )
+
+    # ------------------------------------------------------- training
+    @staticmethod
+    def _merge_expr(syms, left: str, right: str):
+        """One left-to-right non-overlapping merge pass over a symbol
+        array, as a pure column expression (sequential fold — correct
+        for overlapping candidates like (a,a) on 'aaa': the merged
+        output never re-matches within the pass)."""
+        merged = left + right
+        head = F.slice(syms, 1, 1)
+        tail = F.slice(syms, 2, F.size(syms) - 1)
+        step = lambda acc, x: F.when(  # noqa: E731
+            (F.element_at(acc, -1) == F.lit(left)) & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+        return F.when(F.size(syms) < 2, syms).otherwise(
+            F.aggregate(tail, head, step)
+        )
+
+    @staticmethod
+    def _init_state(vocab: DataFrame) -> DataFrame:
+        return vocab.select(
+            "word", "n", _chars(F.col("word")).alias("syms")
+        )
+
+    @staticmethod
+    def train(
+        docs: DataFrame,
+        num_merges: int,
+        text_col: str = "text",
+        min_count: int = DEFAULT_MIN_COUNT,
+    ) -> DataFrame:
+        """Learn up to ``num_merges`` merges; returns the merge table
+        (rank, left, right, merged) with rank 1 = first/most-frequent.
+        Stops early when no pair reaches ``min_count``.
+
+        Each iteration: one pair-count aggregate (tiny argmax row to
+        the driver — a bounded scalar, same class as a purging
+        threshold) and one symbol-rewrite projection, with the vocab
+        state re-materialized via localCheckpoint (GC-freed; no
+        session-pinned caches)."""
+        spark = docs.sparkSession
+        state = BPE._init_state(
+            BPE.word_vocab(docs, text_col)
+        ).localCheckpoint(eager=True)
+        merges: list[tuple[int, str, str, str]] = []
+        for rank in range(1, int(num_merges) + 1):
+            best = (
+                BPE.pair_counts(state)
+                .orderBy(
+                    F.col("n").desc(),
+                    F.col("left").asc(),
+                    F.col("right").asc(),
+                )
+                .first()
+            )
+            if best is None or best["n"] < int(min_count):
+                break
+            left, right = best["left"], best["right"]
+            merges.append((rank, left, right, left + right))
+            state = state.withColumn(
+                "syms", BPE._merge_expr(F.col("syms"), left, right)
+            ).localCheckpoint(eager=True)
+        return spark.createDataFrame(
+            merges, "rank int, left string, right string, merged string"
+        )
+
+    # collecting an unbounded relation to the driver is the engine's
+    # one forbidden move; the local fast path therefore refuses
+    # vocabularies beyond an explicit cap instead of silently OOMing
+    LOCAL_VOCAB_CAP = 2_000_000
+
+    @staticmethod
+    def train_local(
+        docs: DataFrame,
+        num_merges: int,
+        text_col: str = "text",
+        min_count: int = DEFAULT_MIN_COUNT,
+        vocab_cap: int = LOCAL_VOCAB_CAP,
+    ) -> DataFrame:
+        """The classic in-memory trainer over the collected word
+        vocabulary — identical merges to :meth:`train` (property-
+        tested), at one corpus pass + one collect instead of 2 jobs
+        per merge. The collect is guarded: more than ``vocab_cap``
+        distinct words raises instead of flooding the driver (Heaps'
+        law keeps real corpora far below the default cap; raise it
+        explicitly on a machine sized for it)."""
+        spark = docs.sparkSession
+        vocab_df = BPE.word_vocab(docs, text_col)
+        n_vocab = vocab_df.count()
+        if n_vocab > int(vocab_cap):
+            raise ValueError(
+                f"word vocabulary has {n_vocab} rows > vocab_cap="
+                f"{vocab_cap}; use BPE.train (distributed) or raise the"
+                " cap explicitly"
+            )
+        vocab = {
+            r["word"]: r["n"] for r in vocab_df.collect()
+        }
+        state = {w: tuple(w) for w in vocab}
+        merges: list[tuple[int, str, str, str]] = []
+        for rank in range(1, int(num_merges) + 1):
+            counts: dict[tuple[str, str], int] = {}
+            for w, syms in state.items():
+                c = vocab[w]
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + c
+            if not counts:
+                break
+            # max by (count, then lexicographically SMALLEST pair):
+            # sort key inverts count so min() picks count desc
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            (left, right), n = best
+            if n < int(min_count):
+                break
+            merges.append((rank, left, right, left + right))
+            new_state = {}
+            for w, syms in state.items():
+                out = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_state[w] = tuple(out)
+            state = new_state
+        return spark.createDataFrame(
+            merges, "rank int, left string, right string, merged string"
+        )
+
+    # ------------------------------------------------------- encoding
+    @staticmethod
+    def _encode_word(word: str, rank_of: dict[tuple[str, str], int]):
+        """Standard priority encode of one word: repeatedly merge the
+        LOWEST-RANK applicable pair (all its occurrences, left to
+        right) until none applies — the exact encoder trained merges
+        assume (rank order alone can miss pairs re-exposed by later
+        merges)."""
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank = None
+            best_pair = None
+            for i in range(len(syms) - 1):
+                r = rank_of.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (syms[i], syms[i + 1])
+            if best_pair is None:
+                break
+            left, right = best_pair
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    @staticmethod
+    def encode(
+        docs: DataFrame,
+        merges: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """(doc_id, tokens, n_tokens) — corpus tokenized under the
+        merge table. The merge table is the MODEL: bounded by
+        num_merges, collected once and shipped inside the Arrow-batched
+        closure (same bounded-broadcast discipline as the threshold
+        scalars). Per-batch word cache: Zipf makes distinct words per
+        batch a small fraction of tokens."""
+        rank_of = {
+            (r["left"], r["right"]): r["rank"]
+            for r in merges.select("rank", "left", "right").collect()
+        }
+        base = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+        )
+
+        def run(batches):
+            import pandas as pd
+
+            cache: dict[str, list[str]] = {}
+
+            def enc(text):
+                if text is None:
+                    return []
+                out = []
+                for w in text.split():
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = BPE._encode_word(w, rank_of)
+                        cache[w] = hit
+                    out.extend(hit)
+                return out
+
+            for pdf in batches:
+                toks = [enc(t) for t in pdf["_text"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "tokens": toks,
+                        "n_tokens": [len(t) for t in toks],
+                    }
+                )
+
+        return base.mapInPandas(
+            run, schema="doc_id long, tokens array<string>, n_tokens long"
+        )

@@ -1,0 +1,179 @@
+"""BPE trainer/encoder (sparker_spark/llm/bpe.py) vs an independent
+pure-Python reference implementation (written here, straight from the
+Sennrich et al. 2016 algorithm description)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparker_spark.llm.bpe import BPE
+
+
+# ----------------------------------------------------------- reference
+def ref_train(word_counts: dict[str, int], k: int, min_count: int = 2):
+    state = {w: tuple(w) for w in word_counts}
+    merges = []
+    for _ in range(k):
+        counts = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + word_counts[w]
+        if not counts:
+            break
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if pair[1] < min_count:
+            break
+        (a, b) = pair[0]
+        merges.append((a, b))
+        state = {
+            w: tuple(_ref_merge(list(s), a, b)) for w, s in state.items()
+        }
+    return merges
+
+
+def _ref_merge(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def ref_encode(word: str, merges: list[tuple[str, str]]):
+    rank = {p: r for r, p in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        cands = [
+            (rank[(syms[i], syms[i + 1])], (syms[i], syms[i + 1]))
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in rank
+        ]
+        if not cands:
+            break
+        _, (a, b) = min(cands)
+        syms = _ref_merge(syms, a, b)
+    return syms
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest",
+    "low lower newest widest",
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+
+
+def _word_counts():
+    wc = {}
+    for t in CORPUS:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    return wc
+
+
+def test_pair_counts_hand_checked(spark):
+    state = BPE._init_state(BPE.word_vocab(_docs(spark)))
+    rows = {
+        (r["left"], r["right"]): r["n"]
+        for r in BPE.pair_counts(state).collect()
+    }
+    wc = _word_counts()
+    # ('l','o') occurs once in 'low' and once in 'lower'
+    assert rows[("l", "o")] == wc["low"] + wc["lower"]
+    # ('e','s') occurs in 'newest' and 'widest'
+    assert rows[("e", "s")] == wc["newest"] + wc["widest"]
+
+
+def test_train_matches_reference(spark):
+    got = [
+        (r["left"], r["right"])
+        for r in BPE.train(_docs(spark), 8).orderBy("rank").collect()
+    ]
+    assert got == ref_train(_word_counts(), 8)
+    assert len(got) == 8
+
+
+def test_train_local_matches_distributed(spark):
+    docs = _docs(spark)
+    d = BPE.train(docs, 6).orderBy("rank").collect()
+    l = BPE.train_local(docs, 6).orderBy("rank").collect()
+    assert [tuple(r) for r in d] == [tuple(r) for r in l]
+
+
+def test_train_local_cap_guard(spark):
+    with pytest.raises(ValueError, match="vocab_cap"):
+        BPE.train_local(_docs(spark), 2, vocab_cap=3)
+
+
+def test_encode_matches_reference_priority_order(spark):
+    """Priority (lowest-rank-first) encoding, including on words the
+    trainer never saw."""
+    docs = _docs(spark)
+    merges_df = BPE.train_local(docs, 8)
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    unseen = spark.createDataFrame(
+        [(0, "lowest newestest slow"), (1, None), (2, "")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in BPE.encode(unseen, merges_df).collect()
+    }
+    expect0 = []
+    for w in "lowest newestest slow".split():
+        expect0.extend(ref_encode(w, merges))
+    assert out[0] == (expect0, len(expect0))
+    assert out[1] == ([], 0)
+    assert out[2] == ([], 0)
+
+
+def test_merge_expr_overlapping_candidates(spark):
+    """(a,a) on 'aaa' must merge left-to-right non-overlapping:
+    ['aa','a'], never ['a','aa'] or ['aaaa']."""
+    df = spark.createDataFrame([("aaa",), ("aaaa",), ("a",)], ["word"])
+    out = df.select(
+        F.col("word"),
+        BPE._merge_expr(
+            F.filter(F.split("word", ""), lambda x: x != F.lit("")),
+            "a",
+            "a",
+        ).alias("s"),
+    ).collect()
+    got = {r["word"]: list(r["s"]) for r in out}
+    assert got == {"aaa": ["aa", "a"], "aaaa": ["aa", "aa"], "a": ["a"]}
+
+
+def test_encode_feeds_packing(spark):
+    """The tokenizer story end-to-end: trained merges -> encode ->
+    pack via counts_col/tokens_col; rendered sequences reassemble the
+    encoded stream."""
+    from sparker_spark.llm.packing import SequencePacking
+
+    docs = _docs(spark)
+    merges = BPE.train_local(docs, 6)
+    enc = BPE.encode(docs, merges)
+    plan = SequencePacking.pack_plan(enc, 8, counts_col="n_tokens")
+    seqs = SequencePacking.pack_texts(
+        enc, plan, 8, tokens_col="tokens", sep="<s>"
+    ).collect()
+    stream = " ".join(
+        r["text"] for r in sorted(seqs, key=lambda r: r["seq_id"])
+    )
+    toks = [t for t in stream.split() if t != "<s>"]
+    enc_rows = enc.orderBy("doc_id").collect()
+    expect = [t for r in enc_rows for t in r["tokens"]]
+    assert toks == expect
