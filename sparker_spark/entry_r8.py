@@ -466,6 +466,8 @@ def r8_queries() -> dict:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_first_merge": q_bpe_first_merge,
         "bpe_encode_fixed": q_bpe_encode_fixed,
+        "mix_budget_plan": q_mix_budget_plan,
+        "mix_sample_to_budget": q_mix_sample_to_budget,
     }
 
 
@@ -481,6 +483,8 @@ def r8_oracles() -> dict:
         "bpe_pair_counts": O_BPE_PAIR_COUNTS,
         "bpe_first_merge": O_BPE_FIRST_MERGE,
         "bpe_encode_fixed": _o_bpe_encode_fixed(),
+        "mix_budget_plan": O_MIX_BUDGET_PLAN,
+        "mix_sample_to_budget": _o_mix_sample(),
     }
 
 
@@ -631,3 +635,106 @@ SELECT doc_id,
          AS n_tokens,
        tokens_str
 FROM t"""
+
+
+# ------------------------------------------- token-budget corpus mix
+# (llm/mixing.py) — weights derived deterministically from the source
+# name (1 + src_index % 5) so both engines share them without a
+# side-channel; budget sized to put most sources' rates strictly
+# inside (0, 1) at the graded SFs.
+
+MIX_BUDGET = 20_000
+MIX_SEED = 7
+
+
+def _mix_weights(spark, sf_dir) -> dict[str, float]:
+    from sparker_spark.entry import load
+
+    srcs = [
+        r["source"]
+        for r in load(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .collect()
+    ]
+    return {s: 1.0 + int(s[3:]) % 5 for s in sorted(srcs)}
+
+
+def q_mix_budget_plan(spark, sf_dir):
+    """The pretraining data-recipe planner under the VALUE-HASH gate:
+    per-source available token mass, budget-share targets and capped
+    sampling rates — every double checked bit-for-bit (identical IEEE
+    expression structure on both engines, rnd6 on output)."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.mixing import MixPlanner
+    from sparker_spark.rounding import rnd
+
+    plan = MixPlanner.budget_plan(
+        load(spark, sf_dir, "documents"),
+        _mix_weights(spark, sf_dir),
+        MIX_BUDGET,
+    )
+    return plan.select(
+        "source",
+        "available_tokens",
+        rnd("target_tokens", 6).alias("target_tokens"),
+        rnd("rate", 6).alias("rate"),
+    )
+
+
+_MIX_PLAN_CTES = f"""
+n AS (
+  SELECT doc_id, source, CAST({_WS_N_SQL} AS BIGINT) AS n
+  FROM documents),
+t AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS available_tokens
+  FROM n GROUP BY source),
+wt AS (
+  SELECT source,
+         CAST(1 + CAST(substr(source, 4) AS INT) % 5 AS DOUBLE) AS w
+  FROM t),
+ww AS (SELECT source, w / (SELECT sum(w) FROM wt) AS wn FROM wt),
+r AS (
+  SELECT t.source, t.available_tokens,
+         CAST({MIX_BUDGET} AS DOUBLE) * ww.wn AS target,
+         CASE WHEN t.available_tokens > 0
+                   AND CAST({MIX_BUDGET} AS DOUBLE) * ww.wn > 0
+              THEN least(1.0, (CAST({MIX_BUDGET} AS DOUBLE) * ww.wn)
+                              / t.available_tokens)
+              ELSE 0.0 END AS rate
+  FROM t JOIN ww ON t.source = ww.source)"""
+
+
+O_MIX_BUDGET_PLAN = f"""
+WITH {_MIX_PLAN_CTES.strip()}
+SELECT source, available_tokens,
+       round(target, 6) AS target_tokens,
+       round(rate, 6) AS rate
+FROM r"""
+
+
+def q_mix_sample_to_budget(spark, sf_dir):
+    """The realized deterministic sample: documents kept iff their
+    md5 hash coordinate (pure function of seed + doc_id) is below
+    their source's plan rate — replayed bit-for-bit by the oracle.
+    Gate checks the exact membership set with per-doc token counts."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.mixing import MixPlanner
+
+    return MixPlanner.sample_to_budget(
+        load(spark, sf_dir, "documents"),
+        _mix_weights(spark, sf_dir),
+        MIX_BUDGET,
+        seed=MIX_SEED,
+    )
+
+
+def _o_mix_sample() -> str:
+    from sparker_spark.llm.sampling import _coord_sql
+
+    coord = _coord_sql("doc_id", MIX_SEED, "duck")
+    return f"""
+WITH {_MIX_PLAN_CTES.strip()}
+SELECT n.doc_id, n.source, n.n
+FROM n JOIN r ON n.source = r.source
+WHERE {coord} < r.rate"""

@@ -1,0 +1,143 @@
+"""Token-budget corpus mixing — the "data recipe" step of a
+pretraining pipeline: given per-source mix weights and a total token
+budget, compute per-source sampling rates and draw a deterministic
+document sample that realizes the recipe.
+
+Matches how production pretraining mixes are specified (weights over
+sources/domains + a token budget, e.g. "books 10%, web 60%, code 30%
+of 1T tokens"): the planner turns (weights, budget) into per-source
+keep-rates against the AVAILABLE token mass, capped at 1.0 (a source
+cannot contribute more than it has — the standard under-supply
+behavior; re-normalizing the shortfall onto other sources is a policy
+choice left to the caller, who can read the gap off the plan).
+
+Sampling is the engine's deterministic hash-coordinate idiom
+(llm/sampling.py): a document is kept iff its [0,1) md5-coordinate is
+below its source's rate — a pure function of (seed, doc_id), so the
+sample is reproducible by any engine, stable under repartitioning, and
+the DuckDB oracle replays it bit-for-bit. Expected sampled tokens per
+source = rate · available (binomial concentration makes the
+realized/target gap vanish at corpus scale; the plan reports targets,
+the sample is exact about membership).
+
+Plan shape: one pass for per-document counts, one hash aggregate for
+per-source totals (20-ish rows — auto-broadcast back onto documents),
+one filter. No windows, no driver state beyond the weights dict the
+caller supplies.
+
+No reference counterpart — extends the engine per the
+training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparker_spark.llm.sampling import Sampling
+
+
+def _doc_counts(
+    docs: DataFrame,
+    text_col: str,
+    source_col: str,
+    id_col: str,
+    counts_col: str | None,
+) -> DataFrame:
+    if counts_col is not None:
+        n = F.coalesce(F.col(counts_col).cast("long"), F.lit(0))
+    else:
+        n = F.size(
+            F.coalesce(
+                F.filter(
+                    F.split(F.col(text_col), "\\s+"),
+                    lambda t: F.length(t) > 0,
+                ),
+                F.array().cast("array<string>"),
+            )
+        ).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        n.alias("n"),
+    )
+
+
+def _normalized(weights: dict[str, float]) -> dict[str, float]:
+    if not weights:
+        raise ValueError("weights must be a non-empty dict")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    total = float(sum(weights[k] for k in sorted(weights)))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    return {k: float(weights[k]) / total for k in sorted(weights)}
+
+
+class MixPlanner:
+    @staticmethod
+    def budget_plan(
+        docs: DataFrame,
+        weights: dict[str, float],
+        budget: int,
+        text_col: str = "text",
+        source_col: str = "source",
+        id_col: str = "doc_id",
+        counts_col: str | None = None,
+    ) -> DataFrame:
+        """The mix plan: (source, available_tokens, target_tokens,
+        rate). ``rate`` = min(1, target/available); sources absent
+        from ``weights`` get rate 0 (excluded from the mix), sources
+        with zero available tokens get rate 0 (nothing to draw)."""
+        wn = _normalized(weights)
+        counts = _doc_counts(docs, text_col, source_col, id_col, counts_col)
+        totals = counts.groupBy("source").agg(
+            F.sum("n").cast("long").alias("available_tokens")
+        )
+        w_expr = F.lit(0.0)
+        for s, w in wn.items():
+            w_expr = F.when(F.col("source") == s, F.lit(w)).otherwise(w_expr)
+        target = F.lit(float(int(budget))) * w_expr
+        rate = F.when(
+            (F.col("available_tokens") > 0) & (target > 0),
+            F.least(F.lit(1.0), target / F.col("available_tokens")),
+        ).otherwise(F.lit(0.0))
+        return totals.select(
+            "source",
+            "available_tokens",
+            target.alias("target_tokens"),
+            rate.alias("rate"),
+        )
+
+    @staticmethod
+    def sample_to_budget(
+        docs: DataFrame,
+        weights: dict[str, float],
+        budget: int,
+        text_col: str = "text",
+        source_col: str = "source",
+        id_col: str = "doc_id",
+        counts_col: str | None = None,
+        seed: int = 0,
+    ) -> DataFrame:
+        """The realized sample: (doc_id, source, n) for every kept
+        document — kept iff its deterministic hash coordinate (pure
+        function of seed and doc_id) is below its source's plan rate.
+        Semi-join back on doc_id to carry full rows downstream."""
+        plan = MixPlanner.budget_plan(
+            docs, weights, budget, text_col, source_col, id_col, counts_col
+        ).select("source", "rate")
+        counts = _doc_counts(docs, text_col, source_col, id_col, counts_col)
+        keyed = counts.join(F.broadcast(plan), "source")
+        return keyed.where(
+            Sampling.coord("doc_id", seed) < F.col("rate")
+        ).select("doc_id", "source", "n")
+
+    @staticmethod
+    def realized_mix(sampled: DataFrame) -> DataFrame:
+        """Post-sample accounting over a sample_to_budget result:
+        (source, sampled_docs, sampled_tokens)."""
+        return sampled.groupBy("source").agg(
+            F.count("*").cast("long").alias("sampled_docs"),
+            F.sum("n").cast("long").alias("sampled_tokens"),
+        )
