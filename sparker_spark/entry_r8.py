@@ -468,6 +468,7 @@ def r8_queries() -> dict:
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "mix_budget_plan": q_mix_budget_plan,
         "mix_sample_to_budget": q_mix_sample_to_budget,
+        "text_bigram_logprob": q_text_bigram_logprob,
     }
 
 
@@ -485,6 +486,7 @@ def r8_oracles() -> dict:
         "bpe_encode_fixed": _o_bpe_encode_fixed(),
         "mix_budget_plan": O_MIX_BUDGET_PLAN,
         "mix_sample_to_budget": _o_mix_sample(),
+        "text_bigram_logprob": O_TEXT_BIGRAM_LOGPROB,
     }
 
 
@@ -738,3 +740,45 @@ WITH {_MIX_PLAN_CTES.strip()}
 SELECT n.doc_id, n.source, n.n
 FROM n JOIN r ON n.source = r.source
 WHERE {coord} < r.rate"""
+
+
+# ------------------------------------------------ bigram LM scoring
+
+
+def q_text_bigram_logprob(spark, sf_dir):
+    """Corpus bigram LM with Laplace smoothing (llm/text.py
+    LanguageModelScore.bigram_logprob) — the context-model step of the
+    CCNet-style quality ladder; per-bigram logprobs rounded then
+    DECIMAL-summed for cross-engine determinism."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.text import LanguageModelScore
+
+    return LanguageModelScore.bigram_logprob(
+        load(spark, sf_dir, "documents")
+    )
+
+
+O_TEXT_BIGRAM_LOGPROB = """WITH
+d AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                         x -> len(x) > 0) AS t
+      FROM documents),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM d)),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs
+  FROM (SELECT unnest(t) AS tok FROM d)),
+bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+cc AS (SELECT w1, sum(cb) AS c1 FROM bc GROUP BY 1),
+lp AS (
+  SELECT bc.w1, bc.w2,
+         CAST(round(ln((cb + 1.0) / (c1 + (SELECT vs FROM v))), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM bc JOIN cc ON bc.w1 = cc.w1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+FROM big JOIN lp USING (w1, w2)
+GROUP BY doc_id"""

@@ -355,3 +355,32 @@ def test_chunker_reconstruction_property(spark):
                 assert rebuilt == toks
 
     check()
+
+
+def test_bigram_logprob_hand_checked(spark):
+    from sparker_spark.llm.text import LanguageModelScore
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "x")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in LanguageModelScore.bigram_logprob(docs).collect()
+    }
+    import math
+
+    # corpus bigrams: (a,b)x3, (b,a)x1; contexts c(a)=3, c(b)=1; V=3
+    def lp(cb, c1):
+        return math.floor(math.log((cb + 1) / (c1 + 3)) * 1e6) / 1e6
+
+    ab, ba = lp(3, 3), lp(1, 1)
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["avg_logprob"] == pytest.approx(
+        math.floor((2 * ab + ba) / 3 * 1e6 + 0.5) / 1e6, abs=2e-6
+    )
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["avg_logprob"] == pytest.approx(ab, abs=2e-6)
+    assert 2 not in out  # single-token doc: no bigrams, no row
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert LanguageModelScore.bigram_logprob(empty).count() == 0
