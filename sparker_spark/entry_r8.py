@@ -469,6 +469,8 @@ def r8_queries() -> dict:
         "mix_budget_plan": q_mix_budget_plan,
         "mix_sample_to_budget": q_mix_sample_to_budget,
         "text_bigram_logprob": q_text_bigram_logprob,
+        "pipeline_pretrain_bpe_e2e": q_pipeline_pretrain_bpe_e2e,
+        "bpe_encode_ids_fixed": q_bpe_encode_ids_fixed,
     }
 
 
@@ -487,6 +489,8 @@ def r8_oracles() -> dict:
         "mix_budget_plan": O_MIX_BUDGET_PLAN,
         "mix_sample_to_budget": _o_mix_sample(),
         "text_bigram_logprob": O_TEXT_BIGRAM_LOGPROB,
+        "pipeline_pretrain_bpe_e2e": _o_pipeline_pretrain_bpe(),
+        "bpe_encode_ids_fixed": _o_bpe_encode_ids(),
     }
 
 
@@ -782,3 +786,168 @@ SELECT doc_id,
        round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
 FROM big JOIN lp USING (w1, w2)
 GROUP BY doc_id"""
+
+
+# -------------------------------------- BPE ids + BPE pretrain e2e
+
+_SURV_CTES_TMPL = """q AS (SELECT doc_id, quality_score FROM ({quality})),
+qs AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality_score >= 0.3),
+surv AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           doc_id = min(doc_id) OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                  '\\s+', ' ', 'g')))
+           ) AS canon
+    FROM qs)
+  WHERE canon)"""
+
+
+def _bpe_tokens_str_expr() -> str:
+    """Per-word replace-chain of BPE_FIXED_MERGES (see
+    _o_bpe_encode_fixed) as an expression over word ``x``."""
+
+    def w(sym: str) -> str:
+        return f"chr(31) || '{sym}' || chr(30)"
+
+    expr = (
+        "chr(31) || array_to_string(regexp_extract_all(x, '.'),"
+        " chr(30) || chr(31)) || chr(30)"
+    )
+    for a, b in BPE_FIXED_MERGES:
+        expr = f"replace({expr}, {w(a)} || {w(b)}, {w(a + b)})"
+    return (
+        f"rtrim(ltrim(replace({expr}, chr(30) || chr(31), ' '),"
+        " chr(31)), chr(30))"
+    )
+
+
+def _bpe_toks_list_sql(src: str) -> str:
+    """CTE ``enc`` = (doc_id, t: BPE token list) over ``src`` using
+    the fixed merge table."""
+    word_tokens = _bpe_tokens_str_expr()
+    return f"""enc AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(
+             array_to_string(
+               list_transform(
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> len(x) > 0),
+                 x -> {word_tokens}),
+               ' '),
+             ' '),
+           x -> len(x) > 0) AS t
+  FROM {src})"""
+
+
+def q_pipeline_pretrain_bpe_e2e(spark, sf_dir):
+    """The FULL tokenizer-aware pretrain composition under the gate:
+    quality floor -> exact dedup -> BPE ENCODE (priority encoder,
+    fixed cascade-free merge table) -> packed BPE-token sequences,
+    through prepare_training_data(bpe_merges=...). Every byte of
+    every packed sequence checked against the composed SQL of the
+    gated stages (survivors + replace-chain encode + plan + texts)."""
+    from sparker_spark.entry import load
+    from sparker_spark.pretrain import prepare_training_data
+
+    merges = spark.createDataFrame(
+        [
+            (r + 1, a, b, a + b)
+            for r, (a, b) in enumerate(BPE_FIXED_MERGES)
+        ],
+        "rank int, left string, right string, merged string",
+    )
+    return prepare_training_data(
+        load(spark, sf_dir, "documents"),
+        seq_len=PACK8_LEN,
+        sep_tokens=PACK8_SEP,
+        redact=False,
+        min_quality=0.3,
+        max_top_ngram_frac=None,
+        max_dup_ngram_frac=None,
+        exact_dedup=True,
+        jaccard_threshold=None,
+        bpe_merges=merges,
+    )
+
+
+def _o_pipeline_pretrain_bpe() -> str:
+    from sparker_spark.entry import _o_text_quality
+
+    surv = _SURV_CTES_TMPL.format(quality=_o_text_quality())
+    return f"""
+WITH {surv},
+{_bpe_toks_list_sql('surv')},
+{_plan_ctes('enc', 'len(t)', PACK8_LEN, PACK8_SEP)},
+{_texts_select('enc', 't', PACK8_LEN, '<|sep|>')}"""
+
+
+def q_bpe_encode_ids_fixed(spark, sf_dir):
+    """Token-ID materialization under the gate: BPE encode with the
+    fixed merge table, ids from the deterministic vocabulary layout
+    (sorted base characters 0..C-1, merges C..C+k-1, unseen -> -1).
+    The whole id stream of every document is value-checked (space-
+    joined rendering)."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.bpe import BPE, BPEVocab
+
+    docs = load(spark, sf_dir, "documents")
+    merges = spark.createDataFrame(
+        [
+            (r + 1, a, b, a + b)
+            for r, (a, b) in enumerate(BPE_FIXED_MERGES)
+        ],
+        "rank int, left string, right string, merged string",
+    )
+    vocab = BPEVocab.build(docs, merges)
+    ids = BPEVocab.encode_ids(BPE.encode(docs, merges), vocab)
+    return ids.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("ids_str"),
+    )
+
+
+def _o_bpe_encode_ids() -> str:
+    n_merges = len(BPE_FIXED_MERGES)
+    merge_rows = ", ".join(
+        f"('{a + b}', {r})" for r, (a, b) in enumerate(BPE_FIXED_MERGES)
+    )
+    return f"""
+WITH {_bpe_toks_list_sql('documents')},
+chars AS (
+  SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS token
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> len(x) > 0)) AS word
+        FROM documents)),
+cv AS (SELECT token,
+              CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT)
+                AS token_id
+       FROM chars),
+nm AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM cv),
+mv AS (SELECT token, CAST(r + (SELECT nc FROM nm) AS BIGINT) AS token_id
+       FROM (VALUES {merge_rows}) AS m(token, r)),
+v AS (SELECT * FROM cv UNION ALL SELECT * FROM mv),
+pos AS (
+  SELECT doc_id, i, t[i] AS token
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        FROM enc)),
+m2 AS (
+  SELECT pos.doc_id, pos.i,
+         coalesce(v.token_id, CAST(-1 AS BIGINT)) AS tid
+  FROM pos LEFT JOIN v ON pos.token = v.token),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         array_to_string(list(tid ORDER BY i), ' ') AS ids_str
+  FROM m2 GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(agg.n_tokens, 0) AS n_tokens,
+       coalesce(agg.ids_str, '') AS ids_str
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"""

@@ -326,3 +326,82 @@ class BPE:
         return base.mapInPandas(
             run, schema="doc_id long, tokens array<string>, n_tokens long"
         )
+
+
+class BPEVocab:
+    """Deterministic token-id assignment over a trained merge table:
+    base single-character symbols (from the corpus, sorted) get ids
+    0..C-1, merged symbols follow in merge-rank order C..C+k-1 — the
+    id layout every BPE implementation ships alongside its merges.
+    """
+
+    @staticmethod
+    def build(docs: DataFrame, merges: DataFrame, text_col: str = "text") -> DataFrame:
+        """(token, token_id) vocabulary. Base characters come from the
+        corpus word set (one pass + distinct, sorted for determinism);
+        the merged symbols append in rank order. Sorting a relation of
+        |charset| + num_merges rows is driver-trivial at any corpus
+        size — the vocab is the model, not the data."""
+        chars = (
+            BPE.word_vocab(docs, text_col)
+            .select(F.explode(_chars(F.col("word"))).alias("token"))
+            .distinct()
+        )
+        n_chars = chars.count()
+        from sparker_spark import ranking
+
+        base = ranking.global_rank(chars, ["token"], out="token_id")
+        merged = merges.select(
+            F.col("merged").alias("token"),
+            (F.col("rank").cast("long") - 1 + F.lit(n_chars)).alias(
+                "token_id"
+            ),
+        )
+        out = base.select("token", "token_id").unionByName(merged)
+        ranking.release(base)
+        return out
+
+    @staticmethod
+    def encode_ids(
+        encoded: DataFrame,
+        vocab: DataFrame,
+        unk_id: int = -1,
+    ) -> DataFrame:
+        """(doc_id, token_ids, n_tokens) from a ``BPE.encode`` output
+        and a vocabulary: positional explode, one keyed join to the
+        vocab (auto-broadcast — the vocab is model-sized), reassemble
+        in position order. Tokens absent from the vocabulary (unseen
+        base characters at inference time) map to ``unk_id``. Rows
+        with zero tokens yield empty arrays."""
+        pos = encoded.select(
+            "doc_id",
+            F.posexplode_outer("tokens").alias("pos", "token"),
+        )
+        mapped = pos.join(F.broadcast(vocab), "token", "left").select(
+            "doc_id",
+            "pos",
+            F.when(F.col("pos").isNull(), None)
+            .otherwise(
+                F.coalesce(
+                    F.col("token_id"), F.lit(int(unk_id)).cast("long")
+                )
+            )
+            .alias("tid"),
+        )
+        # tid is NULL only on the posexplode_outer placeholder row of a
+        # zero-token document — filter it so such docs get [] not [null]
+        return mapped.groupBy("doc_id").agg(
+            F.filter(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tid"))
+                    ),
+                    lambda s: s["tid"],
+                ),
+                lambda x: x.isNotNull(),
+            ).alias("token_ids"),
+        ).select(
+            "doc_id",
+            "token_ids",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+        )

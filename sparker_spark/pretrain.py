@@ -39,6 +39,7 @@ def prepare_training_data(
     return_plan: bool = False,
     tokenizer: Callable[[Column], Column] | None = None,
     token_counts: DataFrame | None = None,
+    bpe_merges: DataFrame | None = None,
     **curate_knobs,
 ) -> DataFrame:
     """Cleaned, packed training sequences
@@ -66,12 +67,26 @@ def prepare_training_data(
       of the text as tokenized OUTSIDE this call — disable the
       text-mutating stages (``redact=False``, no boilerplate removal)
       or the counts will describe different bytes than the survivors.
+    * ``bpe_merges``: a merge table from :class:`sparker_spark.llm.
+      bpe.BPE` (``train`` / ``train_local``) — the CURATED corpus is
+      BPE-encoded (priority encoder, Arrow-batched) and the packed
+      sequences are streams of BPE tokens. The full story in two
+      calls::
+
+          merges = BPE.train_local(docs, 32_000)
+          seqs = prepare_training_data(docs, 4096, bpe_merges=merges)
+
     * ``return_plan=True`` returns the (seq_id, doc_id, tok_start,
       tok_end, n_toks, seq_pos) plan relation instead of materialized
       text.
     """
-    if token_counts is not None and tokenizer is not None:
-        raise ValueError("pass either tokenizer or token_counts, not both")
+    n_tok_modes = sum(
+        x is not None for x in (tokenizer, token_counts, bpe_merges)
+    )
+    if n_tok_modes > 1:
+        raise ValueError(
+            "pass at most one of tokenizer, token_counts, bpe_merges"
+        )
     if token_counts is not None and not return_plan:
         raise ValueError(
             "token_counts (an external tokenization) requires "
@@ -86,6 +101,7 @@ def prepare_training_data(
         **curate_knobs,
     )
     counts_col = None
+    tokens_col = None
     if token_counts is not None:
         clean = clean.join(
             token_counts.select(
@@ -94,6 +110,13 @@ def prepare_training_data(
             id_col,
         )
         counts_col = "_ext_n"
+    if bpe_merges is not None:
+        from sparker_spark.llm.bpe import BPE
+
+        clean = BPE.encode(
+            clean, bpe_merges, text_col=text_col, id_col=id_col
+        ).withColumnRenamed("doc_id", id_col)
+        counts_col, tokens_col = "n_tokens", "tokens"
     plan = SequencePacking.pack_plan(
         clean,
         seq_len,
@@ -114,4 +137,5 @@ def prepare_training_data(
         sep=sep,
         sep_tokens=sep_tokens,
         tokenizer=tokenizer,
+        tokens_col=tokens_col,
     )

@@ -177,3 +177,64 @@ def test_encode_feeds_packing(spark):
     enc_rows = enc.orderBy("doc_id").collect()
     expect = [t for r in enc_rows for t in r["tokens"]]
     assert toks == expect
+
+
+def test_vocab_ids_layout_and_unknowns(spark):
+    from sparker_spark.llm.bpe import BPEVocab
+
+    docs = _docs(spark)
+    merges = BPE.train_local(docs, 4)
+    vocab = {
+        r["token"]: r["token_id"]
+        for r in BPEVocab.build(docs, merges).collect()
+    }
+    # base chars of the corpus: sorted, ids 0..C-1
+    chars = sorted({c for t in CORPUS for c in t.replace(" ", "")})
+    for i, c in enumerate(chars):
+        assert vocab[c] == i
+    # merged symbols follow in rank order
+    for r in merges.orderBy("rank").collect():
+        assert vocab[r["merged"]] == len(chars) + r["rank"] - 1
+    # unseen character maps to unk
+    unseen = spark.createDataFrame([(0, "loZw"), (1, "")], ["doc_id", "text"])
+    enc = BPE.encode(unseen, merges)
+    ids = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in BPEVocab.encode_ids(enc, BPEVocab.build(docs, merges)).collect()
+    }
+    assert -1 in ids[0]  # 'Z' unseen
+    assert ids[1] == []  # empty doc -> empty ids, not [null]
+
+
+def test_prepare_training_data_bpe_merges(spark):
+    """The two-call story: train merges, hand them to
+    prepare_training_data — packed sequences are BPE token streams of
+    the curation survivors."""
+    from sparker_spark.pretrain import prepare_training_data
+
+    docs = _docs(spark)
+    merges = BPE.train_local(docs, 6)
+    out = prepare_training_data(
+        docs,
+        seq_len=16,
+        redact=False,
+        min_quality=None,
+        max_top_ngram_frac=None,
+        max_dup_ngram_frac=None,
+        exact_dedup=True,
+        jaccard_threshold=None,
+        bpe_merges=merges,
+    ).collect()
+    stream = " ".join(
+        r["text"] for r in sorted(out, key=lambda r: r["seq_id"])
+    )
+    toks = [t for t in stream.split() if t != "<|sep|>"]
+    enc = BPE.encode(docs, merges).orderBy("doc_id").collect()
+    expect = [t for r in enc for t in r["tokens"]]
+    assert toks == expect
+    # mutual exclusion with the other tokenization modes
+    with pytest.raises(ValueError, match="at most one"):
+        prepare_training_data(
+            docs, seq_len=16, bpe_merges=merges,
+            tokenizer=lambda c: c,
+        )
