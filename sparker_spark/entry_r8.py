@@ -471,6 +471,7 @@ def r8_queries() -> dict:
         "text_bigram_logprob": q_text_bigram_logprob,
         "pipeline_pretrain_bpe_e2e": q_pipeline_pretrain_bpe_e2e,
         "bpe_encode_ids_fixed": q_bpe_encode_ids_fixed,
+        "pack_training_order": q_pack_training_order,
     }
 
 
@@ -491,6 +492,7 @@ def r8_oracles() -> dict:
         "text_bigram_logprob": O_TEXT_BIGRAM_LOGPROB,
         "pipeline_pretrain_bpe_e2e": _o_pipeline_pretrain_bpe(),
         "bpe_encode_ids_fixed": _o_bpe_encode_ids(),
+        "pack_training_order": _o_pack_training_order(),
     }
 
 
@@ -951,3 +953,40 @@ SELECT d.doc_id,
        coalesce(agg.n_tokens, 0) AS n_tokens,
        coalesce(agg.ids_str, '') AS ids_str
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"""
+
+
+# ------------------------------------------- training-order shuffle
+
+SHUF_SEED = 11
+
+
+def q_pack_training_order(spark, sf_dir):
+    """The deterministic training-order permutation under the gate:
+    every packed sequence's shuffle position = rank of its md5 hash
+    coordinate (pure function of seed + seq_id, replayed exactly by
+    the oracle's windowed row_number). Spark computes the rank with
+    the distributed two-phase global_rank — no single-partition
+    window."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.packing import SequencePacking, training_order
+
+    plan = SequencePacking.pack_plan(
+        load(spark, sf_dir, "documents"), PACK8_LEN, sep_tokens=PACK8_SEP
+    )
+    seqs = SequencePacking.pack_stats(plan, PACK8_LEN).select("seq_id")
+    return training_order(seqs, seed=SHUF_SEED).select(
+        "seq_id", "shuffle_pos"
+    )
+
+
+def _o_pack_training_order() -> str:
+    from sparker_spark.llm.sampling import _coord_sql
+
+    coord = _coord_sql("seq_id", SHUF_SEED, "duck")
+    return f"""
+WITH {_plan_ctes('documents', _WS_N_SQL, PACK8_LEN, PACK8_SEP)},
+s AS (SELECT DISTINCT seq_id FROM plan)
+SELECT seq_id,
+       CAST(row_number() OVER (ORDER BY {coord}, seq_id) - 1 AS BIGINT)
+         AS shuffle_pos
+FROM s"""

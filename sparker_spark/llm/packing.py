@@ -356,3 +356,33 @@ class SequencePacking:
                 "fill_ratio"
             ),
         )
+
+
+def training_order(
+    seqs: DataFrame, seed: int = 0, id_col: str = "seq_id"
+) -> DataFrame:
+    """Assign every packed sequence its position in a deterministic
+    global shuffle — the training-order step every pretraining run
+    applies after packing (sequential seq_id order would feed the
+    model the corpus in doc_id order).
+
+    The permutation is the rank of the engine's md5 hash coordinate
+    (llm/sampling.py) of ``(seed, seq_id)``: a pure function of the
+    seed, so the order is reproducible anywhere, and a different seed
+    gives an independent permutation per epoch. Ranking uses
+    ranking.global_rank (range-partitioned two-phase rank — no
+    single-partition window, the shape that survives corpus scale);
+    ties on the coordinate (2^-60 probability) break on seq_id.
+    Adds ``shuffle_pos`` (dense, 0-based); internal rank cache is
+    released before returning (GC-freed checkpoint only).
+    """
+    from sparker_spark import ranking
+    from sparker_spark.llm.sampling import Sampling
+
+    keyed = seqs.withColumn("_coord", Sampling.coord(id_col, seed))
+    ranked = ranking.global_rank(
+        keyed, ["_coord", id_col], out="shuffle_pos"
+    )
+    out = ranked.drop("_coord").localCheckpoint(eager=True)
+    ranking.release(ranked)
+    return out

@@ -284,3 +284,21 @@ def test_pack_plan_releases_cumsum_cache(spark):
     plan = SequencePacking.pack_plan(docs, 4)
     assert plan.count() > 0
     assert cm.isEmpty()
+
+
+def test_training_order_permutation(spark):
+    """training_order assigns a dense 0-based permutation, stable per
+    seed and different across seeds; the cumsum/rank caches are
+    released (CacheManager empty)."""
+    from sparker_spark.llm.packing import training_order
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    seqs = spark.range(0, 57).withColumnRenamed("id", "seq_id")
+    a = {r["seq_id"]: r["shuffle_pos"] for r in training_order(seqs, 1).collect()}
+    b = {r["seq_id"]: r["shuffle_pos"] for r in training_order(seqs, 1).collect()}
+    c = {r["seq_id"]: r["shuffle_pos"] for r in training_order(seqs, 2).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(57))  # dense permutation
+    assert a != c and sorted(c.values()) == list(range(57))
+    assert cm.isEmpty()
