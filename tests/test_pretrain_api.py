@@ -117,7 +117,7 @@ def test_prepare_training_data_external_counts(spark):
     assert sum(r["n_toks"] for r in rows) == 20
     with pytest.raises(ValueError, match="return_plan"):
         prepare_training_data(docs, seq_len=16, token_counts=ext)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         prepare_training_data(
             docs,
             seq_len=16,
