@@ -472,6 +472,7 @@ def r8_queries() -> dict:
         "pipeline_pretrain_bpe_e2e": q_pipeline_pretrain_bpe_e2e,
         "bpe_encode_ids_fixed": q_bpe_encode_ids_fixed,
         "pack_training_order": q_pack_training_order,
+        "pack_plan_incremental": q_pack_plan_incremental,
     }
 
 
@@ -493,6 +494,7 @@ def r8_oracles() -> dict:
         "pipeline_pretrain_bpe_e2e": _o_pipeline_pretrain_bpe(),
         "bpe_encode_ids_fixed": _o_bpe_encode_ids(),
         "pack_training_order": _o_pack_training_order(),
+        "pack_plan_incremental": O_PACK_PLAN_INCREMENTAL,
     }
 
 
@@ -990,3 +992,33 @@ SELECT seq_id,
        CAST(row_number() OVER (ORDER BY {coord}, seq_id) - 1 AS BIGINT)
          AS shuffle_pos
 FROM s"""
+
+
+# --------------------------------------------- incremental packing
+
+PACK_INCR_CUTOFF = 250  # docs 0..499 at both graded SFs
+
+
+def q_pack_plan_incremental(spark, sf_dir):
+    """INCREMENTAL corpus append under the gate: the new batch
+    (doc_id >= cutoff) packed with base_offset = stream_end(old batch)
+    must equal, row for row, what the FULL-corpus plan assigns those
+    documents — the property that lets daily appends never repack
+    history. The oracle computes the full plan and restricts it; the
+    Spark side never sees the old documents' plan at all."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.packing import SequencePacking
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") < PACK_INCR_CUTOFF)
+    new = docs.where(F.col("doc_id") >= PACK_INCR_CUTOFF)
+    base = SequencePacking.stream_end(old, sep_tokens=PACK8_SEP)
+    return SequencePacking.pack_plan(
+        new, PACK8_LEN, sep_tokens=PACK8_SEP, base_offset=base
+    )
+
+
+O_PACK_PLAN_INCREMENTAL = f"""
+WITH {_plan_ctes('documents', _WS_N_SQL, PACK8_LEN, PACK8_SEP)}
+SELECT seq_id, doc_id, tok_start, tok_end, n_toks, seq_pos
+FROM plan WHERE doc_id >= {PACK_INCR_CUTOFF}"""

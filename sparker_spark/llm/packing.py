@@ -108,6 +108,7 @@ class SequencePacking:
         sep_tokens: int = 1,
         tokenizer: Callable[[Column], Column] | None = None,
         counts_col: str | None = None,
+        base_offset: int = 0,
     ) -> DataFrame:
         """The concat-and-chunk packing plan (module docstring).
 
@@ -125,12 +126,21 @@ class SequencePacking:
         offsets (a 3-long-column relation) so the distributed cumsum's
         internal cache can be released before returning — repeated
         pack_plan calls never accumulate pinned session state.
+
+        ``base_offset``: the stream position the first document starts
+        at — the INCREMENTAL-append hook. Packing a new batch with
+        ``base_offset=stream_end(old_docs)`` yields exactly the rows
+        the full-corpus plan would assign to those documents (the
+        corpus-append case: new docs have higher doc_ids), so daily
+        appends never repack history.
         """
         seq_len = int(seq_len)
         if seq_len <= 0:
             raise ValueError("seq_len must be positive")
         if sep_tokens < 0:
             raise ValueError("sep_tokens must be >= 0")
+        if base_offset < 0:
+            raise ValueError("base_offset must be >= 0")
         counts = SequencePacking.token_counts(
             docs, text_col, id_col, tokenizer=tokenizer, counts_col=counts_col
         )
@@ -139,9 +149,10 @@ class SequencePacking:
         )
         cum = ranking.global_cumsum(counts, ["doc_id"], "_w", out="_cum")
         # exclusive prefix: first stream position of this doc's tokens
-        offs = cum.withColumn("off", (F.col("_cum") - F.col("_w"))).drop(
-            "_cum", "_w"
-        )
+        offs = cum.withColumn(
+            "off",
+            F.col("_cum") - F.col("_w") + F.lit(int(base_offset)),
+        ).drop("_cum", "_w")
         # materialize the offsets once (localCheckpoint is GC-freed,
         # unlike a session-pinned cache), then release the cumsum's
         # internal cache — the offsets are fixed, so downstream
@@ -176,6 +187,30 @@ class SequencePacking:
         return out.select(
             "seq_id", "doc_id", "tok_start", "tok_end", "n_toks", "seq_pos"
         )
+
+    @staticmethod
+    def stream_end(
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        sep_tokens: int = 1,
+        tokenizer: Callable[[Column], Column] | None = None,
+        counts_col: str | None = None,
+    ) -> int:
+        """Total stream length of a packed corpus — ``sum(n +
+        sep_tokens)`` over every document including zero-token ones
+        (their reserved separators count). One aggregate, one bounded
+        driver scalar: the ``base_offset`` to hand the NEXT batch's
+        :meth:`pack_plan` for incremental corpus appends."""
+        counts = SequencePacking.token_counts(
+            docs, text_col, id_col, tokenizer=tokenizer, counts_col=counts_col
+        )
+        row = counts.agg(
+            F.coalesce(
+                F.sum(F.col("n") + F.lit(int(sep_tokens))), F.lit(0)
+            ).alias("s")
+        ).first()
+        return int(row["s"])
 
     @staticmethod
     def pack_texts(

@@ -302,3 +302,33 @@ def test_training_order_permutation(spark):
     assert sorted(a.values()) == list(range(57))  # dense permutation
     assert a != c and sorted(c.values()) == list(range(57))
     assert cm.isEmpty()
+
+
+def test_incremental_append_equals_full_plan(spark):
+    """Packing a new batch at base_offset=stream_end(old) reproduces
+    exactly the full-corpus plan's rows for those documents."""
+    texts = ["a b c", "d e f g h", "i j", "k l m n o p q", "", "r s"]
+    docs = _docs(spark, texts)
+    full = {
+        (r["seq_id"], r["doc_id"], r["tok_start"]): r
+        for r in SequencePacking.pack_plan(docs, 4).collect()
+    }
+    old = docs.where("doc_id < 3")
+    new = docs.where("doc_id >= 3")
+    base = SequencePacking.stream_end(old)
+    # old stream: 3+1 + 5+1 + 2+1 = 13
+    assert base == 13
+    inc = {
+        (r["seq_id"], r["doc_id"], r["tok_start"]): r
+        for r in SequencePacking.pack_plan(
+            new, 4, base_offset=base
+        ).collect()
+    }
+    expect = {k: v for k, v in full.items() if k[1] >= 3}
+    assert set(inc) == set(expect)
+    for k in inc:
+        assert tuple(inc[k]) == tuple(expect[k])
+    # the empty doc (4) reserved its separator in both layouts
+    assert SequencePacking.stream_end(docs) == base + 8 + 1 + 3
+    with pytest.raises(ValueError, match="base_offset"):
+        SequencePacking.pack_plan(new, 4, base_offset=-1)
