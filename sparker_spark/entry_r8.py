@@ -38,6 +38,16 @@ _WS_N_SQL = (
 _WS_TOKS_SQL = (
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)"
 )
+# explicit-whitespace-class twin for the operators whose SPARK side
+# splits on bpe.WS_CLASS (bpe_*, mix_*): \s includes \x0B in Java
+# regex but not in RE2/DuckDB, so those pairs use the same class on
+# both engines (the pack_* pair above keeps \s+ on both sides — its
+# Spark twin is packing._ws_tokens)
+_WSX_N_SQL = (
+    "coalesce(len(list_filter("
+    "regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'),"
+    " x -> len(x) > 0)), 0)"
+)
 
 
 def _bpe_tokenizer(col):
@@ -254,21 +264,9 @@ def q_pipeline_pretrain_e2e(spark, sf_dir):
 def _o_pipeline_pretrain() -> str:
     from sparker_spark.entry import _o_text_quality
 
+    surv = _SURV_CTES_TMPL.format(quality=_o_text_quality())
     return f"""
-WITH q AS (SELECT doc_id, quality_score FROM ({_o_text_quality()})),
-qs AS (
-  SELECT d.doc_id, d.text
-  FROM documents d JOIN q USING (doc_id)
-  WHERE q.quality_score >= 0.3),
-surv AS (
-  SELECT doc_id, text FROM (
-    SELECT doc_id, text,
-           doc_id = min(doc_id) OVER (
-             PARTITION BY md5(trim(regexp_replace(lower(text),
-                                                  '\\s+', ' ', 'g')))
-           ) AS canon
-    FROM qs)
-  WHERE canon),
+WITH {surv},
 {_plan_ctes('surv', _WS_N_SQL, PACK8_LEN, PACK8_SEP)},
 {_texts_select('surv', _WS_TOKS_SQL, PACK8_LEN, '<|sep|>')}"""
 
@@ -306,21 +304,9 @@ def q_pretrain_plan_external_counts(spark, sf_dir):
 def _o_pretrain_plan_external() -> str:
     from sparker_spark.entry import _o_text_quality
 
+    surv = _SURV_CTES_TMPL.format(quality=_o_text_quality())
     return f"""
-WITH q AS (SELECT doc_id, quality_score FROM ({_o_text_quality()})),
-qs AS (
-  SELECT d.doc_id, d.text
-  FROM documents d JOIN q USING (doc_id)
-  WHERE q.quality_score >= 0.3),
-surv AS (
-  SELECT doc_id, text FROM (
-    SELECT doc_id, text,
-           doc_id = min(doc_id) OVER (
-             PARTITION BY md5(trim(regexp_replace(lower(text),
-                                                  '\\s+', ' ', 'g')))
-           ) AS canon
-    FROM qs)
-  WHERE canon),
+WITH {surv},
 {_plan_ctes('surv', _BPE_N_SQL, PACK8_LEN, PACK8_SEP)}
 SELECT seq_id, doc_id, tok_start, tok_end, n_toks, seq_pos FROM plan"""
 
@@ -486,7 +472,7 @@ def r8_oracles() -> dict:
         "ann_topk_ivf_probe1": O_ANN_TOPK_IVF_PROBE1,
         "knn_label_vote_ivf_probe1": O_KNN_LABEL_VOTE_IVF_PROBE1,
         "bpe_pair_counts": O_BPE_PAIR_COUNTS,
-        "bpe_first_merge": O_BPE_FIRST_MERGE,
+        "bpe_first_merge": _o_bpe_first_merge(),
         "bpe_encode_fixed": _o_bpe_encode_fixed(),
         "mix_budget_plan": O_MIX_BUDGET_PLAN,
         "mix_sample_to_budget": _o_mix_sample(),
@@ -507,7 +493,7 @@ def r8_oracles() -> dict:
 
 _VOCAB_SQL = """
 w AS (
-  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+  SELECT unnest(list_filter(regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'),
                             x -> len(x) > 0)) AS word
   FROM documents),
 v AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word),
@@ -557,11 +543,18 @@ def q_bpe_first_merge(spark, sf_dir):
     return BPE.train(load(spark, sf_dir, "documents"), 1)
 
 
-O_BPE_FIRST_MERGE = f"""
+def _o_bpe_first_merge() -> str:
+    # mirror BPE.train's min_count early-stop: a best pair below the
+    # default threshold records NO merge, so the oracle must emit zero
+    # rows there too (latent on corpora with all-distinct words)
+    from sparker_spark.llm.bpe import DEFAULT_MIN_COUNT
+
+    return f"""
 WITH {_VOCAB_SQL.strip()}
 SELECT CAST(1 AS INTEGER) AS rank, sym_left AS "left",
        sym_right AS "right", sym_left || sym_right AS merged
 FROM pc
+WHERE n >= {DEFAULT_MIN_COUNT}
 ORDER BY n DESC, sym_left, sym_right LIMIT 1"""
 
 
@@ -587,6 +580,15 @@ BPE_FIXED_MERGES = [
 ]
 
 
+def _fixed_merges(spark):
+    """The BPE_FIXED_MERGES table as a DataFrame — shared by every
+    fixed-merge gate so the three Spark sides can never drift."""
+    return spark.createDataFrame(
+        [(r + 1, a, b, a + b) for r, (a, b) in enumerate(BPE_FIXED_MERGES)],
+        "rank int, left string, right string, merged string",
+    )
+
+
 def q_bpe_encode_fixed(spark, sf_dir):
     """The priority ENCODER under the value-hash gate: every document
     tokenized with the fixed cascade-free merge table, every token of
@@ -595,14 +597,9 @@ def q_bpe_encode_fixed(spark, sf_dir):
     from sparker_spark.entry import load
     from sparker_spark.llm.bpe import BPE
 
-    merges = spark.createDataFrame(
-        [
-            (r + 1, a, b, a + b)
-            for r, (a, b) in enumerate(BPE_FIXED_MERGES)
-        ],
-        "rank int, left string, right string, merged string",
+    enc = BPE.encode(
+        load(spark, sf_dir, "documents"), _fixed_merges(spark)
     )
-    enc = BPE.encode(load(spark, sf_dir, "documents"), merges)
     return enc.select(
         "doc_id",
         "n_tokens",
@@ -611,27 +608,13 @@ def q_bpe_encode_fixed(spark, sf_dir):
 
 
 def _o_bpe_encode_fixed() -> str:
-    # symbol encoding: chr(31) || sym || chr(30) per symbol; merges
-    # replay as string replaces in rank order (valid for this fixture
-    # — see BPE_FIXED_MERGES comment)
-    def w(sym: str) -> str:
-        return f"chr(31) || '{sym}' || chr(30)"
-
-    expr = (
-        "chr(31) || array_to_string(regexp_extract_all(x, '.'),"
-        " chr(30) || chr(31)) || chr(30)"
-    )
-    for a, b in BPE_FIXED_MERGES:
-        expr = f"replace({expr}, {w(a)} || {w(b)}, {w(a + b)})"
-    # wrapped symbols -> space-joined token string
-    word_tokens = (
-        f"rtrim(ltrim(replace({expr}, chr(30) || chr(31), ' '),"
-        " chr(31)), chr(30))"
-    )
+    # one shared replace-chain builder (see _bpe_tokens_str_expr) so
+    # this oracle and the pretrain-BPE oracle can never desynchronize
+    word_tokens = _bpe_tokens_str_expr()
     return f"""
 WITH d AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\\s+'),
+         list_filter(regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'),
                      x -> len(x) > 0) AS words
   FROM documents),
 t AS (
@@ -694,7 +677,7 @@ def q_mix_budget_plan(spark, sf_dir):
 
 _MIX_PLAN_CTES = f"""
 n AS (
-  SELECT doc_id, source, CAST({_WS_N_SQL} AS BIGINT) AS n
+  SELECT doc_id, source, CAST({_WSX_N_SQL} AS BIGINT) AS n
   FROM documents),
 t AS (
   SELECT source, CAST(sum(n) AS BIGINT) AS available_tokens
@@ -839,7 +822,7 @@ def _bpe_toks_list_sql(src: str) -> str:
            string_split(
              array_to_string(
                list_transform(
-                 list_filter(regexp_split_to_array(text, '\\s+'),
+                 list_filter(regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'),
                              x -> len(x) > 0),
                  x -> {word_tokens}),
                ' '),
@@ -858,13 +841,7 @@ def q_pipeline_pretrain_bpe_e2e(spark, sf_dir):
     from sparker_spark.entry import load
     from sparker_spark.pretrain import prepare_training_data
 
-    merges = spark.createDataFrame(
-        [
-            (r + 1, a, b, a + b)
-            for r, (a, b) in enumerate(BPE_FIXED_MERGES)
-        ],
-        "rank int, left string, right string, merged string",
-    )
+    merges = _fixed_merges(spark)
     return prepare_training_data(
         load(spark, sf_dir, "documents"),
         seq_len=PACK8_LEN,
@@ -900,13 +877,7 @@ def q_bpe_encode_ids_fixed(spark, sf_dir):
     from sparker_spark.llm.bpe import BPE, BPEVocab
 
     docs = load(spark, sf_dir, "documents")
-    merges = spark.createDataFrame(
-        [
-            (r + 1, a, b, a + b)
-            for r, (a, b) in enumerate(BPE_FIXED_MERGES)
-        ],
-        "rank int, left string, right string, merged string",
-    )
+    merges = _fixed_merges(spark)
     vocab = BPEVocab.build(docs, merges)
     ids = BPEVocab.encode_ids(BPE.encode(docs, merges), vocab)
     return ids.select(
@@ -927,7 +898,7 @@ def _o_bpe_encode_ids() -> str:
 WITH {_bpe_toks_list_sql('documents')},
 chars AS (
   SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS token
-  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'),
                                   x -> len(x) > 0)) AS word
         FROM documents)),
 cv AS (SELECT token,

@@ -52,6 +52,13 @@ from pyspark.sql import functions as F
 # subword structure)
 DEFAULT_MIN_COUNT = 2
 
+# explicit whitespace class for word splitting — NOT \s, which
+# includes \x0B in Java regex but not in RE2/DuckDB (the repo's
+# BoilerplateRemoval portability rule); the SQL oracles use the same
+# class, and BPE.encode's Python splitter mirrors it (str.split()
+# would additionally split on unicode spaces)
+WS_CLASS = "[ \\t\\r\\n\\f\\x0B]+"
+
 
 def _chars(col):
     """Single-character symbol array of a word (split on the empty
@@ -72,7 +79,7 @@ class BPE:
         words = docs.select(
             F.explode(
                 F.filter(
-                    F.split(F.col(text_col), "\\s+"),
+                    F.split(F.col(text_col), WS_CLASS),
                     lambda t: F.length(t) > 0,
                 )
             ).alias("word")
@@ -297,15 +304,20 @@ class BPE:
         )
 
         def run(batches):
+            import re
+
             import pandas as pd
 
+            ws = re.compile("[ \t\r\n\f\x0B]+")  # == WS_CLASS
             cache: dict[str, list[str]] = {}
 
             def enc(text):
                 if text is None:
                     return []
                 out = []
-                for w in text.split():
+                for w in ws.split(text):
+                    if not w:
+                        continue
                     hit = cache.get(w)
                     if hit is None:
                         hit = BPE._encode_word(w, rank_of)
@@ -357,7 +369,14 @@ class BPEVocab:
                 "token_id"
             ),
         )
-        out = base.select("token", "token_id").unionByName(merged)
+        # materialize BEFORE releasing the rank's internal cache
+        # (release() is only safe after the ranked output exists); the
+        # vocab is model-sized, so the eager checkpoint is trivial
+        out = (
+            base.select("token", "token_id")
+            .unionByName(merged)
+            .localCheckpoint(eager=True)
+        )
         ranking.release(base)
         return out
 

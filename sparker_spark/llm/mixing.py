@@ -44,13 +44,18 @@ def _doc_counts(
     id_col: str,
     counts_col: str | None,
 ) -> DataFrame:
+    from sparker_spark.llm.bpe import WS_CLASS
+
     if counts_col is not None:
         n = F.coalesce(F.col(counts_col).cast("long"), F.lit(0))
     else:
+        # explicit whitespace class (WS_CLASS), not \s: Java regex
+        # counts \x0B as whitespace, RE2/DuckDB does not — the oracle
+        # replays the same class
         n = F.size(
             F.coalesce(
                 F.filter(
-                    F.split(F.col(text_col), "\\s+"),
+                    F.split(F.col(text_col), WS_CLASS),
                     lambda t: F.length(t) > 0,
                 ),
                 F.array().cast("array<string>"),
@@ -76,21 +81,10 @@ def _normalized(weights: dict[str, float]) -> dict[str, float]:
 
 class MixPlanner:
     @staticmethod
-    def budget_plan(
-        docs: DataFrame,
-        weights: dict[str, float],
-        budget: int,
-        text_col: str = "text",
-        source_col: str = "source",
-        id_col: str = "doc_id",
-        counts_col: str | None = None,
+    def _plan_from_counts(
+        counts: DataFrame, weights: dict[str, float], budget: int
     ) -> DataFrame:
-        """The mix plan: (source, available_tokens, target_tokens,
-        rate). ``rate`` = min(1, target/available); sources absent
-        from ``weights`` get rate 0 (excluded from the mix), sources
-        with zero available tokens get rate 0 (nothing to draw)."""
         wn = _normalized(weights)
-        counts = _doc_counts(docs, text_col, source_col, id_col, counts_col)
         totals = counts.groupBy("source").agg(
             F.sum("n").cast("long").alias("available_tokens")
         )
@@ -110,6 +104,23 @@ class MixPlanner:
         )
 
     @staticmethod
+    def budget_plan(
+        docs: DataFrame,
+        weights: dict[str, float],
+        budget: int,
+        text_col: str = "text",
+        source_col: str = "source",
+        id_col: str = "doc_id",
+        counts_col: str | None = None,
+    ) -> DataFrame:
+        """The mix plan: (source, available_tokens, target_tokens,
+        rate). ``rate`` = min(1, target/available); sources absent
+        from ``weights`` get rate 0 (excluded from the mix), sources
+        with zero available tokens get rate 0 (nothing to draw)."""
+        counts = _doc_counts(docs, text_col, source_col, id_col, counts_col)
+        return MixPlanner._plan_from_counts(counts, weights, budget)
+
+    @staticmethod
     def sample_to_budget(
         docs: DataFrame,
         weights: dict[str, float],
@@ -123,11 +134,19 @@ class MixPlanner:
         """The realized sample: (doc_id, source, n) for every kept
         document — kept iff its deterministic hash coordinate (pure
         function of seed and doc_id) is below its source's plan rate.
-        Semi-join back on doc_id to carry full rows downstream."""
-        plan = MixPlanner.budget_plan(
-            docs, weights, budget, text_col, source_col, id_col, counts_col
-        ).select("source", "rate")
-        counts = _doc_counts(docs, text_col, source_col, id_col, counts_col)
+        Semi-join back on doc_id to carry full rows downstream.
+
+        The per-document counts relation is materialized ONCE (eager
+        localCheckpoint, GC-freed) and feeds both the plan's totals
+        aggregate and the sample's filter leg — the corpus is
+        tokenized exactly once, which is the dominant cost of the
+        whole operator."""
+        counts = _doc_counts(
+            docs, text_col, source_col, id_col, counts_col
+        ).localCheckpoint(eager=True)
+        plan = MixPlanner._plan_from_counts(counts, weights, budget).select(
+            "source", "rate"
+        )
         keyed = counts.join(F.broadcast(plan), "source")
         return keyed.where(
             Sampling.coord("doc_id", seed) < F.col("rate")

@@ -390,18 +390,27 @@ class LanguageModelScore:
             F.split(F.lower(F.col(text_col)), "[^0-9a-z_]+"),
             lambda t: F.length(t) > 0,
         )
-        big = documents.select(
-            F.col(doc_col).alias("doc_id"), toks_arr.alias("t")
-        ).select(
-            "doc_id",
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("t"), 1, F.size("t") - 1),
-                    F.slice(F.col("t"), 2, F.size("t") - 1),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                )
-            ).alias("p"),
-        ).select("doc_id", "p.w1", "p.w2")
+        big = (
+            documents.select(
+                F.col(doc_col).alias("doc_id"), toks_arr.alias("t")
+            )
+            # slice(t, 1, size-1) throws on size 0 (length -1); such
+            # docs have no bigrams anyway — drop them BEFORE slicing
+            .where(F.size("t") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("t"), 1, F.size("t") - 1),
+                        F.slice(F.col("t"), 2, F.size("t") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("w1"), b.alias("w2")
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select("doc_id", "p.w1", "p.w2")
+        )
         vocab_size = (
             documents.select(
                 F.explode(toks_arr).alias("tok")

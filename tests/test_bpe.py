@@ -238,3 +238,19 @@ def test_prepare_training_data_bpe_merges(spark):
             docs, seq_len=16, bpe_merges=merges,
             tokenizer=lambda c: c,
         )
+
+
+def test_vertical_tab_whitespace_portability(spark):
+    """Regression (r8 review): \\x0B is whitespace under Java's \\s but
+    not RE2/DuckDB's — word_vocab, the encoder's Python splitter, and
+    the SQL oracles all use the SAME explicit class (which names \\x0B
+    as a member), so every engine splits 'a\\x0bb' identically
+    (verified against DuckDB's regexp_split_to_array in the gates)."""
+    docs = spark.createDataFrame([(0, "a\x0bb c")], ["doc_id", "text"])
+    words = {r["word"] for r in BPE.word_vocab(docs).collect()}
+    assert words == {"a", "b", "c"}
+    merges = spark.createDataFrame(
+        [], "rank int, left string, right string, merged string"
+    )
+    enc = BPE.encode(docs, merges).collect()[0]
+    assert list(enc["tokens"]) == ["a", "b", "c"]

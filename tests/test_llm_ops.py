@@ -384,3 +384,17 @@ def test_bigram_logprob_hand_checked(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert LanguageModelScore.bigram_logprob(empty).count() == 0
+
+
+def test_bigram_logprob_zero_token_docs_no_crash(spark):
+    """Regression (r8 review): a doc whose text tokenizes to zero
+    tokens ('!!!', '') must be silently skipped, not crash the slice
+    with length -1."""
+    from sparker_spark.llm.text import LanguageModelScore
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "!!!"), (2, ""), (3, "??? !!!")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"] for r in LanguageModelScore.bigram_logprob(docs).collect()}
+    assert out == {0}
