@@ -424,3 +424,29 @@ class BPEVocab:
             "token_ids",
             F.size("token_ids").cast("long").alias("n_tokens"),
         )
+
+
+class BPEModel:
+    """Persistence for a trained tokenizer: the merge table and the
+    id vocabulary written as ordinary parquet — the model artifact a
+    pretraining pipeline versions alongside its data recipe. Parquet
+    (not a sidecar text format) so the serving job reads it with the
+    same partition-pruned scan machinery as everything else."""
+
+    @staticmethod
+    def write(path: str, merges: DataFrame, vocab: DataFrame | None = None) -> None:
+        merges.repartition(1).write.mode("overwrite").parquet(
+            f"{path}/merges.parquet"
+        )
+        if vocab is not None:
+            vocab.repartition(1).write.mode("overwrite").parquet(
+                f"{path}/vocab.parquet"
+            )
+
+    @staticmethod
+    def read_merges(spark, path: str) -> DataFrame:
+        return spark.read.parquet(f"{path}/merges.parquet")
+
+    @staticmethod
+    def read_vocab(spark, path: str) -> DataFrame:
+        return spark.read.parquet(f"{path}/vocab.parquet")

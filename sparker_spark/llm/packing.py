@@ -421,3 +421,35 @@ def training_order(
     out = ranked.drop("_coord").localCheckpoint(eager=True)
     ranking.release(ranked)
     return out
+
+
+def write_packed_shards(
+    seqs: DataFrame,
+    path: str,
+    seqs_per_shard: int = 100_000,
+    order_col: str = "seq_id",
+) -> None:
+    """Write packed sequences as Hive-partitioned parquet shards —
+    the on-disk layout a training dataloader consumes: ``path/
+    shard=K/`` holds sequences [K·seqs_per_shard, (K+1)·seqs_per_shard)
+    of ``order_col`` (seq_id for corpus order, shuffle_pos from
+    :func:`training_order` for training order), so a worker assigned
+    shards K..K+j reads exactly its partitions (PartitionFilters
+    pruning — asserted in tests) and row order within a shard follows
+    ``order_col`` via a per-partition sort (sortWithinPartitions: no
+    global sort, no single-partition window).
+    """
+    if seqs_per_shard <= 0:
+        raise ValueError("seqs_per_shard must be positive")
+    out = seqs.withColumn(
+        "shard",
+        (F.col(order_col) / F.lit(int(seqs_per_shard)))
+        .cast("long"),
+    )
+    (
+        out.repartition("shard")
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
