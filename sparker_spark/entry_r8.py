@@ -459,6 +459,7 @@ def r8_queries() -> dict:
         "bpe_encode_ids_fixed": q_bpe_encode_ids_fixed,
         "pack_training_order": q_pack_training_order,
         "pack_plan_incremental": q_pack_plan_incremental,
+        "pipeline_pretrain_bpe_ids_e2e": q_pipeline_pretrain_bpe_ids_e2e,
     }
 
 
@@ -481,6 +482,7 @@ def r8_oracles() -> dict:
         "bpe_encode_ids_fixed": _o_bpe_encode_ids(),
         "pack_training_order": _o_pack_training_order(),
         "pack_plan_incremental": O_PACK_PLAN_INCREMENTAL,
+        "pipeline_pretrain_bpe_ids_e2e": _o_pipeline_pretrain_bpe_ids(),
     }
 
 
@@ -993,3 +995,97 @@ O_PACK_PLAN_INCREMENTAL = f"""
 WITH {_plan_ctes('documents', _WS_N_SQL, PACK8_LEN, PACK8_SEP)}
 SELECT seq_id, doc_id, tok_start, tok_end, n_toks, seq_pos
 FROM plan WHERE doc_id >= {PACK_INCR_CUTOFF}"""
+
+
+# ----------------------------- pretrain-to-input_ids, end-to-end gate
+
+
+def q_pipeline_pretrain_bpe_ids_e2e(spark, sf_dir):
+    """The TRAINABLE output of the whole stack under one gate:
+    quality floor -> exact dedup -> BPE encode (fixed merges) ->
+    BPEVocab ids -> packed integer sequences, via
+    prepare_training_data(bpe_merges=..., return_ids=True). Every id
+    of every packed sequence value-checked (space-joined rendering)."""
+    from sparker_spark.entry import load
+    from sparker_spark.pretrain import prepare_training_data
+
+    out = prepare_training_data(
+        load(spark, sf_dir, "documents"),
+        seq_len=PACK8_LEN,
+        sep_tokens=PACK8_SEP,
+        redact=False,
+        min_quality=0.3,
+        max_top_ngram_frac=None,
+        max_dup_ngram_frac=None,
+        exact_dedup=True,
+        jaccard_threshold=None,
+        bpe_merges=_fixed_merges(spark),
+        return_ids=True,
+        sep_id=-1,
+    )
+    return out.select(
+        "seq_id",
+        "n_docs",
+        "n_tokens",
+        F.concat_ws(
+            " ", F.transform("input_ids", lambda x: x.cast("string"))
+        ).alias("ids_str"),
+    )
+
+
+def _o_pipeline_pretrain_bpe_ids() -> str:
+    from sparker_spark.entry import _o_text_quality
+
+    surv = _SURV_CTES_TMPL.format(quality=_o_text_quality())
+    merge_rows = ", ".join(
+        f"('{a + b}', {r})" for r, (a, b) in enumerate(BPE_FIXED_MERGES)
+    )
+    return f"""
+WITH {surv},
+{_bpe_toks_list_sql('surv')},
+chars AS (
+  SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS token
+  FROM (SELECT unnest(list_filter(
+                 regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'),
+                 x -> len(x) > 0)) AS word
+        FROM surv)),
+cv AS (SELECT token,
+              CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT)
+                AS token_id
+       FROM chars),
+nm AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM cv),
+mv AS (SELECT token, CAST(r + (SELECT nc FROM nm) AS BIGINT) AS token_id
+       FROM (VALUES {merge_rows}) AS m(token, r)),
+v AS (SELECT * FROM cv UNION ALL SELECT * FROM mv),
+pos AS (
+  SELECT doc_id, i, t[i] AS token
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        FROM enc)),
+idl AS (
+  SELECT pos.doc_id,
+         list(coalesce(v.token_id, CAST(-1 AS BIGINT)) ORDER BY pos.i)
+           AS ids
+  FROM pos LEFT JOIN v ON pos.token = v.token
+  GROUP BY pos.doc_id),
+enc2 AS (
+  SELECT e.doc_id, coalesce(idl.ids, CAST([] AS BIGINT[])) AS ids
+  FROM enc e LEFT JOIN idl ON e.doc_id = idl.doc_id),
+{_plan_ctes('enc2', 'len(ids)', PACK8_LEN, PACK8_SEP)},
+tk AS (SELECT doc_id, ids AS t FROM enc2),
+sliced AS (
+  SELECT p.seq_id, p.seq_pos, p.n_toks,
+         CASE WHEN p.tok_end = len(t)
+                   AND p.seq_pos + p.n_toks < {PACK8_LEN}
+              THEN list_concat(
+                     list_slice(t, CAST(p.tok_start + 1 AS INTEGER),
+                                CAST(p.tok_end AS INTEGER)),
+                     [CAST(-1 AS BIGINT)])
+              ELSE list_slice(t, CAST(p.tok_start + 1 AS INTEGER),
+                              CAST(p.tok_end AS INTEGER)) END AS piece
+  FROM plan p JOIN tk USING (doc_id))
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       array_to_string(flatten(list(piece ORDER BY seq_pos)), ' ')
+         AS ids_str
+FROM sliced GROUP BY seq_id"""

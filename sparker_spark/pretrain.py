@@ -40,6 +40,8 @@ def prepare_training_data(
     tokenizer: Callable[[Column], Column] | None = None,
     token_counts: DataFrame | None = None,
     bpe_merges: DataFrame | None = None,
+    return_ids: bool = False,
+    sep_id: int = -1,
     **curate_knobs,
 ) -> DataFrame:
     """Cleaned, packed training sequences
@@ -76,6 +78,12 @@ def prepare_training_data(
           merges = BPE.train_local(docs, 32_000)
           seqs = prepare_training_data(docs, 4096, bpe_merges=merges)
 
+      With ``return_ids=True`` the output is the TRAINABLE relation
+      ``(seq_id, n_docs, n_tokens, input_ids: array<long>)``: token
+      ids under the deterministic BPEVocab layout (sorted base chars,
+      merges by rank; ``sep_id`` at in-sequence separator positions).
+      Requires ``bpe_merges``.
+
     * ``return_plan=True`` returns the (seq_id, doc_id, tok_start,
       tok_end, n_toks, seq_pos) plan relation instead of materialized
       text.
@@ -110,13 +118,23 @@ def prepare_training_data(
             id_col,
         )
         counts_col = "_ext_n"
+    if return_ids and bpe_merges is None:
+        raise ValueError("return_ids=True requires bpe_merges")
     if bpe_merges is not None:
-        from sparker_spark.llm.bpe import BPE
+        from sparker_spark.llm.bpe import BPE, BPEVocab
 
-        clean = BPE.encode(
+        encoded = BPE.encode(
             clean, bpe_merges, text_col=text_col, id_col=id_col
         ).withColumnRenamed("doc_id", id_col)
-        counts_col, tokens_col = "n_tokens", "tokens"
+        if return_ids:
+            vocab = BPEVocab.build(clean, bpe_merges, text_col=text_col)
+            clean = BPEVocab.encode_ids(
+                encoded.withColumnRenamed(id_col, "doc_id"), vocab
+            ).withColumnRenamed("doc_id", id_col)
+            counts_col, tokens_col = "n_tokens", "token_ids"
+        else:
+            clean = encoded
+            counts_col, tokens_col = "n_tokens", "tokens"
     plan = SequencePacking.pack_plan(
         clean,
         seq_len,
@@ -128,6 +146,16 @@ def prepare_training_data(
     )
     if return_plan:
         return plan
+    if return_ids:
+        return SequencePacking.pack_token_ids(
+            clean,
+            plan,
+            seq_len,
+            tokens_col,
+            id_col=id_col,
+            sep_id=sep_id,
+            sep_tokens=sep_tokens,
+        )
     return SequencePacking.pack_texts(
         clean,
         plan,

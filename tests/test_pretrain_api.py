@@ -125,3 +125,46 @@ def test_prepare_training_data_external_counts(spark):
             tokenizer=lambda c: F.split(c, " "),
             return_plan=True,
         )
+
+
+def test_prepare_training_data_return_ids(spark):
+    """return_ids=True emits packed integer sequences whose flattened
+    stream equals the BPEVocab-id mapping of the encoded survivors."""
+    from pyspark.sql import functions as F
+
+    from sparker_spark.llm.bpe import BPE, BPEVocab
+
+    docs = _docs(spark)
+    merges = BPE.train_local(docs, 4)
+    out = prepare_training_data(
+        docs,
+        seq_len=16,
+        redact=False,
+        min_quality=None,
+        max_top_ngram_frac=None,
+        max_dup_ngram_frac=None,
+        exact_dedup=True,
+        jaccard_threshold=None,
+        bpe_merges=merges,
+        return_ids=True,
+        sep_id=-9,
+    ).collect()
+    stream = [
+        x
+        for r in sorted(out, key=lambda r: r["seq_id"])
+        for x in r["input_ids"]
+        if x != -9
+    ]
+    clean = docs.where("doc_id != 3")  # doc 3 is the exact dup of 0
+    vocab = BPEVocab.build(clean, merges)
+    ids = BPEVocab.encode_ids(BPE.encode(clean, merges), vocab)
+    expect = [
+        x
+        for r in ids.orderBy("doc_id").collect()
+        for x in r["token_ids"]
+    ]
+    assert stream == expect
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="requires bpe_merges"):
+        prepare_training_data(docs, seq_len=16, return_ids=True)
