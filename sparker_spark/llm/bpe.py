@@ -61,10 +61,15 @@ WS_CLASS = "[ \\t\\r\\n\\f\\x0B]+"
 
 
 def _chars(col):
-    """Single-character symbol array of a word (split on the empty
-    pattern drops no characters; Spark emits no empty trailing
-    element for '')."""
-    return F.filter(F.split(col, ""), lambda x: x != F.lit(""))
+    """Single-character symbol array of a word, split by CODEPOINT:
+    Java regex ``.`` consumes a full code point (surrogate pairs
+    stay together), matching the DuckDB oracles' ``regexp_extract_all
+    (word, '.')`` and Python's ``tuple(word)`` in ``train_local`` —
+    ``F.split(col, '')`` would cut non-BMP characters into surrogate
+    halves. ``(?s)`` so the U+0085/U+2028/U+2029 line separators
+    (not in WS_CLASS, so they can appear inside words) are kept, as
+    RE2's ``.`` keeps them."""
+    return F.regexp_extract_all(col, F.lit("(?s)."), 0)
 
 
 class BPE:
@@ -299,6 +304,10 @@ class BPE:
             (r["left"], r["right"]): r["rank"]
             for r in merges.select("rank", "left", "right").collect()
         }
+        # the output schema carries the INPUT id type — a string or
+        # int id column flows through unchanged instead of being
+        # silently coerced to long inside mapInPandas
+        id_type = docs.schema[id_col].dataType.simpleString()
         base = docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
         )
@@ -336,7 +345,10 @@ class BPE:
                 )
 
         return base.mapInPandas(
-            run, schema="doc_id long, tokens array<string>, n_tokens long"
+            run,
+            schema=(
+                f"doc_id {id_type}, tokens array<string>, n_tokens long"
+            ),
         )
 
 
@@ -371,10 +383,16 @@ class BPEVocab:
         )
         # materialize BEFORE releasing the rank's internal cache
         # (release() is only safe after the ranked output exists); the
-        # vocab is model-sized, so the eager checkpoint is trivial
+        # vocab is model-sized, so the eager checkpoint is trivial.
+        # Distinct merges can concatenate to the SAME string (('a','bc')
+        # and ('ab','c') both yield 'abc') — encode_ids joins on token,
+        # so duplicate token rows would duplicate positions; keep ONE
+        # row per token (the lowest id, i.e. the earliest rank)
         out = (
             base.select("token", "token_id")
             .unionByName(merged)
+            .groupBy("token")
+            .agg(F.min("token_id").alias("token_id"))
             .localCheckpoint(eager=True)
         )
         ranking.release(base)

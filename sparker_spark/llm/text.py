@@ -27,10 +27,14 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 TOKEN_REGEX = "[a-z0-9]+"
 # BPE-ish pre-tokenizer: word pieces OR single non-space symbols.
+# The whitespace is the EXPLICIT class, not \s: Java regex counts
+# \x0B as \s, RE2/DuckDB does not — with \s the two engines would
+# disagree on texts containing a vertical tab (the repo's standing
+# portability rule, same as bpe.WS_CLASS / BoilerplateRemoval).
 # NOTE on escaping: Spark SQL string literals treat backslash as an
 # escape character, DuckDB's do not — so the Spark literal needs the
 # backslash doubled while the DuckDB oracle uses the raw form.
-BPE_ISH_REGEX = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+BPE_ISH_REGEX = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\r\\n\\f\\x0B]"
 BPE_ISH_REGEX_SPARK_SQL = BPE_ISH_REGEX.replace("\\", "\\\\")
 
 

@@ -254,3 +254,77 @@ def test_vertical_tab_whitespace_portability(spark):
     )
     enc = BPE.encode(docs, merges).collect()[0]
     assert list(enc["tokens"]) == ["a", "b", "c"]
+
+
+def test_codepoint_split_non_bmp(spark):
+    """Regression (r9 ADVICE): _chars must split by CODEPOINT, not
+    UTF-16 code unit — a non-BMP character (emoji) is ONE symbol on
+    every path (distributed state init, train_local's tuple(word),
+    the encoder's list(word)), so trained merges and encodings agree
+    across paths and with the DuckDB oracles' regexp_extract_all
+    (word, '.')."""
+    emoji_docs = spark.createDataFrame(
+        [(0, "a\U0001f600b a\U0001f600b a\U0001f600b xy")],
+        ["doc_id", "text"],
+    )
+    from sparker_spark.llm.bpe import _chars
+
+    cs = (
+        emoji_docs.select(_chars(F.col("text")).alias("c")).first()["c"]
+    )
+    assert "\U0001f600" in cs  # one symbol, not two surrogate halves
+    dist = [
+        (r["left"], r["right"])
+        for r in BPE.train(emoji_docs, 2, min_count=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    loc = [
+        (r["left"], r["right"])
+        for r in BPE.train_local(emoji_docs, 2, min_count=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert dist == loc and dist[0] == ("a", "\U0001f600")
+
+
+def test_encode_preserves_id_type(spark):
+    """Regression (r9 ADVICE): encode's output schema derives from the
+    input id column type — string ids flow through instead of being
+    coerced to long inside mapInPandas."""
+    docs = spark.createDataFrame(
+        [("k1", "th th"), ("k2", "x")], "doc_id string, text string"
+    )
+    merges = spark.createDataFrame(
+        [(1, "t", "h", "th")],
+        "rank int, left string, right string, merged string",
+    )
+    enc = BPE.encode(docs, merges)
+    assert dict(enc.dtypes)["doc_id"] == "string"
+    rows = {r["doc_id"]: list(r["tokens"]) for r in enc.collect()}
+    assert rows == {"k1": ["th", "th"], "k2": ["x"]}
+
+
+def test_vocab_dedups_colliding_merge_strings(spark):
+    """Regression (r9 ADVICE): two distinct merges can concatenate to
+    the same string (('ab','c') and ('a','bc') both yield 'abc');
+    BPEVocab keeps ONE row per token (lowest id) so encode_ids' join
+    never duplicates positions."""
+    from sparker_spark.llm.bpe import BPEVocab
+
+    docs = spark.createDataFrame([(0, "abc abc")], ["doc_id", "text"])
+    merges = spark.createDataFrame(
+        [
+            (1, "a", "b", "ab"),
+            (2, "b", "c", "bc"),
+            (3, "ab", "c", "abc"),
+            (4, "a", "bc", "abc"),
+        ],
+        "rank int, left string, right string, merged string",
+    )
+    vocab = BPEVocab.build(docs, merges)
+    toks = [r["token"] for r in vocab.collect()]
+    assert len(toks) == len(set(toks))
+    out = BPEVocab.encode_ids(BPE.encode(docs, merges), vocab).collect()[0]
+    # 'abc abc' encodes to two 'abc' tokens; ids must not duplicate
+    assert out["n_tokens"] == 2 and len(out["token_ids"]) == 2
