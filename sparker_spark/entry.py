@@ -1134,12 +1134,14 @@ def build_oracles() -> dict[str, str]:
     from sparker_spark.entry_r6 import r6_oracles
     from sparker_spark.entry_r7 import r7_oracles
     from sparker_spark.entry_r8 import r8_oracles
+    from sparker_spark.entry_r9 import r9_oracles
 
     oracles.update(r4_oracles())
     oracles.update(r5_oracles())
     oracles.update(r6_oracles())
     oracles.update(r7_oracles())
     oracles.update(r8_oracles())
+    oracles.update(r9_oracles())
     # native round() differs between engines at exact .5 boundaries —
     # rewrite every round() into the deterministic floor formula that
     # the Spark side (sparker_spark.rounding.rnd) uses
@@ -1201,6 +1203,12 @@ def _register_ext() -> None:
     from sparker_spark.entry_r8 import r8_queries
 
     QUERIES.update(r8_queries())
+    # r9 queries: byte-level BPE (UNK-free ids), sink read-back gates,
+    # mixing renormalization — tail positions like every post-r2
+    # addition; local oracle evidence in TAIL_CHECKS.md.
+    from sparker_spark.entry_r9 import r9_queries
+
+    QUERIES.update(r9_queries())
     # The driver grades only the first 50 registry entries. Push the
     # queries whose operators are redundantly covered to the tail so
     # every operator's *sole* oracle query stays inside the window:

@@ -60,6 +60,62 @@ DEFAULT_MIN_COUNT = 2
 WS_CLASS = "[ \\t\\r\\n\\f\\x0B]+"
 
 
+# --------------------------------------------------- byte-level base
+# GPT-2's byte<->unicode convention (Radford et al. 2019, public
+# gpt-2/src/encoder.py): every byte gets a PRINTABLE stand-in
+# character, so byte sequences round-trip through ordinary strings.
+# Visible latin bytes (33-126, 161-172, 174-255) map to their own
+# codepoint; the 68 remaining bytes (controls, space, 127-160, 173)
+# map to 256+k in ascending byte order. With this base alphabet the
+# vocabulary covers EVERY byte, so byte-level encoding can never
+# produce an out-of-vocabulary symbol — no unk ids, ever.
+
+_B2U: dict[int, str] | None = None
+_U2B: dict[str, int] | None = None
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """byte -> stand-in character map (cached; pure function)."""
+    global _B2U
+    if _B2U is None:
+        bs = (
+            list(range(33, 127))
+            + list(range(161, 173))
+            + list(range(174, 256))
+        )
+        cs = bs[:]
+        n = 0
+        for b in range(256):
+            if b not in bs:
+                bs.append(b)
+                cs.append(256 + n)
+                n += 1
+        _B2U = dict(zip(bs, (chr(c) for c in cs)))
+    return _B2U
+
+
+def unicode_to_bytes() -> dict[str, int]:
+    """Inverse of :func:`bytes_to_unicode` (cached)."""
+    global _U2B
+    if _U2B is None:
+        _U2B = {c: b for b, c in bytes_to_unicode().items()}
+    return _U2B
+
+
+def byte_map_word(word: str) -> list[str]:
+    """A word's UTF-8 bytes as the byte-level symbol list — the
+    byte-level counterpart of the char split."""
+    b2u = bytes_to_unicode()
+    return [b2u[b] for b in word.encode("utf-8")]
+
+
+def byte_decode(token: str) -> str:
+    """Mapped-symbol token back to text (UTF-8; replacement char on
+    byte sequences that a merge boundary split mid-codepoint)."""
+    u2b = unicode_to_bytes()
+    return bytes(u2b[c] for c in token).decode("utf-8", errors="replace")
+
+
 def _chars(col):
     """Single-character symbol array of a word, split by CODEPOINT:
     Java regex ``.`` consumes a full code point (surrogate pairs
@@ -134,9 +190,33 @@ class BPE:
         )
 
     @staticmethod
-    def _init_state(vocab: DataFrame) -> DataFrame:
-        return vocab.select(
-            "word", "n", _chars(F.col("word")).alias("syms")
+    def _init_state(
+        vocab: DataFrame, byte_level: bool = False
+    ) -> DataFrame:
+        """Initial (word, n, syms) training state. Char-level splits
+        with a column expression; byte-level maps each word's UTF-8
+        bytes to the stand-in alphabet in Arrow-batched mapInPandas —
+        over the VOCAB relation (Heaps-small), never the corpus, so
+        the Python hop costs vocab rows, not data rows."""
+        if not byte_level:
+            return vocab.select(
+                "word", "n", _chars(F.col("word")).alias("syms")
+            )
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "word": pdf["word"],
+                        "n": pdf["n"],
+                        "syms": [byte_map_word(w) for w in pdf["word"]],
+                    }
+                )
+
+        return vocab.select("word", "n").mapInPandas(
+            run, schema="word string, n long, syms array<string>"
         )
 
     @staticmethod
@@ -145,10 +225,15 @@ class BPE:
         num_merges: int,
         text_col: str = "text",
         min_count: int = DEFAULT_MIN_COUNT,
+        byte_level: bool = False,
     ) -> DataFrame:
         """Learn up to ``num_merges`` merges; returns the merge table
         (rank, left, right, merged) with rank 1 = first/most-frequent.
         Stops early when no pair reaches ``min_count``.
+        ``byte_level=True`` trains over UTF-8 byte symbols in the
+        stand-in alphabet (:func:`bytes_to_unicode`) instead of
+        characters — the production convention that makes every input
+        encodable with zero unknowns.
 
         Each iteration: one pair-count aggregate (tiny argmax row to
         the driver — a bounded scalar, same class as a purging
@@ -157,7 +242,7 @@ class BPE:
         session-pinned caches)."""
         spark = docs.sparkSession
         state = BPE._init_state(
-            BPE.word_vocab(docs, text_col)
+            BPE.word_vocab(docs, text_col), byte_level=byte_level
         ).localCheckpoint(eager=True)
         merges: list[tuple[int, str, str, str]] = []
         for rank in range(1, int(num_merges) + 1):
@@ -193,6 +278,7 @@ class BPE:
         text_col: str = "text",
         min_count: int = DEFAULT_MIN_COUNT,
         vocab_cap: int = LOCAL_VOCAB_CAP,
+        byte_level: bool = False,
     ) -> DataFrame:
         """The classic in-memory trainer over the collected word
         vocabulary — identical merges to :meth:`train` (property-
@@ -213,7 +299,10 @@ class BPE:
         vocab = {
             r["word"]: r["n"] for r in vocab_df.collect()
         }
-        state = {w: tuple(w) for w in vocab}
+        state = {
+            w: tuple(byte_map_word(w)) if byte_level else tuple(w)
+            for w in vocab
+        }
         merges: list[tuple[int, str, str, str]] = []
         for rank in range(1, int(num_merges) + 1):
             counts: dict[tuple[str, str], int] = {}
@@ -254,13 +343,18 @@ class BPE:
 
     # ------------------------------------------------------- encoding
     @staticmethod
-    def _encode_word(word: str, rank_of: dict[tuple[str, str], int]):
+    def _encode_word(
+        word: str,
+        rank_of: dict[tuple[str, str], int],
+        byte_level: bool = False,
+    ):
         """Standard priority encode of one word: repeatedly merge the
         LOWEST-RANK applicable pair (all its occurrences, left to
         right) until none applies — the exact encoder trained merges
         assume (rank order alone can miss pairs re-exposed by later
-        merges)."""
-        syms = list(word)
+        merges). Byte-level starts from the word's mapped UTF-8 byte
+        symbols instead of its characters."""
+        syms = byte_map_word(word) if byte_level else list(word)
         while len(syms) > 1:
             best_rank = None
             best_pair = None
@@ -293,13 +387,16 @@ class BPE:
         merges: DataFrame,
         text_col: str = "text",
         id_col: str = "doc_id",
+        byte_level: bool = False,
     ) -> DataFrame:
         """(doc_id, tokens, n_tokens) — corpus tokenized under the
         merge table. The merge table is the MODEL: bounded by
         num_merges, collected once and shipped inside the Arrow-batched
         closure (same bounded-broadcast discipline as the threshold
         scalars). Per-batch word cache: Zipf makes distinct words per
-        batch a small fraction of tokens."""
+        batch a small fraction of tokens. ``byte_level`` must match
+        how the merges were trained; byte-level tokens are strings in
+        the stand-in alphabet (:func:`byte_decode` inverts them)."""
         rank_of = {
             (r["left"], r["right"]): r["rank"]
             for r in merges.select("rank", "left", "right").collect()
@@ -329,7 +426,9 @@ class BPE:
                         continue
                     hit = cache.get(w)
                     if hit is None:
-                        hit = BPE._encode_word(w, rank_of)
+                        hit = BPE._encode_word(
+                            w, rank_of, byte_level=byte_level
+                        )
                         cache[w] = hit
                     out.extend(hit)
                 return out
@@ -360,12 +459,43 @@ class BPEVocab:
     """
 
     @staticmethod
-    def build(docs: DataFrame, merges: DataFrame, text_col: str = "text") -> DataFrame:
+    def build(
+        docs: DataFrame,
+        merges: DataFrame,
+        text_col: str = "text",
+        byte_level: bool = False,
+    ) -> DataFrame:
         """(token, token_id) vocabulary. Base characters come from the
         corpus word set (one pass + distinct, sorted for determinism);
         the merged symbols append in rank order. Sorting a relation of
         |charset| + num_merges rows is driver-trivial at any corpus
-        size — the vocab is the model, not the data."""
+        size — the vocab is the model, not the data.
+
+        ``byte_level=True`` replaces the corpus charset with the FIXED
+        256-symbol byte alphabet: symbol for byte ``b`` gets id ``b``
+        (0..255), merges follow at 256+rank-1, and NO corpus pass is
+        needed at all. Because every possible byte is in the base
+        vocabulary, :meth:`encode_ids` over byte-level encodings can
+        never emit ``unk_id`` — any input tokenizes to known ids."""
+        if byte_level:
+            spark = docs.sparkSession
+            b2u = bytes_to_unicode()
+            base = spark.createDataFrame(
+                [(b2u[b], b) for b in range(256)],
+                "token string, token_id long",
+            )
+            merged = merges.select(
+                F.col("merged").alias("token"),
+                (F.col("rank").cast("long") - 1 + F.lit(256)).alias(
+                    "token_id"
+                ),
+            )
+            return (
+                base.unionByName(merged)
+                .groupBy("token")
+                .agg(F.min("token_id").alias("token_id"))
+                .localCheckpoint(eager=True)
+            )
         chars = (
             BPE.word_vocab(docs, text_col)
             .select(F.explode(_chars(F.col("word"))).alias("token"))

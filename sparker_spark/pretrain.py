@@ -42,6 +42,7 @@ def prepare_training_data(
     bpe_merges: DataFrame | None = None,
     return_ids: bool = False,
     sep_id: int = -1,
+    byte_level: bool = False,
     **curate_knobs,
 ) -> DataFrame:
     """Cleaned, packed training sequences
@@ -84,6 +85,11 @@ def prepare_training_data(
       merges by rank; ``sep_id`` at in-sequence separator positions).
       Requires ``bpe_merges``.
 
+      ``byte_level=True`` (with ``bpe_merges`` trained byte-level)
+      encodes over the fixed 256-byte base alphabet — ids are byte
+      values 0..255 then merges, and NO input can produce an unknown
+      id (the production-tokenizer guarantee).
+
     * ``return_plan=True`` returns the (seq_id, doc_id, tok_start,
       tok_end, n_toks, seq_pos) plan relation instead of materialized
       text.
@@ -124,10 +130,19 @@ def prepare_training_data(
         from sparker_spark.llm.bpe import BPE, BPEVocab
 
         encoded = BPE.encode(
-            clean, bpe_merges, text_col=text_col, id_col=id_col
+            clean,
+            bpe_merges,
+            text_col=text_col,
+            id_col=id_col,
+            byte_level=byte_level,
         ).withColumnRenamed("doc_id", id_col)
         if return_ids:
-            vocab = BPEVocab.build(clean, bpe_merges, text_col=text_col)
+            vocab = BPEVocab.build(
+                clean,
+                bpe_merges,
+                text_col=text_col,
+                byte_level=byte_level,
+            )
             clean = BPEVocab.encode_ids(
                 encoded.withColumnRenamed(id_col, "doc_id"), vocab
             ).withColumnRenamed("doc_id", id_col)

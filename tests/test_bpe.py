@@ -328,3 +328,108 @@ def test_vocab_dedups_colliding_merge_strings(spark):
     out = BPEVocab.encode_ids(BPE.encode(docs, merges), vocab).collect()[0]
     # 'abc abc' encodes to two 'abc' tokens; ids must not duplicate
     assert out["n_tokens"] == 2 and len(out["token_ids"]) == 2
+
+
+# ------------------------------------------------- byte-level mode
+
+
+def test_bytes_to_unicode_bijection():
+    """The GPT-2 stand-in alphabet is a bijection over all 256 bytes,
+    never collides with the chr(30)/chr(31) oracle wrapping, and
+    contains no space (so space-joined token rendering is safe)."""
+    from sparker_spark.llm.bpe import bytes_to_unicode, unicode_to_bytes
+
+    b2u = bytes_to_unicode()
+    assert sorted(b2u) == list(range(256))
+    assert len(set(b2u.values())) == 256
+    assert all(len(c) == 1 for c in b2u.values())
+    assert " " not in b2u.values()
+    assert chr(30) not in b2u.values() and chr(31) not in b2u.values()
+    u2b = unicode_to_bytes()
+    assert all(u2b[c] == b for b, c in b2u.items())
+
+
+def test_byte_level_train_local_matches_distributed(spark):
+    docs = spark.createDataFrame(
+        [(0, "straße straße café"), (1, "café straße no\U0001f600pe")],
+        ["doc_id", "text"],
+    )
+    dist = [
+        tuple(r)
+        for r in BPE.train(docs, 6, min_count=2, byte_level=True)
+        .orderBy("rank")
+        .collect()
+    ]
+    loc = [
+        tuple(r)
+        for r in BPE.train_local(docs, 6, min_count=2, byte_level=True)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert dist == loc and len(dist) > 0
+
+
+def test_byte_level_encode_unk_free_and_roundtrip(spark):
+    """The byte-level guarantee: text with characters ABSENT from
+    training still encodes to known ids only (base alphabet covers
+    every byte), and byte_decode inverts the tokens."""
+    from sparker_spark.llm.bpe import BPEVocab, byte_decode
+
+    train_docs = spark.createDataFrame(
+        [(0, "the then there other")], ["doc_id", "text"]
+    )
+    merges = BPE.train_local(train_docs, 4, byte_level=True)
+    unseen = spark.createDataFrame(
+        [(0, "σπάρκ \U0001f680 zebra­!")], ["doc_id", "text"]
+    )
+    enc = BPE.encode(unseen, merges, byte_level=True)
+    vocab = BPEVocab.build(train_docs, merges, byte_level=True)
+    out = BPEVocab.encode_ids(enc, vocab).collect()[0]
+    assert out["n_tokens"] > 0
+    assert all(i >= 0 for i in out["token_ids"]), out["token_ids"]
+    # ids 0..255 are exactly the byte values; merges follow at 256+
+    vrows = {r["token"]: r["token_id"] for r in vocab.collect()}
+    assert vrows["a"] == ord("a") and len(vrows) == 256 + merges.count()
+    # round-trip: the concatenated byte stream reassembles the exact
+    # input words (per-token decode would split codepoints — tokens
+    # are BYTE spans, the GPT-2 semantics; byte_decode on a token
+    # whose span covers whole codepoints also works, e.g. 'zebra')
+    from sparker_spark.llm.bpe import unicode_to_bytes
+
+    u2b = unicode_to_bytes()
+    toks = enc.collect()[0]["tokens"]
+    stream = bytes(u2b[c] for t in toks for c in t)
+    assert stream.decode("utf-8") == "σπάρκ\U0001f680zebra­!"
+    assert byte_decode("zebra") == "zebra"
+
+
+def test_prepare_training_data_byte_level(spark):
+    """byte_level=True threads through prepare_training_data: packed
+    input_ids equal the direct encode->ids->plan->pack composition and
+    contain no unk."""
+    from pyspark.sql import functions as F
+    from sparker_spark.pretrain import prepare_training_data
+
+    docs = spark.createDataFrame(
+        [(i, f"the thing n{i} café is the thing") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    merges = BPE.train_local(docs, 5, byte_level=True)
+    out = prepare_training_data(
+        docs,
+        seq_len=16,
+        redact=False,
+        exact_dedup=False,
+        jaccard_threshold=None,
+        max_top_ngram_frac=None,
+        max_dup_ngram_frac=None,
+        bpe_merges=merges,
+        return_ids=True,
+        byte_level=True,
+    )
+    rows = out.orderBy("seq_id").collect()
+    assert rows and all(
+        i >= -1 for r in rows for i in r["input_ids"]
+    )  # -1 only as the sep_id sentinel
+    flat = [i for r in rows for i in r["input_ids"] if i != -1]
+    assert flat and all(i >= 0 for i in flat)
