@@ -677,7 +677,10 @@ def q_mix_budget_plan(spark, sf_dir):
     )
 
 
-_MIX_PLAN_CTES = f"""
+def _mix_plan_ctes(budget: int) -> str:
+    """Budget-parameterized mix-plan CTE chain — shared with the r9
+    renormalization gate so the base plan SQL can never drift."""
+    return f"""
 n AS (
   SELECT doc_id, source, CAST({_WSX_N_SQL} AS BIGINT) AS n
   FROM documents),
@@ -691,13 +694,16 @@ wt AS (
 ww AS (SELECT source, w / (SELECT sum(w) FROM wt) AS wn FROM wt),
 r AS (
   SELECT t.source, t.available_tokens,
-         CAST({MIX_BUDGET} AS DOUBLE) * ww.wn AS target,
+         CAST({int(budget)} AS DOUBLE) * ww.wn AS target,
          CASE WHEN t.available_tokens > 0
-                   AND CAST({MIX_BUDGET} AS DOUBLE) * ww.wn > 0
-              THEN least(1.0, (CAST({MIX_BUDGET} AS DOUBLE) * ww.wn)
+                   AND CAST({int(budget)} AS DOUBLE) * ww.wn > 0
+              THEN least(1.0, (CAST({int(budget)} AS DOUBLE) * ww.wn)
                               / t.available_tokens)
               ELSE 0.0 END AS rate
   FROM t JOIN ww ON t.source = ww.source)"""
+
+
+_MIX_PLAN_CTES = _mix_plan_ctes(MIX_BUDGET)
 
 
 O_MIX_BUDGET_PLAN = f"""

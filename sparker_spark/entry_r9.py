@@ -237,10 +237,250 @@ SELECT doc_id,
 FROM ids GROUP BY doc_id"""
 
 
+# -------------------------------------------- sink read-back gates
+# (judge ask r9#3): the file sinks were test-pinned only — these gates
+# WRITE to disk, READ the parquet back, and value-hash the read-back
+# relation, closing the one operator class the registry didn't cover.
+
+SHARD_SEQS = 8  # small so the graded SFs produce many shards
+
+
+def _gate_tmp(name: str) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "sparker_spark_gates", name)
+
+
+def q_pack_shards_readback(spark, sf_dir):
+    """write_packed_shards under the VALUE-HASH gate: pack the corpus,
+    write the Hive-partitioned shard layout, read the parquet BACK and
+    hash every byte of every sequence (plus its shard assignment) —
+    the write->read round trip is the gated artifact, not the
+    in-memory relation."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.packing import SequencePacking, write_packed_shards
+
+    docs = load(spark, sf_dir, "documents")
+    plan = SequencePacking.pack_plan(docs, PACK8_LEN, sep_tokens=PACK8_SEP)
+    seqs = SequencePacking.pack_texts(
+        docs, plan, PACK8_LEN, sep_tokens=PACK8_SEP
+    )
+    path = _gate_tmp("pack_shards_readback")
+    write_packed_shards(seqs, path, seqs_per_shard=SHARD_SEQS)
+    back = spark.read.parquet(path)
+    return back.select(
+        "seq_id",
+        "n_docs",
+        "n_tokens",
+        "text",
+        F.col("shard").cast("long").alias("shard"),
+    )
+
+
+def _o_pack_shards_readback() -> str:
+    from sparker_spark.entry_r8 import (
+        _plan_ctes,
+        _texts_select,
+        _WS_N_SQL,
+        _WS_TOKS_SQL,
+    )
+
+    return f"""
+SELECT seq_id, n_docs, n_tokens, text,
+       seq_id // {SHARD_SEQS} AS shard
+FROM (WITH {_plan_ctes('documents', _WS_N_SQL, PACK8_LEN, PACK8_SEP)},
+{_texts_select('documents', _WS_TOKS_SQL, PACK8_LEN, '<|sep|>')}) AS seqs"""
+
+
+def q_pack_shard_manifest(spark, sf_dir):
+    """The shard MANIFEST under the gate (judge ask r9#6): one row per
+    shard — (epoch, shard, path, n_seqs, token_count, min/max order) —
+    written alongside the shards (path/_manifest, invisible to the
+    partitioned read) and read BACK from disk, so a dataloader can
+    assign shards to workers and resume mid-epoch without listing
+    files. ``path`` is the relative shard dir, machine-portable."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.packing import SequencePacking, write_packed_shards
+
+    docs = load(spark, sf_dir, "documents")
+    plan = SequencePacking.pack_plan(docs, PACK8_LEN, sep_tokens=PACK8_SEP)
+    seqs = SequencePacking.pack_texts(
+        docs, plan, PACK8_LEN, sep_tokens=PACK8_SEP
+    )
+    path = _gate_tmp("pack_shard_manifest")
+    man = write_packed_shards(
+        seqs, path, seqs_per_shard=SHARD_SEQS, epoch=3
+    )
+    return man
+
+
+def _o_pack_shard_manifest() -> str:
+    from sparker_spark.entry_r8 import (
+        _plan_ctes,
+        _texts_select,
+        _WS_N_SQL,
+        _WS_TOKS_SQL,
+    )
+
+    return f"""
+WITH seqs AS (
+SELECT * FROM (WITH {_plan_ctes('documents', _WS_N_SQL, PACK8_LEN, PACK8_SEP)},
+{_texts_select('documents', _WS_TOKS_SQL, PACK8_LEN, '<|sep|>')}) AS s)
+SELECT CAST(3 AS INTEGER) AS epoch,
+       seq_id // {SHARD_SEQS} AS shard,
+       'shard=' || CAST(seq_id // {SHARD_SEQS} AS VARCHAR) AS path,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS token_count,
+       CAST(min(seq_id) AS BIGINT) AS min_order,
+       CAST(max(seq_id) AS BIGINT) AS max_order
+FROM seqs GROUP BY 1, 2, 3"""
+
+
+def q_bpe_model_roundtrip(spark, sf_dir):
+    """BPEModel persistence under the gate: write the merge table +
+    vocabulary as parquet, read BOTH back, and value-hash the joined
+    model — (token, token_id, rank) with rank null on base symbols —
+    against the vocabulary layout recomputed independently in SQL."""
+    from sparker_spark.entry_r8 import _fixed_merges
+    from sparker_spark.llm.bpe import BPEModel, BPEVocab
+    from sparker_spark.entry import load
+
+    docs = load(spark, sf_dir, "documents")
+    merges = _fixed_merges(spark)
+    vocab = BPEVocab.build(docs, merges)
+    path = _gate_tmp("bpe_model_roundtrip")
+    BPEModel.write(path, merges, vocab)
+    m_back = BPEModel.read_merges(spark, path)
+    v_back = BPEModel.read_vocab(spark, path)
+    return v_back.join(
+        m_back.select(F.col("merged").alias("token"), "rank"),
+        "token",
+        "left",
+    ).select("token", "token_id", "rank")
+
+
+def _o_bpe_model_roundtrip() -> str:
+    merge_rows = ", ".join(
+        f"('{a + b}', {r + 1})" for r, (a, b) in enumerate(BPE_FIXED_MERGES)
+    )
+    return f"""
+WITH chars AS (
+  SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS token
+  FROM (SELECT unnest(list_filter(
+                 regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'),
+                 x -> len(x) > 0)) AS word
+        FROM documents)),
+cv AS (SELECT token,
+              CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT)
+                AS token_id
+       FROM chars),
+nm AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM cv),
+mv AS (SELECT token,
+              CAST(r - 1 + (SELECT nc FROM nm) AS BIGINT) AS token_id,
+              CAST(r AS INTEGER) AS rank
+       FROM (VALUES {merge_rows}) AS m(token, r)),
+v AS (SELECT token, token_id, CAST(NULL AS INTEGER) AS rank FROM cv
+      UNION ALL
+      SELECT token, token_id, rank FROM mv)
+SELECT token, token_id, rank FROM v"""
+
+
+# ------------------------------------- mixing renormalization gate
+# (judge ask r9#5): budget sized to UNDER-SUPPLY the high-weight
+# sources at the graded SFs (per-source mass ~1.2-1.7k tokens, weights
+# 1..5 over 20 sources => weight-4/5 sources cap at budget 30k, low
+# weights stay uncapped, and capping cascades the water level upward —
+# the exact scenario renormalization exists for).
+
+MIX_RENORM_BUDGET = 30_000
+
+
+def q_mix_budget_plan_renorm(spark, sf_dir):
+    """Water-filled mix plan under the VALUE-HASH gate: the Spark side
+    computes renormalized targets/rates with the driver-side closed
+    form (sorted-prefix walk over the bounded per-source totals); the
+    oracle recomputes the SAME water level independently in SQL
+    (running windows + lag). Every double checked at rnd6."""
+    from sparker_spark.entry import load
+    from sparker_spark.entry_r8 import _mix_weights
+    from sparker_spark.llm.mixing import MixPlanner
+    from sparker_spark.rounding import rnd
+
+    plan = MixPlanner.budget_plan(
+        load(spark, sf_dir, "documents"),
+        _mix_weights(spark, sf_dir),
+        MIX_RENORM_BUDGET,
+        renormalize=True,
+    )
+    return plan.select(
+        "source",
+        "available_tokens",
+        rnd("target_tokens", 6).alias("target_tokens"),
+        rnd("rate", 6).alias("rate"),
+        rnd("renorm_target_tokens", 6).alias("renorm_target_tokens"),
+        rnd("renorm_rate", 6).alias("renorm_rate"),
+    )
+
+
+def _o_mix_budget_plan_renorm() -> str:
+    from sparker_spark.entry_r8 import _mix_plan_ctes
+
+    b = MIX_RENORM_BUDGET
+    return f"""
+WITH {_mix_plan_ctes(b).strip()},
+wf AS (
+  SELECT source, available_tokens AS avail, wn,
+         available_tokens / wn AS fill,
+         row_number() OVER (ORDER BY available_tokens / wn, source)
+           AS k,
+         sum(available_tokens) OVER (
+           ORDER BY available_tokens / wn, source
+           ROWS UNBOUNDED PRECEDING) AS a_incl,
+         sum(CAST(floor(wn * 1e12 + 0.5) AS BIGINT)) OVER (
+           ORDER BY available_tokens / wn, source
+           ROWS UNBOUNDED PRECEDING) AS p_incl
+  FROM (SELECT t.source, t.available_tokens, ww.wn
+        FROM t JOIN ww ON t.source = ww.source) WHERE wn > 0),
+wt2 AS (SELECT p_incl AS w_total FROM wf
+        WHERE k = (SELECT max(k) FROM wf)),
+cand AS (
+  SELECT k, fill,
+         (CAST({b} AS DOUBLE)
+            - coalesce(CAST(lag(a_incl) OVER (ORDER BY k) AS DOUBLE),
+                       0.0))
+         / (CAST((SELECT w_total FROM wt2)
+                 - coalesce(lag(p_incl) OVER (ORDER BY k),
+                            CAST(0 AS BIGINT)) AS DOUBLE)
+            / 1e12) AS theta
+  FROM wf),
+pick AS (SELECT k AS k_first_uncapped, theta FROM cand
+         WHERE theta <= fill ORDER BY k LIMIT 1),
+rn AS (
+  SELECT wf.source, wf.avail, wf.wn, wf.k,
+         CASE WHEN wf.avail = 0 THEN 0.0
+              WHEN wf.k < coalesce(
+                     (SELECT k_first_uncapped FROM pick), 1e18)
+                THEN CAST(wf.avail AS DOUBLE)
+              ELSE (SELECT theta FROM pick) * wf.wn END AS rt
+  FROM wf)
+SELECT r.source, r.available_tokens,
+       round(r.target, 6) AS target_tokens,
+       round(r.rate, 6) AS rate,
+       round(coalesce(rn.rt, 0.0), 6) AS renorm_target_tokens,
+       round(CASE WHEN coalesce(rn.avail, 0) = 0 THEN 0.0
+                  ELSE rn.rt / rn.avail END, 6) AS renorm_rate
+FROM r LEFT JOIN rn ON r.source = rn.source"""
+
+
 def r9_queries() -> dict:
     return {
         "bpe_encode_bytes_fixed": q_bpe_encode_bytes_fixed,
         "bpe_encode_ids_bytes": q_bpe_encode_ids_bytes,
+        "pack_shards_readback": q_pack_shards_readback,
+        "pack_shard_manifest": q_pack_shard_manifest,
+        "bpe_model_roundtrip": q_bpe_model_roundtrip,
+        "mix_budget_plan_renorm": q_mix_budget_plan_renorm,
     }
 
 
@@ -248,4 +488,8 @@ def r9_oracles() -> dict:
     return {
         "bpe_encode_bytes_fixed": _o_bpe_encode_bytes(),
         "bpe_encode_ids_bytes": _o_bpe_encode_ids_bytes(),
+        "pack_shards_readback": _o_pack_shards_readback(),
+        "pack_shard_manifest": _o_pack_shard_manifest(),
+        "bpe_model_roundtrip": _o_bpe_model_roundtrip(),
+        "mix_budget_plan_renorm": _o_mix_budget_plan_renorm(),
     }

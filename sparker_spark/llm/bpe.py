@@ -171,6 +171,169 @@ class BPE:
 
     # ------------------------------------------------------- training
     @staticmethod
+    def _select_batch(
+        pairs: list[tuple[str, str, int]],
+        complete: bool,
+        batch_pairs: int,
+        remaining: int,
+        merged_seen: set[str],
+        min_count: int,
+    ) -> list[tuple[str, str, int]]:
+        """Pick a batch of merges from ONE pair-count pass that is
+        PROVABLY equal to applying them one-at-a-time with a recount
+        between (the sequential trainer) — the standard jobs-per-merge
+        reduction, made exact:
+
+        * accept a PREFIX of the (count desc, left, right)-sorted pair
+          list, stopping at the first pair that (a) shares a symbol
+          with an accepted pair — merging changes overlapping pairs'
+          counts — or (b) falls below ``min_count``, or (c) whose
+          merged string re-creates an EXISTING merged symbol — then
+          the 'new' pairs around it are existing pairs whose counts
+          can INCREASE (e.g. merging (b,c) when 'bc' already exists
+          boosts (a,bc)), breaking every bound. Base symbols are
+          single codepoints and merges are >= 2, so only previously
+          merged strings can collide.
+        * a SELF-pair (left == right) ends the batch after itself:
+          merging (b,b) creates pairs like (bb,bb) whose pre-image is
+          (b,b) ITSELF, so their counts are bounded by the accepted
+          pair's count (~half of it), not by the stop level — they
+          can legitimately outrank later batch members (a run of six
+          b's yields (bb,bb) counts above a disjoint (a,a)).
+        * truncate the accepted prefix to counts STRICTLY above the
+          first OVERLAPPING pair's count (the scan for it continues
+          past the acceptance stop): pairs newly created by an
+          applied non-self merge are bounded by SOME original pair
+          overlapping the accepted set (pre-image argument:
+          (x,m)<-(x,l), (m,y)<-(r,y), (m,m)<-(r,l)), and the first
+          such pair in sort order carries the max overlapping count —
+          strict dominance kills the one remaining failure mode, a
+          tie between a new pair and a later batch member that the
+          (left, right) tie-break can resolve the other way (new
+          pair (m,y): m = l+r can sort BEFORE an accepted pair even
+          though (r,y) sorts after it). Ties with NON-accepted
+          ORIGINAL pairs are safe without truncation: they rank
+          after every accepted pair (prefix property), so the
+          deterministic tie-break keeps picking the accepted one.
+        * if truncation empties the batch, fall back to the single
+          top pair — literally the sequential step, always sound.
+
+        Disjoint-prefix pairs' counts are mutually unaffected (merging
+        (a,b) only changes counts of pairs touching a or b), ties
+        WITHIN the batch keep their original sort order, and all
+        non-accepted + new pairs sit strictly below every kept count —
+        so the sequential trainer provably picks exactly these pairs
+        in exactly this order. Property-tested against the sequential
+        trainer over randomized corpora (tests/test_bpe.py)."""
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        batch_merged: set[str] = set()
+        cap = min(int(batch_pairs), int(remaining))
+        n_stop = None
+        accepting = True
+        for left, right, n in pairs:
+            if n < int(min_count):
+                # everything from here down is below min_count;
+                # neither the sequential trainer nor any new pair
+                # derived from it (count <= pre-image count) can be
+                # picked ahead of the accepted pairs
+                break
+            overlaps = left in used or right in used
+            if overlaps:
+                # first overlap = the max count among pairs touching
+                # the accepted set = the bound on every new pair an
+                # accepted merge can create; acceptance is over AND
+                # the truncation level is known
+                n_stop = n
+                break
+            if accepting and (
+                len(accepted) >= cap
+                or (left + right) in merged_seen
+                or (left + right) in batch_merged
+                # defensive: an operand equal to a THIS-batch merged
+                # string cannot appear in pre-batch counts (the
+                # symbol doesn't exist yet), but guard anyway
+                or left in batch_merged
+                or right in batch_merged
+            ):
+                # acceptance must stay a PREFIX (a skipped pair would
+                # outrank later accepts sequentially) — stop
+                # accepting, keep scanning for the first overlap
+                accepting = False
+            if accepting:
+                accepted.append((left, right, n))
+                used.add(left)
+                used.add(right)
+                batch_merged.add(left + right)
+                if left == right:
+                    accepting = False
+        if n_stop is None and not complete:
+            # the unseen tail may contain an overlapping pair tying
+            # the last collected count — be conservative
+            n_stop = pairs[-1][2] if pairs else None
+        if n_stop is not None:
+            kept = [p for p in accepted if p[2] > n_stop]
+        else:
+            kept = accepted
+        if not kept and pairs:
+            # singleton = the plain sequential step, sound regardless
+            # of collisions/ties (and the top pair CAN conflict on its
+            # own, e.g. ('a','bc') re-creating an earlier ('ab','c')
+            # merge's string — sequential just applies it)
+            kept = pairs[:1]
+        return kept
+
+    @staticmethod
+    def _merge_batch_expr(syms, pairs: list[tuple[str, str]]):
+        """One left-to-right pass applying a WHOLE batch of
+        symbol-disjoint merges, as a single fold with a map lookup —
+        constant expression DEPTH in the batch size (composing
+        :meth:`_merge_expr` per pair nests N aggregates and stalls
+        Catalyst analysis at real batch sizes).
+
+        Equal to applying the pairs' passes sequentially BECAUSE the
+        batch invariants hold: (1) pairs are symbol-disjoint, so one
+        pair's rewrite never creates or destroys another's matches —
+        match regions can't even touch (adjacent matches would share
+        the boundary symbol); (2) no merged output is another batch
+        pair's operand (operands exist in the pre-batch state; merged
+        outputs are fresh — _select_batch rejects recreations of
+        existing symbols), so a merge result can never chain into a
+        further batch merge within the pass. The map key is a struct,
+        so symbols containing any characters are collision-free."""
+        if len(pairs) == 1:
+            return BPE._merge_expr(syms, pairs[0][0], pairs[0][1])
+        lookup = F.map_from_arrays(
+            F.array(
+                *[
+                    F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                    for a, b in pairs
+                ]
+            ),
+            F.array(*[F.lit(a + b) for a, b in pairs]),
+        )
+        head = F.slice(syms, 1, 1)
+        tail = F.slice(syms, 2, F.size(syms) - 1)
+
+        def step(acc, x):
+            hit = F.element_at(
+                lookup,
+                F.struct(
+                    F.element_at(acc, -1).alias("a"), x.alias("b")
+                ),
+            )
+            return F.when(
+                hit.isNotNull(),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(hit)
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return F.when(F.size(syms) < 2, syms).otherwise(
+            F.aggregate(tail, head, step)
+        )
+
+    @staticmethod
     def _merge_expr(syms, left: str, right: str):
         """One left-to-right non-overlapping merge pass over a symbol
         array, as a pure column expression (sequential fold — correct
@@ -226,6 +389,7 @@ class BPE:
         text_col: str = "text",
         min_count: int = DEFAULT_MIN_COUNT,
         byte_level: bool = False,
+        batch_pairs: int = 1,
     ) -> DataFrame:
         """Learn up to ``num_merges`` merges; returns the merge table
         (rank, left, right, merged) with rank 1 = first/most-frequent.
@@ -235,32 +399,61 @@ class BPE:
         characters — the production convention that makes every input
         encodable with zero unknowns.
 
-        Each iteration: one pair-count aggregate (tiny argmax row to
-        the driver — a bounded scalar, same class as a purging
-        threshold) and one symbol-rewrite projection, with the vocab
-        state re-materialized via localCheckpoint (GC-freed; no
-        session-pinned caches)."""
+        Each iteration: one pair-count aggregate (a bounded top-K
+        collect — driver-scalar class, like a purging threshold) and
+        one symbol-rewrite projection, with the vocab state
+        re-materialized via localCheckpoint (GC-freed; no
+        session-pinned caches).
+
+        ``batch_pairs``: apply up to N merges per iteration — the
+        SAME merge table as one-at-a-time (see :meth:`_select_batch`
+        for the exactness argument), at ~2·k/N Spark jobs instead of
+        2·k. This is what makes real merge budgets trainable
+        distributed: the per-merge cost becomes one WHEN-branch in a
+        shared rewrite pass instead of a full job round-trip. Batches
+        shrink automatically (to singletons in the worst case) when
+        the top pairs interact, so correctness never depends on the
+        corpus."""
         spark = docs.sparkSession
         state = BPE._init_state(
             BPE.word_vocab(docs, text_col), byte_level=byte_level
         ).localCheckpoint(eager=True)
         merges: list[tuple[int, str, str, str]] = []
-        for rank in range(1, int(num_merges) + 1):
-            best = (
+        merged_seen: set[str] = set()
+        num_merges = int(num_merges)
+        batch_pairs = max(1, int(batch_pairs))
+        while len(merges) < num_merges:
+            top_k = max(8, 4 * batch_pairs)
+            top = (
                 BPE.pair_counts(state)
                 .orderBy(
                     F.col("n").desc(),
                     F.col("left").asc(),
                     F.col("right").asc(),
                 )
-                .first()
+                .limit(top_k)
+                .collect()
             )
-            if best is None or best["n"] < int(min_count):
+            if not top or top[0]["n"] < int(min_count):
                 break
-            left, right = best["left"], best["right"]
-            merges.append((rank, left, right, left + right))
+            kept = BPE._select_batch(
+                [(r["left"], r["right"], r["n"]) for r in top],
+                complete=len(top) < top_k,
+                batch_pairs=batch_pairs,
+                remaining=num_merges - len(merges),
+                merged_seen=merged_seen,
+                min_count=min_count,
+            )
+            for left, right, _n in kept:
+                merges.append(
+                    (len(merges) + 1, left, right, left + right)
+                )
+                merged_seen.add(left + right)
             state = state.withColumn(
-                "syms", BPE._merge_expr(F.col("syms"), left, right)
+                "syms",
+                BPE._merge_batch_expr(
+                    F.col("syms"), [(l, r) for l, r, _ in kept]
+                ),
             ).localCheckpoint(eager=True)
         return spark.createDataFrame(
             merges, "rank int, left string, right string, merged string"
@@ -279,6 +472,7 @@ class BPE:
         min_count: int = DEFAULT_MIN_COUNT,
         vocab_cap: int = LOCAL_VOCAB_CAP,
         byte_level: bool = False,
+        batch_pairs: int = 1,
     ) -> DataFrame:
         """The classic in-memory trainer over the collected word
         vocabulary — identical merges to :meth:`train` (property-
@@ -286,7 +480,11 @@ class BPE:
         per merge. The collect is guarded: more than ``vocab_cap``
         distinct words raises instead of flooding the driver (Heaps'
         law keeps real corpora far below the default cap; raise it
-        explicitly on a machine sized for it)."""
+        explicitly on a machine sized for it). ``batch_pairs`` runs
+        the SAME batch selection as the distributed trainer
+        (:meth:`_select_batch`) — here it only skips recounts, but it
+        makes the batching logic property-testable in pure Python
+        against the one-at-a-time default."""
         spark = docs.sparkSession
         vocab_df = BPE.word_vocab(docs, text_col)
         n_vocab = vocab_df.count()
@@ -304,7 +502,10 @@ class BPE:
             for w in vocab
         }
         merges: list[tuple[int, str, str, str]] = []
-        for rank in range(1, int(num_merges) + 1):
+        merged_seen: set[str] = set()
+        num_merges = int(num_merges)
+        batch_pairs = max(1, int(batch_pairs))
+        while len(merges) < num_merges:
             counts: dict[tuple[str, str], int] = {}
             for w, syms in state.items():
                 c = vocab[w]
@@ -313,30 +514,44 @@ class BPE:
                     counts[p] = counts.get(p, 0) + c
             if not counts:
                 break
-            # max by (count, then lexicographically SMALLEST pair):
-            # sort key inverts count so min() picks count desc
-            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-            (left, right), n = best
-            if n < int(min_count):
+            # (count desc, left asc, right asc) — the trainer's
+            # deterministic selection order
+            ordered = sorted(
+                ((l, r, n) for (l, r), n in counts.items()),
+                key=lambda p: (-p[2], p[0], p[1]),
+            )
+            if ordered[0][2] < int(min_count):
                 break
-            merges.append((rank, left, right, left + right))
-            new_state = {}
-            for w, syms in state.items():
-                out = []
-                i = 0
-                while i < len(syms):
-                    if (
-                        i + 1 < len(syms)
-                        and syms[i] == left
-                        and syms[i + 1] == right
-                    ):
-                        out.append(left + right)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                new_state[w] = tuple(out)
-            state = new_state
+            kept = BPE._select_batch(
+                ordered,
+                complete=True,
+                batch_pairs=batch_pairs,
+                remaining=num_merges - len(merges),
+                merged_seen=merged_seen,
+                min_count=min_count,
+            )
+            for left, right, _n in kept:
+                merges.append(
+                    (len(merges) + 1, left, right, left + right)
+                )
+                merged_seen.add(left + right)
+                new_state = {}
+                for w, syms in state.items():
+                    out = []
+                    i = 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    new_state[w] = tuple(out)
+                state = new_state
         return spark.createDataFrame(
             merges, "rank int, left string, right string, merged string"
         )
@@ -583,6 +798,10 @@ class BPEModel:
 
     @staticmethod
     def write(path: str, merges: DataFrame, vocab: DataFrame | None = None) -> None:
+        # repartition(1) is deliberate: the merge table / vocab are
+        # MODEL-sized (bounded by num_merges + charset), and a model
+        # artifact should be one file — this is not the
+        # single-partition-write smell it would be on a data relation
         merges.repartition(1).write.mode("overwrite").parquet(
             f"{path}/merges.parquet"
         )

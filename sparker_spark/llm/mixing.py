@@ -104,6 +104,74 @@ class MixPlanner:
         )
 
     @staticmethod
+    def _water_fill(
+        totals: list[tuple[str, int]],
+        wn: dict[str, float],
+        budget: int,
+    ) -> dict[str, tuple[float, float]]:
+        """Closed-form water-filling: spread under-supplied sources'
+        unmet budget over the uncapped sources, proportionally to
+        weight — the standard renormalization of a token-budget mix.
+
+        The water level theta solves sum_s min(avail_s, theta·w_s) =
+        B: sort sources by fill level r_s = avail_s/w_s ascending;
+        the capped set is the shortest prefix (possibly empty) whose
+        candidate level theta_k = (B - sum_capped avail) /
+        (sum_uncapped w) satisfies theta_k <= r of the first uncapped
+        source. Cascades (capping one source raises theta and caps
+        the next) are exactly what the prefix walk enumerates.
+
+        Returns source -> (renorm_target, renorm_rate); capped
+        sources take everything (rate 1.0), zero-weight/zero-avail
+        sources take nothing. Weight prefix sums follow the engine's
+        cross-engine float rule (round per-term to 12 decimals via
+        the floor formula, then sum EXACTLY as integers — float
+        accumulation order differs between engines; integer sums are
+        order-free), so the SQL oracle reaches bit-identical water
+        levels."""
+        import math
+
+        rows = sorted(
+            (int(avail) / wn[s], s, int(avail))
+            for s, avail in totals
+            if wn.get(s, 0.0) > 0.0
+        )
+        budget_f = float(int(budget))
+        theta_star = None
+        k_star = len(rows)
+        # quantized weights (floor(w·1e12 + 0.5), the rnd formula):
+        # exclusive integer prefixes in sort order
+        wq = {s: math.floor(wn[s] * 1e12 + 0.5) for _r, s, _a in rows}
+        a_run, p_run = 0, 0
+        prefixes = []
+        for r, s, avail in rows:
+            prefixes.append((a_run, p_run))
+            a_run += avail
+            p_run += wq[s]
+        w_total = p_run
+        for k, (r, s, avail) in enumerate(rows):
+            a_prev, p_prev = prefixes[k]
+            theta = (budget_f - float(a_prev)) / (
+                float(w_total - p_prev) / 1e12
+            )
+            if theta <= r:
+                theta_star, k_star = theta, k
+                break
+        out: dict[str, tuple[float, float]] = {}
+        for s, avail in totals:
+            if wn.get(s, 0.0) <= 0.0 or int(avail) <= 0:
+                out[s] = (0.0, 0.0)
+        for k, (r, s, avail) in enumerate(rows):
+            if s in out:
+                continue
+            if k < k_star:
+                out[s] = (float(avail), 1.0)
+            else:
+                t = theta_star * wn[s]
+                out[s] = (t, t / float(avail))
+        return out
+
+    @staticmethod
     def budget_plan(
         docs: DataFrame,
         weights: dict[str, float],
@@ -112,13 +180,50 @@ class MixPlanner:
         source_col: str = "source",
         id_col: str = "doc_id",
         counts_col: str | None = None,
+        renormalize: bool = False,
     ) -> DataFrame:
         """The mix plan: (source, available_tokens, target_tokens,
         rate). ``rate`` = min(1, target/available); sources absent
         from ``weights`` get rate 0 (excluded from the mix), sources
-        with zero available tokens get rate 0 (nothing to draw)."""
+        with zero available tokens get rate 0 (nothing to draw).
+
+        ``renormalize=True`` adds ``renorm_target_tokens`` /
+        ``renorm_rate``: under-supplied sources cap at their full
+        mass and the shortfall water-fills onto the uncapped sources
+        by weight (:meth:`_water_fill`), so the renormalized targets
+        SUM to the budget whenever the corpus can supply it. The
+        per-source totals collect is bounded by the recipe size (one
+        row per source — the same driver-scalar class as the weights
+        dict itself)."""
         counts = _doc_counts(docs, text_col, source_col, id_col, counts_col)
-        return MixPlanner._plan_from_counts(counts, weights, budget)
+        plan = MixPlanner._plan_from_counts(counts, weights, budget)
+        if not renormalize:
+            return plan
+        totals = [
+            (r["source"], r["available_tokens"])
+            for r in plan.select("source", "available_tokens").collect()
+        ]
+        wf = MixPlanner._water_fill(
+            sorted(totals), _normalized(weights), budget
+        )
+        t_expr = F.lit(0.0)
+        r_expr = F.lit(0.0)
+        for s in sorted(wf):
+            t, rt = wf[s]
+            t_expr = F.when(F.col("source") == s, F.lit(t)).otherwise(
+                t_expr
+            )
+            r_expr = F.when(F.col("source") == s, F.lit(rt)).otherwise(
+                r_expr
+            )
+        return plan.select(
+            "source",
+            "available_tokens",
+            "target_tokens",
+            "rate",
+            t_expr.alias("renorm_target_tokens"),
+            r_expr.alias("renorm_rate"),
+        )
 
     @staticmethod
     def sample_to_budget(
@@ -130,10 +235,12 @@ class MixPlanner:
         id_col: str = "doc_id",
         counts_col: str | None = None,
         seed: int = 0,
+        renormalize: bool = False,
     ) -> DataFrame:
         """The realized sample: (doc_id, source, n) for every kept
         document — kept iff its deterministic hash coordinate (pure
-        function of seed and doc_id) is below its source's plan rate.
+        function of seed and doc_id) is below its source's plan rate
+        (the water-filled ``renorm_rate`` when ``renormalize=True``).
         Semi-join back on doc_id to carry full rows downstream.
 
         The per-document counts relation is materialized ONCE (eager
@@ -144,9 +251,25 @@ class MixPlanner:
         counts = _doc_counts(
             docs, text_col, source_col, id_col, counts_col
         ).localCheckpoint(eager=True)
-        plan = MixPlanner._plan_from_counts(counts, weights, budget).select(
-            "source", "rate"
-        )
+        plan = MixPlanner._plan_from_counts(counts, weights, budget)
+        if renormalize:
+            totals = [
+                (r["source"], r["available_tokens"])
+                for r in plan.select(
+                    "source", "available_tokens"
+                ).collect()
+            ]
+            wf = MixPlanner._water_fill(
+                sorted(totals), _normalized(weights), budget
+            )
+            r_expr = F.lit(0.0)
+            for s in sorted(wf):
+                r_expr = F.when(
+                    F.col("source") == s, F.lit(wf[s][1])
+                ).otherwise(r_expr)
+            plan = plan.select("source", r_expr.alias("rate"))
+        else:
+            plan = plan.select("source", "rate")
         keyed = counts.join(F.broadcast(plan), "source")
         return keyed.where(
             Sampling.coord("doc_id", seed) < F.col("rate")

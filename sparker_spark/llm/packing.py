@@ -428,7 +428,9 @@ def write_packed_shards(
     path: str,
     seqs_per_shard: int = 100_000,
     order_col: str = "seq_id",
-) -> None:
+    manifest: bool = True,
+    epoch: int = 0,
+) -> DataFrame | None:
     """Write packed sequences as Hive-partitioned parquet shards —
     the on-disk layout a training dataloader consumes: ``path/
     shard=K/`` holds sequences [K·seqs_per_shard, (K+1)·seqs_per_shard)
@@ -438,7 +440,17 @@ def write_packed_shards(
     pruning — asserted in tests) and row order within a shard follows
     ``order_col`` via a per-partition sort (sortWithinPartitions: no
     global sort, no single-partition window).
-    """
+
+    ``manifest=True`` additionally writes ``path/_manifest`` (the
+    underscore prefix keeps it invisible to the partitioned data
+    read, like _SUCCESS) holding one row per shard — ``(epoch, shard,
+    path, n_seqs, token_count, min_order, max_order)``, ``path``
+    relative (``shard=K``) so the manifest is machine-portable — and
+    returns the manifest DataFrame: what a dataloader needs to assign
+    shards to workers and RESUME mid-epoch without listing files.
+    ``token_count`` sums ``n_tokens`` when the relation carries it
+    (pack_texts / pack_token_ids outputs), else null. One extra hash
+    aggregate over shard keys; no second pass over the data."""
     if seqs_per_shard <= 0:
         raise ValueError("seqs_per_shard must be positive")
     out = seqs.withColumn(
@@ -453,3 +465,28 @@ def write_packed_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+    if not manifest:
+        return None
+    tok_sum = (
+        F.sum("n_tokens").cast("long")
+        if "n_tokens" in seqs.columns
+        else F.lit(None).cast("long")
+    )
+    man = out.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_seqs"),
+        tok_sum.alias("token_count"),
+        F.min(order_col).cast("long").alias("min_order"),
+        F.max(order_col).cast("long").alias("max_order"),
+    ).select(
+        F.lit(int(epoch)).alias("epoch"),
+        "shard",
+        F.concat(F.lit("shard="), F.col("shard")).alias("path"),
+        "n_seqs",
+        "token_count",
+        "min_order",
+        "max_order",
+    )
+    man.repartition(1).write.mode("overwrite").parquet(
+        f"{path}/_manifest"
+    )
+    return seqs.sparkSession.read.parquet(f"{path}/_manifest")

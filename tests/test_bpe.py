@@ -433,3 +433,198 @@ def test_prepare_training_data_byte_level(spark):
     )  # -1 only as the sep_id sentinel
     flat = [i for r in rows for i in r["input_ids"] if i != -1]
     assert flat and all(i >= 0 for i in flat)
+
+
+# ------------------------------------------------- batched training
+# State-level harness: the sequential reference and a batched trainer
+# that drives BPE._select_batch, both over an explicit (word -> symbol
+# tuple, count) state so adversarial multi-char-symbol states can be
+# injected directly.
+
+
+def _seq_train_state(state, counts, k, min_count=2):
+    merges = []
+    for _ in range(k):
+        pc = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + counts[w]
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((a, b))
+        state = {w: tuple(_ref_merge(list(s), a, b)) for w, s in state.items()}
+    return merges
+
+
+def _batched_train_state(state, counts, k, batch_pairs, min_count=2):
+    merges = []
+    # the real trainers' invariant: every multi-codepoint symbol in
+    # the state came from a RECORDED merge (base symbols are single
+    # codepoints) — injected mid-training states must reflect it
+    merged_seen = {
+        s for syms in state.values() for s in syms if len(s) >= 2
+    }
+    while len(merges) < k:
+        pc = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + counts[w]
+        if not pc:
+            break
+        ordered = sorted(
+            ((a, b, n) for (a, b), n in pc.items()),
+            key=lambda p: (-p[2], p[0], p[1]),
+        )
+        if ordered[0][2] < min_count:
+            break
+        kept = BPE._select_batch(
+            ordered,
+            complete=True,
+            batch_pairs=batch_pairs,
+            remaining=k - len(merges),
+            merged_seen=merged_seen,
+            min_count=min_count,
+        )
+        for a, b, _n in kept:
+            merges.append((a, b))
+            merged_seen.add(a + b)
+            state = {
+                w: tuple(_ref_merge(list(s), a, b))
+                for w, s in state.items()
+            }
+    return merges
+
+
+def test_batched_matches_sequential_randomized():
+    """The batch-selection soundness property: for ANY corpus, the
+    batched trainer produces EXACTLY the sequential trainer's merge
+    table (same pairs, same order). 300 seeded random corpora over a
+    tiny alphabet (maximal pair-interaction pressure)."""
+    import random
+
+    for seed in range(300):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(2, 12))
+        ]
+        counts = {w: rng.randint(1, 9) for w in words}
+        state = {w: tuple(w) for w in counts}
+        k = rng.randint(1, 12)
+        bp = rng.choice([2, 3, 4, 8])
+        seq = _seq_train_state(dict(state), counts, k)
+        bat = _batched_train_state(dict(state), counts, k, bp)
+        assert bat == seq, (seed, bp, counts, seq, bat)
+
+
+def test_batched_tie_with_created_pair():
+    """Adversarial construction: merging (a,z) creates (az,y) whose
+    count TIES a disjoint accepted pair (b,k) and whose left symbol
+    'az' sorts BEFORE 'b' — the naive disjoint-prefix batch would emit
+    (b,k) second where the sequential trainer emits (az,y). The
+    strict-count truncation must catch it."""
+    state = {
+        "xazy": ("x", "a", "z", "y"),
+        "az": ("a", "z"),
+        "bk": ("b", "k"),
+    }
+    counts = {"xazy": 90, "az": 10, "bk": 91}
+    seq = _seq_train_state(dict(state), counts, 3)
+    for bp in (2, 3, 8):
+        assert _batched_train_state(dict(state), counts, 3, bp) == seq
+
+
+def test_batched_merged_symbol_collision():
+    """Adversarial construction: 'ab' already exists as a symbol, so
+    merging (a,b) INCREASES the count of the existing pair (x,ab) —
+    the one case where an old pair's count can grow. The merged-seen /
+    existing-merge collision stop must prevent batching across it."""
+    # first merge creates 'ab'; later state then hits the collision
+    state = {
+        "xab": ("x", "a", "b"),
+        "xAB": ("x", "ab"),
+        "cd": ("c", "d"),
+        "ab2": ("a", "b"),
+    }
+    counts = {"xab": 90, "xAB": 90, "cd": 91, "ab2": 10}
+    seq = _seq_train_state(dict(state), counts, 4)
+    for bp in (2, 3, 8):
+        assert _batched_train_state(dict(state), counts, 4, bp) == seq
+
+
+def test_batched_randomized_with_multichar_states():
+    """Randomized states that START with multi-char symbols (as mid-
+    training states do), driving the merged-string collision paths."""
+    import random
+
+    for seed in range(200):
+        rng = random.Random(10_000 + seed)
+        alphabet = ["a", "b", "c", "ab", "bc", "abc"]
+        words = {}
+        for wi in range(rng.randint(2, 10)):
+            syms = tuple(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 5))
+            )
+            words[f"w{wi}"] = syms
+        counts = {w: rng.randint(1, 9) for w in words}
+        k = rng.randint(1, 10)
+        bp = rng.choice([2, 4, 8])
+        # pre-seed merged_seen as if ab/bc/abc came from earlier merges
+        seq = _seq_train_state(dict(words), counts, k)
+        bat = _batched_train_state(dict(words), counts, k, bp)
+        assert bat == seq, (seed, bp, words, counts, seq, bat)
+
+
+def test_spark_batched_train_matches_sequential(spark):
+    docs = _docs(spark)
+    seq = [
+        tuple(r)
+        for r in BPE.train(docs, 8).orderBy("rank").collect()
+    ]
+    for bp in (3, 8):
+        bat = [
+            tuple(r)
+            for r in BPE.train(docs, 8, batch_pairs=bp)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert bat == seq, (bp, seq, bat)
+
+
+def test_spark_batched_byte_level(spark):
+    docs = spark.createDataFrame(
+        [(0, "straße straße café café the the then")], ["doc_id", "text"]
+    )
+    seq = [
+        tuple(r)
+        for r in BPE.train(docs, 6, byte_level=True)
+        .orderBy("rank")
+        .collect()
+    ]
+    bat = [
+        tuple(r)
+        for r in BPE.train(docs, 6, byte_level=True, batch_pairs=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert bat == seq
+
+
+def test_train_local_batched_matches(spark):
+    docs = _docs(spark)
+    seq = [
+        tuple(r)
+        for r in BPE.train_local(docs, 8).orderBy("rank").collect()
+    ]
+    bat = [
+        tuple(r)
+        for r in BPE.train_local(docs, 8, batch_pairs=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert bat == seq

@@ -86,3 +86,105 @@ def test_counts_col_passthrough(spark):
         ).collect()
     }
     assert plan["a"] == 28 and plan["b"] == 14
+
+
+# ------------------------------------------------- renormalization
+
+
+def _brute_water_fill(totals, wn, budget, eps=1e-9):
+    """Independent check: iterate cap-and-redistribute to a fixed
+    point (the textbook formulation the closed form solves)."""
+    capped = set()
+    while True:
+        w_un = sum(wn[s] for s, a in totals if s not in capped and wn.get(s, 0) > 0)
+        if w_un <= 0:
+            break
+        b_rem = budget - sum(a for s, a in totals if s in capped)
+        theta = b_rem / w_un
+        newly = {
+            s
+            for s, a in totals
+            if s not in capped and wn.get(s, 0) > 0 and a / wn[s] < theta
+        }
+        if not newly:
+            return theta, capped
+        capped |= newly
+    return None, capped
+
+
+def test_water_fill_matches_brute_force():
+    import random
+
+    for seed in range(200):
+        rng = random.Random(seed)
+        n = rng.randint(1, 8)
+        totals = sorted(
+            (f"s{i}", rng.randint(0, 500)) for i in range(n)
+        )
+        weights = {s: float(rng.randint(0, 4)) for s, _ in totals}
+        if sum(weights.values()) <= 0:
+            weights[totals[0][0]] = 1.0
+        budget = rng.randint(1, 1200)
+        wn = _normalized(weights)
+        out = MixPlanner._water_fill(totals, wn, budget)
+        theta, capped = _brute_water_fill(totals, wn, budget)
+        total_avail_w = sum(a for s, a in totals if wn.get(s, 0) > 0)
+        for s, a in totals:
+            t, r = out[s]
+            if wn.get(s, 0.0) <= 0 or a == 0:
+                assert (t, r) == (0.0, 0.0)
+            elif theta is None or budget >= total_avail_w:
+                # budget >= supply: everything capped
+                assert r == 1.0 and t == float(a)
+            elif s in capped or a / wn[s] < theta - 1e-6:
+                assert r == 1.0 and t == float(a), (seed, s, out, theta)
+            else:
+                assert abs(t - theta * wn[s]) < 1e-6 * max(1.0, t)
+                assert 0.0 < r <= 1.0
+        # feasible case: renormalized targets sum to the budget
+        if theta is not None and budget < total_avail_w:
+            got = sum(out[s][0] for s, _ in totals)
+            assert abs(got - budget) < 1e-6 * budget, (seed, got, budget)
+
+
+def test_budget_plan_renormalize(spark):
+    docs = _docs(spark)
+    # budget 60 with weights a:1 b:1 -> raw targets 30/30; src b has
+    # 40 avail (uncapped), src a has 40 avail (uncapped) -> no change;
+    # budget 70 -> targets 35/35 but... use an UNDER-supplied source:
+    # weights a:3 b:1, budget 60: raw a=45 > avail 40 (capped), b=15;
+    # water-fill: a takes 40, b gets 60-40=20 (rate 0.5)
+    plan = {
+        r["source"]: r
+        for r in MixPlanner.budget_plan(
+            docs, {"a": 3.0, "b": 1.0}, 60, renormalize=True
+        ).collect()
+    }
+    assert plan["a"]["rate"] < 1.0 or plan["a"]["rate"] == 1.0
+    assert plan["a"]["renorm_rate"] == 1.0
+    assert abs(plan["a"]["renorm_target_tokens"] - 40.0) < 1e-9
+    assert abs(plan["b"]["renorm_target_tokens"] - 20.0) < 1e-6
+    assert abs(plan["b"]["renorm_rate"] - 0.5) < 1e-6
+    assert plan["c"]["renorm_rate"] == 0.0  # not in weights
+    # raw columns unchanged vs the non-renormalized plan
+    raw = {
+        r["source"]: r
+        for r in MixPlanner.budget_plan(
+            docs, {"a": 3.0, "b": 1.0}, 60
+        ).collect()
+    }
+    for s in raw:
+        assert raw[s]["rate"] == plan[s]["rate"]
+        assert raw[s]["target_tokens"] == plan[s]["target_tokens"]
+
+
+def test_sample_to_budget_renormalized(spark):
+    docs = _docs(spark)
+    sampled = MixPlanner.sample_to_budget(
+        docs, {"a": 3.0, "b": 1.0}, 60, seed=5, renormalize=True
+    ).collect()
+    # all of source a is kept (renorm_rate 1.0)
+    a_docs = [r for r in sampled if r["source"] == "a"]
+    assert len(a_docs) == 4
+    # source c never sampled
+    assert not [r for r in sampled if r["source"] == "c"]

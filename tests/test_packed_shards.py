@@ -59,3 +59,36 @@ def test_bpe_model_roundtrip(spark, tmp_path):
     enc1 = BPE.encode(docs, merges).collect()[0]["tokens"]
     enc2 = BPE.encode(docs, m2).collect()[0]["tokens"]
     assert list(enc1) == list(enc2)
+
+
+def test_shard_manifest(spark, tmp_path):
+    """The manifest (epoch, shard, path, n_seqs, token_count, min/max
+    order) is written to path/_manifest, read back, matches the data,
+    and stays INVISIBLE to the partitioned data read."""
+    path = str(tmp_path / "shards_m")
+    seqs = spark.range(0, 37).select(
+        F.col("id").alias("seq_id"),
+        F.lit(5).cast("long").alias("n_tokens"),
+        F.concat(F.lit("seq "), F.col("id")).alias("text"),
+    )
+    man = write_packed_shards(seqs, path, seqs_per_shard=10, epoch=2)
+    rows = {r["shard"]: r for r in man.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert all(r["epoch"] == 2 for r in rows.values())
+    assert rows[0]["n_seqs"] == 10 and rows[3]["n_seqs"] == 7
+    assert rows[1]["token_count"] == 50 and rows[3]["token_count"] == 35
+    assert rows[2]["min_order"] == 20 and rows[2]["max_order"] == 29
+    assert rows[1]["path"] == "shard=1"
+    # the data read does NOT see the manifest rows
+    back = spark.read.parquet(path)
+    assert back.count() == 37 and "epoch" not in back.columns
+    # manifest=False writes no manifest and returns None
+    path2 = str(tmp_path / "shards_nm")
+    assert write_packed_shards(seqs, path2, 10, manifest=False) is None
+    import os
+
+    assert not os.path.exists(os.path.join(path2, "_manifest"))
+    # no n_tokens column -> null token_count
+    seqs2 = seqs.drop("n_tokens")
+    man2 = write_packed_shards(seqs2, path2, 10)
+    assert all(r["token_count"] is None for r in man2.collect())
