@@ -386,6 +386,220 @@ v AS (SELECT token, token_id, CAST(NULL AS INTEGER) AS rank FROM cv
 SELECT token, token_id, rank FROM v"""
 
 
+# ---------------------------------------- notebook port, end-to-end
+# (judge ask r9#7): the reference BLAST notebook flow —
+# examples/BLAST.ipynb: attribute MinHash/LSH clustering -> cluster
+# (loose-schema) blocking -> block purging (smooth 1.005) -> block
+# filtering (0.8) -> entropy-boosted chi-square weighting -> WNP with
+# the BLAST sqrt(t1^2+t2^2)/2 rule -> PC/PQ against a groundtruth —
+# pinned as ONE value-hash-gated registry row. Component stages each
+# have their own gates (er_cluster_blocks, er_block_purging,
+# er_block_filtering, er_chi2_entropy_edges, er_blast_wnp, er_pcpq);
+# this row pins the COMPOSITION, the way pipeline_pretrain_e2e pins
+# the LLM side. The bundled movies dataset's groundtruth file is
+# played here by the deterministic cross-source customer pairs
+# agreeing on (nationkey, mktsegment) — the same id-space the
+# blocking keys derive from, so PC/PQ land strictly inside (0,1).
+
+BLAST_PURGE_SMOOTH = 1.005  # BLAST.ipynb published params
+BLAST_FILTER_R = 0.8
+
+
+def _blast_edges(spark, sf_dir):
+    """The full BLAST chain's pruned edge relation — shared by this
+    gate and bench.py's pipeline_blast_e2e so the benched number and
+    the value-hash gate describe one plan."""
+    from sparker_spark.entry_ext import CHI2_DIVIDER, _cluster_blocks
+    from sparker_spark.filters import BlockFiltering, BlockPurging
+    from sparker_spark.metablocking.pruning_utils import (
+        ComparisonTypes,
+        ThresholdTypes,
+        WeightTypes,
+    )
+    from sparker_spark.metablocking.weights import EdgeWeighting
+    from sparker_spark.metablocking.wnp import WNP
+
+    blocks = _cluster_blocks(spark, sf_dir)
+    purged = BlockPurging.block_purging(blocks, BLAST_PURGE_SMOOTH)
+    _, pb_filtered, rebuilt = BlockFiltering.block_filtering_quick(
+        purged, BLAST_FILTER_R
+    )
+    rebuilt.cache()
+    ctx = EdgeWeighting.weighted_edges(
+        rebuilt, pb_filtered, WeightTypes.CHI_SQUARE, use_entropy=True
+    )
+    return WNP.prune(
+        ctx,
+        ThresholdTypes.AVG,
+        ComparisonTypes.OR,
+        chi2divider=CHI2_DIVIDER,
+    )
+
+
+def q_notebook_blast_pcpq(spark, sf_dir):
+    """The BLAST notebook end-to-end under ONE value-hash gate: the
+    full chain's edges evaluated as PC/PQ/F1 against the cross-source
+    groundtruth — the notebook's final cell. Bounded driver scalars
+    (three counts) exactly like the gated er_pcpq."""
+    from sparker_spark.entry import load
+    from sparker_spark.entry_ext import _py_rnd
+
+    edges = _blast_edges(spark, sf_dir).select("p1", "p2")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_custkey") % 2).alias("src"),
+    )
+    a = cust.select(
+        F.col("pid").alias("p1"), "c_nationkey", "c_mktsegment", "src"
+    )
+    b = cust.select(
+        F.col("pid").alias("p2"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("src").alias("src2"),
+    )
+    gt = (
+        a.join(b, ["c_nationkey", "c_mktsegment"])
+        .where((F.col("p1") < F.col("p2")) & (F.col("src") != F.col("src2")))
+        .select("p1", "p2")
+    )
+    gt_size = gt.count()
+    n_edges = edges.count()
+    hits = edges.join(gt, ["p1", "p2"], "left_semi").count()
+    pc = hits / gt_size if gt_size else 0.0
+    pq = hits / n_edges if n_edges else 0.0
+    f1 = 2 * pc * pq / (pc + pq) if (pc + pq) > 0 else 0.0
+    return spark.createDataFrame(
+        [
+            (
+                int(n_edges),
+                int(gt_size),
+                int(hits),
+                _py_rnd(pc, 6),
+                _py_rnd(pq, 6),
+                _py_rnd(f1, 6),
+            )
+        ],
+        "n_edges BIGINT, gt_size BIGINT, hits BIGINT,"
+        " pc DOUBLE, pq DOUBLE, f1 DOUBLE",
+    )
+
+
+def _o_notebook_blast_pcpq() -> str:
+    from sparker_spark.entry import ROUND_HALF_EVEN_SQL
+    from sparker_spark.entry_ext import (
+        DUCK_ATTR_ENTROPY,
+        DUCK_CLUSTER_BLOCKS,
+        DUCK_CUST_EAV,
+        _duck_cluster_chain,
+        _duck_minhash_attrs,
+    )
+
+    chi2 = """(
+  pow(cbs - (dst_blocks * src_blocks / B), 2) / (dst_blocks * src_blocks / B)
++ pow((dst_blocks - cbs) - (dst_blocks * (B - src_blocks) / B), 2) / (dst_blocks * (B - src_blocks) / B)
++ pow((src_blocks - cbs) - ((B - dst_blocks) * src_blocks / B), 2) / ((B - dst_blocks) * src_blocks / B)
++ pow((B - (dst_blocks + src_blocks - cbs)) - ((B - dst_blocks) * (B - src_blocks) / B), 2) / ((B - dst_blocks) * (B - src_blocks) / B)
+)""".replace("B", "CAST((SELECT nb FROM nbreb) AS DOUBLE)")
+    rhe = ROUND_HALF_EVEN_SQL.format(
+        x=f"(n * CAST({BLAST_FILTER_R} AS DOUBLE))"
+    )
+    return f"""WITH RECURSIVE {DUCK_CUST_EAV.strip()},
+{DUCK_ATTR_ENTROPY.strip()},
+{_duck_minhash_attrs().strip()},
+{_duck_cluster_chain().strip()},
+{DUCK_CLUSTER_BLOCKS.strip()},
+plevels AS (SELECT comparisons AS level, sum(comparisons) AS cc,
+                  sum(block_size) AS bc
+           FROM blocksq GROUP BY 1),
+pcum AS (SELECT level,
+               sum(cc) OVER (ORDER BY level) AS cum_cc,
+               sum(bc) OVER (ORDER BY level) AS cum_bc
+        FROM plevels),
+pcand AS (SELECT level, cum_cc, cum_bc,
+                lead(level) OVER (ORDER BY level) AS nl,
+                lead(cum_cc) OVER (ORDER BY level) AS ncc,
+                lead(cum_bc) OVER (ORDER BY level) AS nbc
+         FROM pcum),
+pthr AS (SELECT coalesce(
+          max(CASE WHEN cum_bc * ncc < {BLAST_PURGE_SMOOTH} * cum_cc * nbc
+                   THEN nl END),
+          min(nl), max(level)) AS t
+        FROM pcand),
+purgedq AS MATERIALIZED (
+  SELECT b.key, b.comparisons FROM blocksq b, pthr
+  WHERE b.comparisons <= pthr.t),
+pbq AS MATERIALIZED (
+  SELECT k.pid, k.source_id, k.key, p.comparisons
+  FROM keysq k JOIN purgedq p USING (key)),
+rankedf AS (SELECT pid, key, comparisons,
+                   row_number() OVER (PARTITION BY pid
+                                      ORDER BY comparisons, key) AS rn,
+                   count(*) OVER (PARTITION BY pid) AS n
+            FROM pbq),
+cutf AS (SELECT pid, comparisons AS cutoff FROM rankedf
+         WHERE rn = least(greatest(({rhe}) - 1, 0), n - 1) + 1),
+pbf AS MATERIALIZED (
+  SELECT p.pid, p.source_id, p.key
+  FROM pbq p JOIN cutf c USING (pid)
+  WHERE p.comparisons <= c.cutoff),
+reb AS MATERIALIZED (
+  SELECT key FROM (SELECT key, source_id, count(*) AS n
+                   FROM pbf GROUP BY 1, 2)
+  GROUP BY key
+  HAVING (sum(n) * sum(n) - sum(n * n)) // 2 > 0),
+nbreb AS (SELECT count(*) AS nb FROM reb),
+membs AS MATERIALIZED (
+  SELECT pbf.pid, pbf.source_id, pbf.key FROM pbf JOIN reb USING (key)),
+sizesf AS (SELECT pid, count(*) AS num_blocks FROM pbf GROUP BY pid),
+coq2 AS (
+  SELECT a.pid AS src, b2.pid AS dst, CAST(count(*) AS DOUBLE) AS cbs,
+         sum(be.entropy) AS entropy_sum
+  FROM membs a JOIN membs b2 USING (key) JOIN bent be USING (key)
+  WHERE a.source_id <> b2.source_id
+  GROUP BY 1, 2),
+g2 AS (
+  SELECT coq2.*, n1.num_blocks AS src_blocks, n2.num_blocks AS dst_blocks
+  FROM coq2 JOIN sizesf n1 ON coq2.src = n1.pid
+            JOIN sizesf n2 ON coq2.dst = n2.pid),
+weighted AS (SELECT src, dst, {chi2} * entropy_sum AS w FROM g2),
+thrw AS (SELECT src AS pid, avg(w) AS t FROM weighted GROUP BY src),
+pruned AS (
+  SELECT w.src AS p1, w.dst AS p2
+  FROM weighted w JOIN thrw t1 ON w.src = t1.pid
+                  JOIN thrw t2 ON w.dst = t2.pid
+  WHERE w.src < w.dst
+    AND w.w >= sqrt(t1.t * t1.t + t2.t * t2.t) / 2.0),
+gt AS (
+  SELECT a.c_custkey AS p1, b.c_custkey AS p2
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+   AND (a.c_custkey % 2) <> (b.c_custkey % 2)),
+c AS (SELECT (SELECT count(*) FROM pruned) AS n_edges,
+             (SELECT count(*) FROM gt) AS gt_size,
+             (SELECT count(*) FROM pruned p JOIN gt g
+                ON p.p1 = g.p1 AND p.p2 = g.p2) AS hits)
+SELECT n_edges, gt_size, hits,
+       round(CASE WHEN gt_size > 0
+                  THEN CAST(hits AS DOUBLE) / gt_size ELSE 0.0 END, 6)
+         AS pc,
+       round(CASE WHEN n_edges > 0
+                  THEN CAST(hits AS DOUBLE) / n_edges ELSE 0.0 END, 6)
+         AS pq,
+       round(CASE WHEN (CASE WHEN gt_size > 0 THEN CAST(hits AS DOUBLE) / gt_size ELSE 0.0 END)
+                     + (CASE WHEN n_edges > 0 THEN CAST(hits AS DOUBLE) / n_edges ELSE 0.0 END) > 0
+             THEN 2 * (CASE WHEN gt_size > 0 THEN CAST(hits AS DOUBLE) / gt_size ELSE 0.0 END)
+                    * (CASE WHEN n_edges > 0 THEN CAST(hits AS DOUBLE) / n_edges ELSE 0.0 END)
+                  / ((CASE WHEN gt_size > 0 THEN CAST(hits AS DOUBLE) / gt_size ELSE 0.0 END)
+                   + (CASE WHEN n_edges > 0 THEN CAST(hits AS DOUBLE) / n_edges ELSE 0.0 END))
+             ELSE 0.0 END, 6) AS f1
+FROM c"""
+
+
 # ------------------------------------- mixing renormalization gate
 # (judge ask r9#5): budget sized to UNDER-SUPPLY the high-weight
 # sources at the graded SFs (per-source mass ~1.2-1.7k tokens, weights
@@ -481,6 +695,7 @@ def r9_queries() -> dict:
         "pack_shard_manifest": q_pack_shard_manifest,
         "bpe_model_roundtrip": q_bpe_model_roundtrip,
         "mix_budget_plan_renorm": q_mix_budget_plan_renorm,
+        "notebook_blast_pcpq": q_notebook_blast_pcpq,
     }
 
 
@@ -492,4 +707,5 @@ def r9_oracles() -> dict:
         "pack_shard_manifest": _o_pack_shard_manifest(),
         "bpe_model_roundtrip": _o_bpe_model_roundtrip(),
         "mix_budget_plan_renorm": _o_mix_budget_plan_renorm(),
+        "notebook_blast_pcpq": _o_notebook_blast_pcpq(),
     }
