@@ -337,6 +337,50 @@ SELECT CAST(3 AS INTEGER) AS epoch,
 FROM seqs GROUP BY 1, 2, 3"""
 
 
+def q_pipeline_pretrain_shards_e2e(spark, sf_dir):
+    """The pretrain composition THROUGH the file sink (judge ask
+    r9#6): prepare_training_data (quality floor -> exact dedup ->
+    packing) -> write_packed_shards -> read the parquet back — every
+    byte of every packed sequence plus its shard assignment gated
+    against the composed SQL of the gated stages. What a real run
+    persists and a dataloader reads, value-checked end-to-end."""
+    from sparker_spark.llm.packing import write_packed_shards
+    from sparker_spark.pretrain import prepare_training_data
+    from sparker_spark.entry import load
+
+    seqs = prepare_training_data(
+        load(spark, sf_dir, "documents"),
+        seq_len=PACK8_LEN,
+        sep_tokens=PACK8_SEP,
+        redact=False,
+        min_quality=0.3,
+        max_top_ngram_frac=None,
+        max_dup_ngram_frac=None,
+        exact_dedup=True,
+        jaccard_threshold=None,
+    )
+    path = _gate_tmp("pipeline_pretrain_shards_e2e")
+    write_packed_shards(seqs, path, seqs_per_shard=SHARD_SEQS)
+    back = spark.read.parquet(path)
+    return back.select(
+        "seq_id",
+        "n_docs",
+        "n_tokens",
+        "text",
+        F.col("shard").cast("long").alias("shard"),
+    )
+
+
+def _o_pipeline_pretrain_shards() -> str:
+    from sparker_spark.entry_r8 import _o_pipeline_pretrain
+
+    inner = _o_pipeline_pretrain().strip()
+    return f"""
+SELECT seq_id, n_docs, n_tokens, text,
+       seq_id // {SHARD_SEQS} AS shard
+FROM ({inner}) AS seqs"""
+
+
 def q_bpe_model_roundtrip(spark, sf_dir):
     """BPEModel persistence under the gate: write the merge table +
     vocabulary as parquet, read BOTH back, and value-hash the joined
@@ -696,6 +740,7 @@ def r9_queries() -> dict:
         "bpe_model_roundtrip": q_bpe_model_roundtrip,
         "mix_budget_plan_renorm": q_mix_budget_plan_renorm,
         "notebook_blast_pcpq": q_notebook_blast_pcpq,
+        "pipeline_pretrain_shards_e2e": q_pipeline_pretrain_shards_e2e,
     }
 
 
@@ -708,4 +753,5 @@ def r9_oracles() -> dict:
         "bpe_model_roundtrip": _o_bpe_model_roundtrip(),
         "mix_budget_plan_renorm": _o_mix_budget_plan_renorm(),
         "notebook_blast_pcpq": _o_notebook_blast_pcpq(),
+        "pipeline_pretrain_shards_e2e": _o_pipeline_pretrain_shards(),
     }
