@@ -39,6 +39,10 @@ ALLOW_WIDE = {
     "tpch_q1": "legitimate: Q1 aggregates 7 lineitem columns "
     "(quantity/extendedprice/discount/tax + returnflag/linestatus + "
     "shipdate filter) — the projection genuinely needs them",
+    "pack_shard_manifest": "legitimate: the manifest read-back returns "
+    "ALL 7 manifest columns (epoch/shard/path/n_seqs/token_count/"
+    "min_order/max_order) — the relation IS the output, nothing to "
+    "prune",
 }
 
 
