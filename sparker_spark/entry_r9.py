@@ -32,8 +32,11 @@ BYTE_SUFFIX = " café№\U0001f600 straße"
 # ASCII bytes are their own stand-ins, so BPE_FIXED_MERGES carries
 # over verbatim) plus one merge over MULTI-BYTE symbols — é's UTF-8
 # bytes C3 A9 map to stand-ins chr(195), chr(169). Cascade-free
-# properties (left != right; no result equals any operand string)
-# still hold: chr(195)+chr(169) is no other merge's operand.
+# properties (left != right; no merge's result equals an EARLIER
+# merge's operand — the rank-ordered invariant of
+# entry_r8.BPE_FIXED_MERGES, which deliberately chains 'th' into
+# ('th','e') at a LATER rank) still hold: chr(195)+chr(169) is no
+# other merge's operand.
 BPE_BYTE_MERGES = BPE_FIXED_MERGES + [(chr(195), chr(169))]
 
 
@@ -229,12 +232,18 @@ ids AS (
          CASE WHEN len(pos.token) = 1
               THEN CAST(({tok_id}) AS BIGINT)
               ELSE coalesce(mv.token_id, CAST(-1 AS BIGINT)) END AS tid
-  FROM pos LEFT JOIN mv ON pos.token = mv.token)
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       array_to_string(list(tid ORDER BY i), ' ') AS ids_str,
-       bool_or(tid < 0) AS has_unk
-FROM ids GROUP BY doc_id"""
+  FROM pos LEFT JOIN mv ON pos.token = mv.token),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         array_to_string(list(tid ORDER BY i), ' ') AS ids_str,
+         bool_or(tid < 0) AS has_unk
+  FROM ids GROUP BY doc_id)
+SELECT e.doc_id,
+       coalesce(agg.n_tokens, 0) AS n_tokens,
+       coalesce(agg.ids_str, '') AS ids_str,
+       coalesce(agg.has_unk, FALSE) AS has_unk
+FROM enc e LEFT JOIN agg ON e.doc_id = agg.doc_id"""
 
 
 # -------------------------------------------- sink read-back gates
@@ -246,10 +255,18 @@ SHARD_SEQS = 8  # small so the graded SFs produce many shards
 
 
 def _gate_tmp(name: str) -> str:
+    # per-process dir: a fixed shared path would race concurrent runs
+    # (the read-back DataFrame is lazy — another process's overwrite
+    # at a different SF could serve it wrong rows) and collide across
+    # users on a shared machine
     import os
     import tempfile
 
-    return os.path.join(tempfile.gettempdir(), "sparker_spark_gates", name)
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"sparker_spark_gates_{os.getuid()}_{os.getpid()}",
+        name,
+    )
 
 
 def q_pack_shards_readback(spark, sf_dir):

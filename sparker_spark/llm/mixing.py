@@ -151,9 +151,14 @@ class MixPlanner:
         w_total = p_run
         for k, (r, s, avail) in enumerate(rows):
             a_prev, p_prev = prefixes[k]
-            theta = (budget_f - float(a_prev)) / (
-                float(w_total - p_prev) / 1e12
-            )
+            denom = float(w_total - p_prev) / 1e12
+            if denom <= 0.0:
+                # the remaining suffix's weights all quantize to 0
+                # (< ~5e-13 normalized): the water level is +inf and
+                # everything left caps — the SQL oracle's x/0.0 = inf
+                # reaches the same all-capped fixed point
+                break
+            theta = (budget_f - float(a_prev)) / denom
             if theta <= r:
                 theta_star, k_star = theta, k
                 break
@@ -196,9 +201,14 @@ class MixPlanner:
         row per source — the same driver-scalar class as the weights
         dict itself)."""
         counts = _doc_counts(docs, text_col, source_col, id_col, counts_col)
-        plan = MixPlanner._plan_from_counts(counts, weights, budget)
         if not renormalize:
-            return plan
+            return MixPlanner._plan_from_counts(counts, weights, budget)
+        # materialize the per-document counts ONCE (same discipline as
+        # sample_to_budget): the totals collect below and the returned
+        # plan's own execution would otherwise each re-tokenize the
+        # whole corpus
+        counts = counts.localCheckpoint(eager=True)
+        plan = MixPlanner._plan_from_counts(counts, weights, budget)
         totals = [
             (r["source"], r["available_tokens"])
             for r in plan.select("source", "available_tokens").collect()

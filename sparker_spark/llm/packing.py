@@ -449,8 +449,11 @@ def write_packed_shards(
     returns the manifest DataFrame: what a dataloader needs to assign
     shards to workers and RESUME mid-epoch without listing files.
     ``token_count`` sums ``n_tokens`` when the relation carries it
-    (pack_texts / pack_token_ids outputs), else null. One extra hash
-    aggregate over shard keys; no second pass over the data."""
+    (pack_texts / pack_token_ids outputs), else null. The aggregate
+    runs over the WRITTEN parquet (partition column + two numeric
+    columns, column-pruned), never the input lineage — re-executing
+    ``seqs``'s upstream plan a second time just to count rows would
+    double the cost of any expensive pipeline feeding this sink."""
     if seqs_per_shard <= 0:
         raise ValueError("seqs_per_shard must be positive")
     out = seqs.withColumn(
@@ -472,14 +475,17 @@ def write_packed_shards(
         if "n_tokens" in seqs.columns
         else F.lit(None).cast("long")
     )
-    man = out.groupBy("shard").agg(
+    back = seqs.sparkSession.read.parquet(path)
+    man = back.groupBy("shard").agg(
         F.count("*").cast("long").alias("n_seqs"),
         tok_sum.alias("token_count"),
         F.min(order_col).cast("long").alias("min_order"),
         F.max(order_col).cast("long").alias("max_order"),
     ).select(
         F.lit(int(epoch)).alias("epoch"),
-        "shard",
+        # the read-back partition column infers as int — keep the
+        # manifest's shard long, as the writer's own column was
+        F.col("shard").cast("long").alias("shard"),
         F.concat(F.lit("shard="), F.col("shard")).alias("path"),
         "n_seqs",
         "token_count",

@@ -149,18 +149,16 @@ def test_water_fill_matches_brute_force():
 
 def test_budget_plan_renormalize(spark):
     docs = _docs(spark)
-    # budget 60 with weights a:1 b:1 -> raw targets 30/30; src b has
-    # 40 avail (uncapped), src a has 40 avail (uncapped) -> no change;
-    # budget 70 -> targets 35/35 but... use an UNDER-supplied source:
-    # weights a:3 b:1, budget 60: raw a=45 > avail 40 (capped), b=15;
-    # water-fill: a takes 40, b gets 60-40=20 (rate 0.5)
+    # under-supplied fixture: weights a:3 b:1, budget 60 -> raw
+    # targets 45/15; src a has only 40 avail (capped), so water-fill
+    # gives a all 40 and b the remaining 20 (rate 0.5)
     plan = {
         r["source"]: r
         for r in MixPlanner.budget_plan(
             docs, {"a": 3.0, "b": 1.0}, 60, renormalize=True
         ).collect()
     }
-    assert plan["a"]["rate"] < 1.0 or plan["a"]["rate"] == 1.0
+    assert plan["a"]["rate"] == 1.0  # raw target 45 > avail 40: capped
     assert plan["a"]["renorm_rate"] == 1.0
     assert abs(plan["a"]["renorm_target_tokens"] - 40.0) < 1e-9
     assert abs(plan["b"]["renorm_target_tokens"] - 20.0) < 1e-6
@@ -188,3 +186,17 @@ def test_sample_to_budget_renormalized(spark):
     assert len(a_docs) == 4
     # source c never sampled
     assert not [r for r in sampled if r["source"] == "c"]
+
+
+def test_water_fill_degenerate_tiny_weights():
+    """Regression (r9 review): a weight that quantizes to 0 at 12
+    decimals must not divide by zero — the suffix with zero quantized
+    weight caps everything left (water level +inf), matching the SQL
+    oracle's x/0.0 = inf fixed point."""
+    totals = [("a", 10), ("b", 1000)]
+    wn = {"a": 1.0 - 1e-14, "b": 1e-14}
+    out = MixPlanner._water_fill(totals, wn, 500)
+    # 'a' caps (avail 10 < its share); 'b' has ~zero weight -> the
+    # remaining suffix quantizes to 0 -> everything left caps too
+    assert out["a"] == (10.0, 1.0)
+    assert out["b"] == (1000.0, 1.0)
