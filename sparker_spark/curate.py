@@ -33,6 +33,7 @@ def curate(
     min_quality: float | None = 0.3,
     max_top_ngram_frac: float | None = 0.15,
     max_dup_ngram_frac: float | None = 0.3,
+    min_lm_logprob: float | None = None,
     exact_dedup: bool = True,
     jaccard_threshold: float | None = 0.2,
     minhash_k: int = 32,
@@ -51,6 +52,15 @@ def curate(
     * ``min_quality`` / ``max_top_ngram_frac`` / ``max_dup_ngram_frac``:
       quality-floor and repetition-filter thresholds (``None`` skips
       that predicate).
+    * ``min_lm_logprob``: corpus bigram-LM floor (the context-model
+      step of the CCNet-style quality ladder): documents whose mean
+      ln P(w2|w1) under the corpus's OWN Laplace-smoothed bigram LM
+      (LanguageModelScore.bigram_logprob, trained on the post-
+      redaction/boilerplate corpus) falls below the floor are dropped
+      — word salad separates far more sharply under a context model
+      than under surface stats. Documents with fewer than two tokens
+      have no score and are KEPT (short-doc policy belongs to the
+      surface-quality knobs, not the LM).
     * ``jaccard_threshold``: near-dup removal threshold; ``None`` skips
       the whole LSH + connected-components stage.
     * ``boilerplate_min_docs``: when set, lines shared by that many
@@ -101,6 +111,22 @@ def curate(
     # localCheckpoint is the repo's standard multi-consumer idiom (the
     # RDD is freed by GC, unlike a session-pinned cache).
     docs = docs.localCheckpoint(eager=True)
+
+    if min_lm_logprob is not None:
+        from sparker_spark.llm.text import LanguageModelScore
+
+        lm = LanguageModelScore.bigram_logprob(docs).select(
+            "doc_id", "avg_logprob"
+        )
+        docs = (
+            docs.join(lm, "doc_id", "left")
+            .where(
+                F.col("avg_logprob").isNull()
+                | (F.col("avg_logprob") >= float(min_lm_logprob))
+            )
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
 
     preds = []
     if min_quality is not None:

@@ -748,6 +748,46 @@ SELECT r.source, r.available_tokens,
 FROM r LEFT JOIN rn ON r.source = rn.source"""
 
 
+# --------------------------------------- LM-floor curation stage
+# the context-model step of the CCNet-style quality ladder as a
+# curate() knob, gated through curate itself (not just the scorer,
+# which text_bigram_logprob already gates): -3.4 splits the graded
+# corpora ~30/70 (quantiles probed: median -3.387, p25 ~ -3.404).
+
+CURATE_LM_FLOOR = -3.4
+
+
+def q_curation_lm_filter(spark, sf_dir):
+    """curate(min_lm_logprob=...) under the VALUE-HASH gate: documents
+    below the corpus-self bigram-LM floor dropped, unscored (<2-token)
+    docs kept; every surviving byte checked. All other stages off so
+    the oracle composes the gated text_bigram_logprob SQL + one
+    threshold filter."""
+    from sparker_spark.curate import curate
+    from sparker_spark.entry import load
+
+    return curate(
+        load(spark, sf_dir, "documents"),
+        redact=False,
+        min_quality=None,
+        max_top_ngram_frac=None,
+        max_dup_ngram_frac=None,
+        exact_dedup=False,
+        jaccard_threshold=None,
+        min_lm_logprob=CURATE_LM_FLOOR,
+    )
+
+
+def _o_curation_lm_filter() -> str:
+    from sparker_spark.entry_r8 import O_TEXT_BIGRAM_LOGPROB
+
+    return f"""
+SELECT d.doc_id, d.text
+FROM documents d
+LEFT JOIN ({O_TEXT_BIGRAM_LOGPROB.strip()}) lp ON d.doc_id = lp.doc_id
+WHERE lp.avg_logprob IS NULL OR lp.avg_logprob >= {CURATE_LM_FLOOR}"""
+
+
 def r9_queries() -> dict:
     return {
         "bpe_encode_bytes_fixed": q_bpe_encode_bytes_fixed,
@@ -758,6 +798,7 @@ def r9_queries() -> dict:
         "mix_budget_plan_renorm": q_mix_budget_plan_renorm,
         "notebook_blast_pcpq": q_notebook_blast_pcpq,
         "pipeline_pretrain_shards_e2e": q_pipeline_pretrain_shards_e2e,
+        "curation_lm_filter": q_curation_lm_filter,
     }
 
 
@@ -771,4 +812,5 @@ def r9_oracles() -> dict:
         "mix_budget_plan_renorm": _o_mix_budget_plan_renorm(),
         "notebook_blast_pcpq": _o_notebook_blast_pcpq(),
         "pipeline_pretrain_shards_e2e": _o_pipeline_pretrain_shards(),
+        "curation_lm_filter": _o_curation_lm_filter(),
     }

@@ -103,3 +103,39 @@ def test_curate_rejects_bad_keep_mode(spark):
     docs = spark.createDataFrame([(0, GOOD)], ["doc_id", "text"])
     with pytest.raises(ValueError, match="near_dup_keep"):
         curate(docs, near_dup_keep="newest")
+
+
+def test_min_lm_logprob_filters_word_salad(spark):
+    """curate(min_lm_logprob=...): documents scoring below the corpus
+    bigram-LM floor drop; docs with <2 tokens (no score) are KEPT."""
+    from sparker_spark.curate import curate
+
+    good = "the cat sat on the mat and the cat sat again on the mat"
+    rows = [(i, good) for i in range(6)]
+    rows.append((6, "zxq plo mat werv cat kjh the qqa"))  # word salad
+    rows.append((7, "single"))  # 1 token: unscored -> kept
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # the floor sits between the salad doc's score and the good docs'
+    # (absolute logprob levels depend on vocab size under Laplace)
+    from sparker_spark.llm.text import LanguageModelScore
+
+    scores = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in LanguageModelScore.bigram_logprob(docs).collect()
+    }
+    assert scores[6] < min(scores[i] for i in range(6))
+    floor = (scores[6] + min(scores[i] for i in range(6))) / 2
+    out = curate(
+        docs,
+        redact=False,
+        min_quality=None,
+        max_top_ngram_frac=None,
+        max_dup_ngram_frac=None,
+        exact_dedup=False,
+        jaccard_threshold=None,
+        min_lm_logprob=floor,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 7 in kept  # unscored short doc survives
+    assert 6 not in kept  # word salad scores far below the floor
+    assert set(range(6)) <= kept
