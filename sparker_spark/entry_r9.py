@@ -748,6 +748,129 @@ SELECT r.source, r.available_tokens,
 FROM r LEFT JOIN rn ON r.source = rn.source"""
 
 
+# ----------------------------------- int8 embedding quantization
+# the memory-scale path for corpus-sized vector stores: 4x smaller
+# than float32, integer dot products — and quantized cosine is exact
+# small-integer arithmetic (scales cancel), so the ANN gate has no
+# float-summation hazard at all.
+
+
+def q_embed_quantize_int8(spark, sf_dir):
+    """Symmetric absmax int8 quantization under the VALUE-HASH gate:
+    every vector's scale and every quantized coordinate checked
+    (round-half-up via the engine's floor formula on both engines)."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.similarity import Quantization
+    from sparker_spark.rounding import rnd
+
+    q8 = Quantization.int8(load(spark, sf_dir, "embeddings"))
+    return q8.select(
+        "vec_id",
+        rnd("scale", 6).alias("scale"),
+        F.concat_ws(
+            " ", F.transform("qvec", lambda x: x.cast("string"))
+        ).alias("qvec_str"),
+    )
+
+
+_O_Q8_VEC = """
+SELECT vec_id,
+       list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> abs(x))) / 127.0 AS scale,
+       list_transform(CAST(embedding AS DOUBLE[]),
+         x -> CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                y -> abs(y))) / 127.0 > 0
+              THEN CAST(greatest(-127, least(127,
+                     floor(x / (list_max(list_transform(
+                       CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127.0)
+                       + 0.5))) AS INTEGER)
+              ELSE 0 END) AS qvec
+FROM embeddings"""
+
+O_EMBED_QUANTIZE_INT8 = f"""
+WITH q AS ({_O_Q8_VEC.strip()})
+SELECT vec_id, round(scale, 6) AS scale,
+       array_to_string(qvec, ' ') AS qvec_str
+FROM q"""
+
+
+def q_ann_topk_int8_ivf(spark, sf_dir):
+    """ANN over the int8-quantized store, IVF-bucketed (the served
+    int8 configuration): cells and cosines computed on the quantized
+    vectors — with |q| <= 127 and dim 64, every dot/norm is an exact
+    small integer, so the ranking is bit-identical across engines by
+    construction."""
+    from sparker_spark.entry import ANN_K, ANN_QUERY_MOD, load
+    from sparker_spark.entry_ext import IVF_CELLS, IVF_PROBE, IVF_SEED
+    from sparker_spark.llm.similarity import Quantization
+
+    index = Quantization.ivf_index_int8(
+        load(spark, sf_dir, "embeddings"),
+        num_cells=IVF_CELLS,
+        seed=IVF_SEED,
+    )
+    return index.search(
+        k=ANN_K,
+        n_probe=IVF_PROBE,
+        query_filter=f"vec_id % {ANN_QUERY_MOD} = 0",
+    )
+
+
+def _o_ann_topk_int8_ivf() -> str:
+    import random
+
+    from sparker_spark.entry import ANN_K, ANN_QUERY_MOD
+    from sparker_spark.entry_ext import (
+        IVF_CELLS,
+        IVF_DIM,
+        IVF_PROBE,
+        IVF_SEED,
+    )
+
+    bits = IVF_CELLS.bit_length() - 1
+    rng = random.Random(IVF_SEED)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(IVF_DIM)] for _ in range(bits)
+    ]
+    cell = " + ".join(
+        f"CASE WHEN list_dot_product(emb, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN {2**j} ELSE 0 END"
+        for j, p in enumerate(planes)
+    )
+    cells = list(range(IVF_CELLS))
+    probe_rows = []
+    for c in cells:
+        ranked = sorted(cells, key=lambda o: (bin(c ^ o).count("1"), o))
+        probe_rows.extend(f"({c}, {o})" for o in ranked[:IVF_PROBE])
+    return f"""
+WITH q8 AS MATERIALIZED ({_O_Q8_VEC.strip()}),
+v AS MATERIALIZED (
+  SELECT vec_id, CAST(qvec AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(qvec AS DOUBLE[]),
+                                      x -> x * x))) AS norm
+  FROM q8),
+vc AS MATERIALIZED (SELECT vec_id, emb, norm, ({cell}) AS cell FROM v),
+probes(cell, probe_cell) AS (VALUES {', '.join(probe_rows)}),
+qp AS (SELECT q.vec_id AS query_id, q.emb AS e1, q.norm AS n1, p.probe_cell
+       FROM vc q JOIN probes p USING (cell)
+       WHERE q.vec_id % {ANN_QUERY_MOD} = 0),
+cand AS (SELECT vec_id AS neighbor_id, emb AS e2, norm AS n2,
+                cell AS probe_cell
+         FROM vc),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(e1, e2) / (n1 * n2), 6) AS cosine
+  FROM qp JOIN cand USING (probe_cell)
+  WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {ANN_K}"""
+
+
 # --------------------------------------- LM-floor curation stage
 # the context-model step of the CCNet-style quality ladder as a
 # curate() knob, gated through curate itself (not just the scorer,
@@ -799,6 +922,8 @@ def r9_queries() -> dict:
         "notebook_blast_pcpq": q_notebook_blast_pcpq,
         "pipeline_pretrain_shards_e2e": q_pipeline_pretrain_shards_e2e,
         "curation_lm_filter": q_curation_lm_filter,
+        "embed_quantize_int8": q_embed_quantize_int8,
+        "ann_topk_int8_ivf": q_ann_topk_int8_ivf,
     }
 
 
@@ -813,4 +938,6 @@ def r9_oracles() -> dict:
         "notebook_blast_pcpq": _o_notebook_blast_pcpq(),
         "pipeline_pretrain_shards_e2e": _o_pipeline_pretrain_shards(),
         "curation_lm_filter": _o_curation_lm_filter(),
+        "embed_quantize_int8": O_EMBED_QUANTIZE_INT8,
+        "ann_topk_int8_ivf": _o_ann_topk_int8_ivf(),
     }

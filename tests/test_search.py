@@ -51,3 +51,31 @@ def test_bm25_rare_term_outranks_common(spark, corpus):
     # 'distributed' (df=1) must outrank docs matching only 'engine' (df=3)
     out = TextSearch.bm25(corpus, "distributed engine", k=3).collect()
     assert out[0]["doc_id"] == 2
+
+
+def test_int8_quantization_and_ivf(spark):
+    """Symmetric absmax int8: scale/clamp/zero-vector semantics, and
+    the quantized IVF ranking agrees with exact cosine on separated
+    vectors (scales cancel -> integer-exact cosine)."""
+    from pyspark.sql import functions as F
+    from sparker_spark.llm.similarity import Quantization
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        (4, [-2.0, 2.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    q8 = {r["vec_id"]: r for r in Quantization.int8(df).collect()}
+    assert list(q8[0]["qvec"]) == [127, 0, 0, 0]
+    assert q8[3]["scale"] == 0.0 and list(q8[3]["qvec"]) == [0, 0, 0, 0]
+    assert list(q8[4]["qvec"]) == [-127, 127, 0, 64]  # round(0.5*127)=64
+    assert abs(q8[4]["scale"] - 2.0 / 127.0) < 1e-12
+    # quantized IVF ranking: vec 1 is vec 0's nearest neighbor
+    idx = Quantization.ivf_index_int8(df.where("vec_id != 3"), num_cells=2, seed=7)
+    top = idx.search(k=1, n_probe=2).where("query_id = 0").collect()
+    assert top and top[0]["neighbor_id"] == 1
