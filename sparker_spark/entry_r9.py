@@ -748,6 +748,112 @@ SELECT r.source, r.available_tokens,
 FROM r LEFT JOIN rn ON r.source = rn.source"""
 
 
+# --------------------------------- length-capped packing (real-user
+# knob: every pretraining pipeline caps document length so one
+# pathological document can't dominate sequences)
+
+PACK_MAX_DOC = 40  # mean doc ~54 ws tokens at the graded SFs: cap bites
+
+
+def q_pack_texts_truncated(spark, sf_dir):
+    """max_doc_tokens under the VALUE-HASH gate: the plan counts cap
+    at 40 tokens/doc and the materializer renders exactly the capped
+    prefix — including the separator landing at the CAP boundary, not
+    the document's true end (the divergence the shared cap prevents).
+    Every byte of every packed sequence checked."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.packing import SequencePacking
+
+    docs = load(spark, sf_dir, "documents")
+    plan = SequencePacking.pack_plan(
+        docs,
+        PACK8_LEN,
+        sep_tokens=PACK8_SEP,
+        max_doc_tokens=PACK_MAX_DOC,
+    )
+    return SequencePacking.pack_texts(
+        docs,
+        plan,
+        PACK8_LEN,
+        sep_tokens=PACK8_SEP,
+        max_doc_tokens=PACK_MAX_DOC,
+    )
+
+
+def _o_pack_texts_truncated() -> str:
+    from sparker_spark.entry_r8 import _plan_ctes, _WS_N_SQL, _WS_TOKS_SQL
+
+    capped_n = f"least({_WS_N_SQL}, {PACK_MAX_DOC})"
+    # _texts_select with the CAPPED effective length: slices stay
+    # within the cap by the plan's construction; ends_doc compares
+    # tok_end to least(len(t), cap)
+    return f"""
+WITH {_plan_ctes('documents', capped_n, PACK8_LEN, PACK8_SEP)},
+tk AS (SELECT doc_id, {_WS_TOKS_SQL} AS t FROM documents),
+sliced AS (
+  SELECT p.seq_id, p.seq_pos, p.n_toks,
+         array_to_string(list_slice(t, CAST(p.tok_start + 1 AS INTEGER),
+                                    CAST(p.tok_end AS INTEGER)), ' ')
+           AS piece,
+         p.tok_end = least(len(t), {PACK_MAX_DOC})
+           AND p.seq_pos + p.n_toks < {PACK8_LEN} AS ends_doc
+  FROM plan p JOIN tk USING (doc_id))
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       string_agg(CASE WHEN ends_doc THEN piece || ' <|sep|>'
+                       ELSE piece END, ' ' ORDER BY seq_pos) AS text
+FROM sliced GROUP BY seq_id"""
+
+
+# -------------------------------------------- epoch-factor mixing
+# budget > total corpus mass: high-weight sources run MULTIPLE epochs
+# (the LLaMA-style recipe where quality sources repeat)
+
+MIX_EPOCH_BUDGET = 60_000  # ~2.2x the graded corpora's ~27k tokens
+MIX_EPOCH_SEED = 7
+
+
+def q_mix_sample_epochs(spark, sf_dir):
+    """Repeat-epoch sampling under the VALUE-HASH gate: uncapped rate
+    r = target/available; each doc gets floor(r) copies plus one iff
+    its hash coordinate < frac(r) — the exact copy multiset (doc_id,
+    copy) checked against the SQL replay."""
+    from sparker_spark.entry import load
+    from sparker_spark.entry_r8 import _mix_weights
+    from sparker_spark.llm.mixing import MixPlanner
+
+    return MixPlanner.sample_with_repeats(
+        load(spark, sf_dir, "documents"),
+        _mix_weights(spark, sf_dir),
+        MIX_EPOCH_BUDGET,
+        seed=MIX_EPOCH_SEED,
+    )
+
+
+def _o_mix_sample_epochs() -> str:
+    from sparker_spark.entry_r8 import _mix_plan_ctes
+    from sparker_spark.llm.sampling import _coord_sql
+
+    coord = _coord_sql("doc_id", MIX_EPOCH_SEED, "duck")
+    return f"""
+WITH {_mix_plan_ctes(MIX_EPOCH_BUDGET).strip()},
+ru AS (
+  SELECT source,
+         CASE WHEN available_tokens > 0 AND target > 0
+              THEN target / available_tokens ELSE 0.0 END AS rate
+  FROM r),
+cp AS (
+  SELECT n.doc_id, n.source, n.n,
+         CAST(floor(ru.rate) AS BIGINT)
+           + CASE WHEN {coord} < ru.rate - floor(ru.rate)
+                  THEN 1 ELSE 0 END AS copies
+  FROM n JOIN ru ON n.source = ru.source)
+SELECT doc_id, source, n,
+       unnest(generate_series(CAST(1 AS BIGINT), copies)) AS copy
+FROM cp WHERE copies >= 1"""
+
+
 # ----------------------------------- int8 embedding quantization
 # the memory-scale path for corpus-sized vector stores: 4x smaller
 # than float32, integer dot products — and quantized cosine is exact
@@ -924,6 +1030,8 @@ def r9_queries() -> dict:
         "curation_lm_filter": q_curation_lm_filter,
         "embed_quantize_int8": q_embed_quantize_int8,
         "ann_topk_int8_ivf": q_ann_topk_int8_ivf,
+        "pack_texts_truncated": q_pack_texts_truncated,
+        "mix_sample_epochs": q_mix_sample_epochs,
     }
 
 
@@ -940,4 +1048,6 @@ def r9_oracles() -> dict:
         "curation_lm_filter": _o_curation_lm_filter(),
         "embed_quantize_int8": O_EMBED_QUANTIZE_INT8,
         "ann_topk_int8_ivf": _o_ann_topk_int8_ivf(),
+        "pack_texts_truncated": _o_pack_texts_truncated(),
+        "mix_sample_epochs": _o_mix_sample_epochs(),
     }

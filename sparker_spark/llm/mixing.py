@@ -286,6 +286,74 @@ class MixPlanner:
         ).select("doc_id", "source", "n")
 
     @staticmethod
+    def sample_with_repeats(
+        docs: DataFrame,
+        weights: dict[str, float],
+        budget: int,
+        text_col: str = "text",
+        source_col: str = "source",
+        id_col: str = "doc_id",
+        counts_col: str | None = None,
+        seed: int = 0,
+        max_repeats: int = 100,
+    ) -> DataFrame:
+        """(doc_id, source, n, copy): realize a budget that EXCEEDS
+        some sources' token mass by REPEATING their documents — the
+        epoch-factor data recipe (high-weight sources run more than
+        one epoch, e.g. quality-upweighted books corpora). Per-source
+        rate r = target / available, UNcapped; every document gets
+        ``floor(r)`` full copies plus one more iff its deterministic
+        hash coordinate is below ``frac(r)`` — expected sampled tokens
+        per source equal the target exactly, and the copy set is a
+        pure function of (seed, doc_id), engine-replayable. ``copy``
+        is 1-based. A source whose rate exceeds ``max_repeats`` raises
+        (runaway budget guard; the rate check is a bounded collect of
+        the recipe-sized plan). Plan shape: one count pass, one
+        broadcast join, one bounded sequence() explode."""
+        counts = _doc_counts(
+            docs, text_col, source_col, id_col, counts_col
+        ).localCheckpoint(eager=True)
+        plan = MixPlanner._plan_from_counts(counts, weights, budget)
+        rates = plan.select(
+            "source",
+            F.when(
+                (F.col("available_tokens") > 0)
+                & (F.col("target_tokens") > 0),
+                F.col("target_tokens") / F.col("available_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rate"),
+        )
+        top = rates.agg(F.max("rate").alias("m")).first()["m"]
+        if top is not None and top > float(max_repeats):
+            raise ValueError(
+                f"max per-source rate {top:.1f} exceeds max_repeats="
+                f"{max_repeats}; raise it explicitly for epoch factors"
+                " this large"
+            )
+        keyed = counts.join(F.broadcast(rates), "source")
+        copies = (
+            F.floor(F.col("rate")).cast("long")
+            + F.when(
+                Sampling.coord("doc_id", seed)
+                < F.col("rate") - F.floor(F.col("rate")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        return (
+            keyed.withColumn("_copies", copies)
+            .where(F.col("_copies") >= 1)
+            .select(
+                "doc_id",
+                "source",
+                "n",
+                F.explode(
+                    F.expr("sequence(CAST(1 AS BIGINT), _copies)")
+                ).alias("copy"),
+            )
+        )
+
+    @staticmethod
     def realized_mix(sampled: DataFrame) -> DataFrame:
         """Post-sample accounting over a sample_to_budget result:
         (source, sampled_docs, sampled_tokens)."""

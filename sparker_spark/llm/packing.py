@@ -109,8 +109,16 @@ class SequencePacking:
         tokenizer: Callable[[Column], Column] | None = None,
         counts_col: str | None = None,
         base_offset: int = 0,
+        max_doc_tokens: int | None = None,
     ) -> DataFrame:
         """The concat-and-chunk packing plan (module docstring).
+
+        ``max_doc_tokens``: per-document length cap — documents longer
+        than the cap contribute only their FIRST ``max_doc_tokens``
+        tokens to the stream (the standard pretraining guard against
+        one pathological document dominating sequences). Pass the SAME
+        cap to the materializer (pack_texts / pack_token_ids) or the
+        separator accounting silently diverges.
 
         Documents are laid out in ascending ``doc_id`` order; each
         occupies its ``n`` tokens plus ``sep_tokens`` separator
@@ -144,6 +152,12 @@ class SequencePacking:
         counts = SequencePacking.token_counts(
             docs, text_col, id_col, tokenizer=tokenizer, counts_col=counts_col
         )
+        if max_doc_tokens is not None:
+            if int(max_doc_tokens) <= 0:
+                raise ValueError("max_doc_tokens must be positive")
+            counts = counts.withColumn(
+                "n", F.least(F.col("n"), F.lit(int(max_doc_tokens)))
+            )
         counts = counts.withColumn(
             "_w", F.col("n") + F.lit(int(sep_tokens))
         )
@@ -196,15 +210,21 @@ class SequencePacking:
         sep_tokens: int = 1,
         tokenizer: Callable[[Column], Column] | None = None,
         counts_col: str | None = None,
+        max_doc_tokens: int | None = None,
     ) -> int:
         """Total stream length of a packed corpus — ``sum(n +
         sep_tokens)`` over every document including zero-token ones
         (their reserved separators count). One aggregate, one bounded
         driver scalar: the ``base_offset`` to hand the NEXT batch's
-        :meth:`pack_plan` for incremental corpus appends."""
+        :meth:`pack_plan` for incremental corpus appends.
+        ``max_doc_tokens`` must match the plans' cap."""
         counts = SequencePacking.token_counts(
             docs, text_col, id_col, tokenizer=tokenizer, counts_col=counts_col
         )
+        if max_doc_tokens is not None:
+            counts = counts.withColumn(
+                "n", F.least(F.col("n"), F.lit(int(max_doc_tokens)))
+            )
         row = counts.agg(
             F.coalesce(
                 F.sum(F.col("n") + F.lit(int(sep_tokens))), F.lit(0)
@@ -223,6 +243,7 @@ class SequencePacking:
         sep_tokens: int = 1,
         tokenizer: Callable[[Column], Column] | None = None,
         tokens_col: str | None = None,
+        max_doc_tokens: int | None = None,
     ) -> DataFrame:
         """Materialize the packed sequences: join the plan back to the
         tokenized text and emit (seq_id, n_docs, n_tokens, text) with
@@ -261,10 +282,18 @@ class SequencePacking:
             F.col(id_col).alias("doc_id"), tok_expr.alias("_toks")
         )
         # how many of this document's reserved separators land inside
-        # THIS sequence: the slice must end the document, and only the
-        # positions before the sequence boundary render here
+        # THIS sequence: the slice must end the document — under a
+        # length cap the document's stream presence ends at the cap,
+        # not at its full token count (max_doc_tokens MUST match the
+        # plan's) — and only positions before the sequence boundary
+        # render here
+        eff_len = (
+            F.least(F.size("_toks"), F.lit(int(max_doc_tokens)))
+            if max_doc_tokens is not None
+            else F.size("_toks")
+        )
         n_seps = F.when(
-            F.col("tok_end") == F.size("_toks"),
+            F.col("tok_end") == eff_len,
             F.greatest(
                 F.lit(0).cast("long"),
                 F.least(
@@ -313,6 +342,7 @@ class SequencePacking:
         id_col: str = "doc_id",
         sep_id: int = -1,
         sep_tokens: int = 1,
+        max_doc_tokens: int | None = None,
     ) -> DataFrame:
         """Materialize packed INTEGER sequences — the relation a
         pretraining run actually writes: ``(seq_id, n_docs, n_tokens,
@@ -339,8 +369,13 @@ class SequencePacking:
                 F.array().cast("array<long>"),
             ).alias("_toks"),
         )
+        eff_len = (
+            F.least(F.size("_toks"), F.lit(int(max_doc_tokens)))
+            if max_doc_tokens is not None
+            else F.size("_toks")
+        )
         n_seps = F.when(
-            F.col("tok_end") == F.size("_toks"),
+            F.col("tok_end") == eff_len,
             F.greatest(
                 F.lit(0).cast("long"),
                 F.least(

@@ -43,6 +43,7 @@ def prepare_training_data(
     return_ids: bool = False,
     sep_id: int = -1,
     byte_level: bool = False,
+    max_doc_tokens: int | None = None,
     **curate_knobs,
 ) -> DataFrame:
     """Cleaned, packed training sequences
@@ -158,6 +159,7 @@ def prepare_training_data(
         sep_tokens=sep_tokens,
         tokenizer=tokenizer,
         counts_col=counts_col,
+        max_doc_tokens=max_doc_tokens,
     )
     if return_plan:
         return plan
@@ -170,6 +172,7 @@ def prepare_training_data(
             id_col=id_col,
             sep_id=sep_id,
             sep_tokens=sep_tokens,
+            max_doc_tokens=max_doc_tokens,
         )
     return SequencePacking.pack_texts(
         clean,
@@ -181,4 +184,5 @@ def prepare_training_data(
         sep_tokens=sep_tokens,
         tokenizer=tokenizer,
         tokens_col=tokens_col,
+        max_doc_tokens=max_doc_tokens,
     )

@@ -200,3 +200,34 @@ def test_water_fill_degenerate_tiny_weights():
     # remaining suffix quantizes to 0 -> everything left caps too
     assert out["a"] == (10.0, 1.0)
     assert out["b"] == (1000.0, 1.0)
+
+
+def test_sample_with_repeats_epoch_factors(spark):
+    """Epoch factors: rate > 1 repeats documents; floor(r) guaranteed
+    copies, frac(r) probabilistic extra; determinism; runaway guard."""
+    docs = _docs(spark)
+    # source a: 40 tokens avail, weight-only recipe, budget 100 ->
+    # rate 2.5: every doc gets 2 copies, ~half get a third
+    out = MixPlanner.sample_with_repeats(
+        docs, {"a": 1.0}, 100, seed=3
+    ).collect()
+    by_doc = {}
+    for r in out:
+        assert r["source"] == "a"
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    assert set(by_doc) == {0, 1, 2, 3}
+    for d, copies in by_doc.items():
+        assert sorted(copies) == list(range(1, len(copies) + 1))
+        assert len(copies) in (2, 3)
+    # deterministic
+    out2 = MixPlanner.sample_with_repeats(docs, {"a": 1.0}, 100, seed=3)
+    assert sorted(map(tuple, out)) == sorted(
+        tuple(r) for r in out2.collect()
+    )
+    # runaway guard
+    import pytest
+
+    with pytest.raises(ValueError, match="max_repeats"):
+        MixPlanner.sample_with_repeats(
+            docs, {"a": 1.0}, 10_000_000, seed=3
+        )

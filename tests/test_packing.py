@@ -332,3 +332,33 @@ def test_incremental_append_equals_full_plan(spark):
     assert SequencePacking.stream_end(docs) == base + 8 + 1 + 3
     with pytest.raises(ValueError, match="base_offset"):
         SequencePacking.pack_plan(new, 4, base_offset=-1)
+
+
+def test_max_doc_tokens_truncation(spark):
+    """Length cap: plan counts cap, slices stay within the cap, and
+    the separator renders at the CAP boundary of truncated docs."""
+    from pyspark.sql import functions as F
+    from sparker_spark.llm.packing import SequencePacking
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"a{i}" for i in range(10))), (1, "b0 b1 b2")],
+        ["doc_id", "text"],
+    )
+    plan = SequencePacking.pack_plan(
+        docs, 100, sep_tokens=1, max_doc_tokens=4
+    )
+    rows = {r["doc_id"]: r for r in plan.collect()}
+    assert rows[0]["n_toks"] == 4  # capped from 10
+    assert rows[1]["n_toks"] == 3  # under the cap, untouched
+    out = SequencePacking.pack_texts(
+        docs, plan, 100, sep_tokens=1, sep="<s>", max_doc_tokens=4
+    ).collect()[0]
+    # doc 0 contributes its first 4 tokens then the separator
+    assert out["text"] == "a0 a1 a2 a3 <s> b0 b1 b2 <s>"
+    assert out["n_tokens"] == 7
+    # stream_end matches the capped plan
+    assert SequencePacking.stream_end(docs, max_doc_tokens=4) == 4 + 1 + 3 + 1
+    import pytest
+
+    with pytest.raises(ValueError, match="max_doc_tokens"):
+        SequencePacking.pack_plan(docs, 100, max_doc_tokens=0)
