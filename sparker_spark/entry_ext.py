@@ -774,7 +774,12 @@ IVF_PROBE = 4
 IVF_SEED = 1234
 
 
-def _o_ann_topk_ivf() -> str:
+def _ivf_oracle(v_ctes: str) -> str:
+    """The IVF search oracle over ANY ``v(vec_id, emb, norm)`` CTE
+    chain — shared by the float gate (ann_topk_ivf) and the r9 int8
+    twin (ann_topk_int8_ivf) so the correctness-critical constants
+    (plane seeding order, the '> 0' sign rule, the Hamming probe
+    tie-break, rank/round rules) can never drift between them."""
     import random
 
     from sparker_spark.entry import ANN_K, ANN_QUERY_MOD
@@ -795,10 +800,7 @@ def _o_ann_topk_ivf() -> str:
         ranked = sorted(cells, key=lambda o: (bin(c ^ o).count("1"), o))
         probe_rows.extend(f"({c}, {o})" for o in ranked[:IVF_PROBE])
     return f"""
-WITH v AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
-  FROM embeddings),
+WITH {v_ctes},
 vc AS MATERIALIZED (SELECT vec_id, emb, norm, ({cell}) AS cell FROM v),
 probes(cell, probe_cell) AS (VALUES {', '.join(probe_rows)}),
 qp AS (SELECT q.vec_id AS query_id, q.emb AS e1, q.norm AS n1, p.probe_cell
@@ -817,6 +819,15 @@ ranked AS (
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored)
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}"""
+
+
+def _o_ann_topk_ivf() -> str:
+    return _ivf_oracle(
+        """v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+  FROM embeddings)"""
+    )
 
 
 # ====================================================================

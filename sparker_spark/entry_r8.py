@@ -92,18 +92,27 @@ plan AS (
   FROM spans)"""
 
 
-def _texts_select(src: str, toks_expr: str, seq_len: int, sep_str: str) -> str:
+def _texts_select(
+    src: str,
+    toks_expr: str,
+    seq_len: int,
+    sep_str: str,
+    eff_len_expr: str = "len(t)",
+) -> str:
     """Materializer tail over a ``plan`` CTE: slices in seq_pos order,
     one separator rendered after each document-ending slice that is
     not flush with the sequence cut (the sep=1 reduction of the
-    general rule, as in entry_r7.O_PACK_TEXTS)."""
+    general rule, as in entry_r7.O_PACK_TEXTS). ``eff_len_expr`` is
+    the document's EFFECTIVE stream length — override with
+    ``least(len(t), cap)`` for length-capped plans (the r9
+    max_doc_tokens twin) so the separator lands at the cap boundary."""
     return f"""tk AS (SELECT doc_id, {toks_expr} AS t FROM {src}),
 sliced AS (
   SELECT p.seq_id, p.seq_pos, p.n_toks,
          array_to_string(list_slice(t, CAST(p.tok_start + 1 AS INTEGER),
                                     CAST(p.tok_end AS INTEGER)), ' ')
            AS piece,
-         p.tok_end = len(t)
+         p.tok_end = {eff_len_expr}
            AND p.seq_pos + p.n_toks < {seq_len} AS ends_doc
   FROM plan p JOIN tk USING (doc_id))
 SELECT seq_id,

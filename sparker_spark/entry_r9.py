@@ -781,29 +781,20 @@ def q_pack_texts_truncated(spark, sf_dir):
 
 
 def _o_pack_texts_truncated() -> str:
-    from sparker_spark.entry_r8 import _plan_ctes, _WS_N_SQL, _WS_TOKS_SQL
+    from sparker_spark.entry_r8 import (
+        _plan_ctes,
+        _texts_select,
+        _WS_N_SQL,
+        _WS_TOKS_SQL,
+    )
 
     capped_n = f"least({_WS_N_SQL}, {PACK_MAX_DOC})"
-    # _texts_select with the CAPPED effective length: slices stay
-    # within the cap by the plan's construction; ends_doc compares
-    # tok_end to least(len(t), cap)
+    # the SHARED materializer tail with the capped effective length:
+    # ends_doc compares tok_end to least(len(t), cap)
     return f"""
 WITH {_plan_ctes('documents', capped_n, PACK8_LEN, PACK8_SEP)},
-tk AS (SELECT doc_id, {_WS_TOKS_SQL} AS t FROM documents),
-sliced AS (
-  SELECT p.seq_id, p.seq_pos, p.n_toks,
-         array_to_string(list_slice(t, CAST(p.tok_start + 1 AS INTEGER),
-                                    CAST(p.tok_end AS INTEGER)), ' ')
-           AS piece,
-         p.tok_end = least(len(t), {PACK_MAX_DOC})
-           AND p.seq_pos + p.n_toks < {PACK8_LEN} AS ends_doc
-  FROM plan p JOIN tk USING (doc_id))
-SELECT seq_id,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-       string_agg(CASE WHEN ends_doc THEN piece || ' <|sep|>'
-                       ELSE piece END, ' ' ORDER BY seq_pos) AS text
-FROM sliced GROUP BY seq_id"""
+{_texts_select('documents', _WS_TOKS_SQL, PACK8_LEN, '<|sep|>',
+               eff_len_expr=f'least(len(t), {PACK_MAX_DOC})')}"""
 
 
 # -------------------------------------------- epoch-factor mixing
@@ -923,58 +914,19 @@ def q_ann_topk_int8_ivf(spark, sf_dir):
 
 
 def _o_ann_topk_int8_ivf() -> str:
-    import random
+    # the SHARED IVF oracle builder (entry_ext._ivf_oracle) over the
+    # quantized vectors — zero-scale (all-zero) vectors dropped, as
+    # the engine's ivf_index_int8 drops them (0/0 cosine = NaN)
+    from sparker_spark.entry_ext import _ivf_oracle
 
-    from sparker_spark.entry import ANN_K, ANN_QUERY_MOD
-    from sparker_spark.entry_ext import (
-        IVF_CELLS,
-        IVF_DIM,
-        IVF_PROBE,
-        IVF_SEED,
-    )
-
-    bits = IVF_CELLS.bit_length() - 1
-    rng = random.Random(IVF_SEED)
-    planes = [
-        [rng.gauss(0.0, 1.0) for _ in range(IVF_DIM)] for _ in range(bits)
-    ]
-    cell = " + ".join(
-        f"CASE WHEN list_dot_product(emb, [{', '.join(repr(x) for x in p)}]) > 0"
-        f" THEN {2**j} ELSE 0 END"
-        for j, p in enumerate(planes)
-    )
-    cells = list(range(IVF_CELLS))
-    probe_rows = []
-    for c in cells:
-        ranked = sorted(cells, key=lambda o: (bin(c ^ o).count("1"), o))
-        probe_rows.extend(f"({c}, {o})" for o in ranked[:IVF_PROBE])
-    return f"""
-WITH q8 AS MATERIALIZED ({_O_Q8_VEC.strip()}),
+    return _ivf_oracle(
+        f"""q8 AS MATERIALIZED ({_O_Q8_VEC.strip()}),
 v AS MATERIALIZED (
   SELECT vec_id, CAST(qvec AS DOUBLE[]) AS emb,
          sqrt(list_sum(list_transform(CAST(qvec AS DOUBLE[]),
                                       x -> x * x))) AS norm
-  FROM q8),
-vc AS MATERIALIZED (SELECT vec_id, emb, norm, ({cell}) AS cell FROM v),
-probes(cell, probe_cell) AS (VALUES {', '.join(probe_rows)}),
-qp AS (SELECT q.vec_id AS query_id, q.emb AS e1, q.norm AS n1, p.probe_cell
-       FROM vc q JOIN probes p USING (cell)
-       WHERE q.vec_id % {ANN_QUERY_MOD} = 0),
-cand AS (SELECT vec_id AS neighbor_id, emb AS e2, norm AS n2,
-                cell AS probe_cell
-         FROM vc),
-scored AS (
-  SELECT query_id, neighbor_id,
-         round(list_dot_product(e1, e2) / (n1 * n2), 6) AS cosine
-  FROM qp JOIN cand USING (probe_cell)
-  WHERE query_id <> neighbor_id),
-ranked AS (
-  SELECT query_id, neighbor_id, cosine,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM scored)
-SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= {ANN_K}"""
+  FROM q8 WHERE scale > 0)"""
+    )
 
 
 # --------------------------------------- LM-floor curation stage

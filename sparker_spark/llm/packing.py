@@ -53,6 +53,11 @@ def _ws_tokens(col):
     )
 
 
+def _check_cap(max_doc_tokens: int | None) -> None:
+    if max_doc_tokens is not None and int(max_doc_tokens) <= 0:
+        raise ValueError("max_doc_tokens must be positive")
+
+
 def _tokens(col, tokenizer: Callable[[Column], Column] | None):
     """Token array under the pluggable tokenizer contract: any
     Column -> Column(array) expression (e.g. a BPE-ish
@@ -152,9 +157,8 @@ class SequencePacking:
         counts = SequencePacking.token_counts(
             docs, text_col, id_col, tokenizer=tokenizer, counts_col=counts_col
         )
+        _check_cap(max_doc_tokens)
         if max_doc_tokens is not None:
-            if int(max_doc_tokens) <= 0:
-                raise ValueError("max_doc_tokens must be positive")
             counts = counts.withColumn(
                 "n", F.least(F.col("n"), F.lit(int(max_doc_tokens)))
             )
@@ -221,6 +225,7 @@ class SequencePacking:
         counts = SequencePacking.token_counts(
             docs, text_col, id_col, tokenizer=tokenizer, counts_col=counts_col
         )
+        _check_cap(max_doc_tokens)
         if max_doc_tokens is not None:
             counts = counts.withColumn(
                 "n", F.least(F.col("n"), F.lit(int(max_doc_tokens)))
@@ -287,6 +292,7 @@ class SequencePacking:
         # not at its full token count (max_doc_tokens MUST match the
         # plan's) — and only positions before the sequence boundary
         # render here
+        _check_cap(max_doc_tokens)
         eff_len = (
             F.least(F.size("_toks"), F.lit(int(max_doc_tokens)))
             if max_doc_tokens is not None
@@ -369,6 +375,7 @@ class SequencePacking:
                 F.array().cast("array<long>"),
             ).alias("_toks"),
         )
+        _check_cap(max_doc_tokens)
         eff_len = (
             F.least(F.size("_toks"), F.lit(int(max_doc_tokens)))
             if max_doc_tokens is not None

@@ -295,9 +295,13 @@ class Quantization:
         small-integer doubles) rides the ordinary IVFIndex machinery —
         cells, probes, search are unchanged; only the arithmetic
         becomes exact-integer. Searching it returns the quantized-
-        cosine top-k, the ranking a production int8 store serves."""
+        cosine top-k, the ranking a production int8 store serves.
+
+        All-zero vectors (scale 0) are DROPPED from the index: they
+        have no direction, their norm is 0, and a 0/0 cosine would
+        rank NaN above every real neighbor."""
         q8 = Quantization.int8(embeddings, id_col=id_col, emb_col=emb_col)
-        as_emb = q8.select(
+        as_emb = q8.where(F.col("scale") > 0).select(
             "vec_id",
             F.col("qvec").cast("array<double>").alias("embedding"),
         )

@@ -75,7 +75,10 @@ def test_int8_quantization_and_ivf(spark):
     assert q8[3]["scale"] == 0.0 and list(q8[3]["qvec"]) == [0, 0, 0, 0]
     assert list(q8[4]["qvec"]) == [-127, 127, 0, 64]  # round(0.5*127)=64
     assert abs(q8[4]["scale"] - 2.0 / 127.0) < 1e-12
-    # quantized IVF ranking: vec 1 is vec 0's nearest neighbor
-    idx = Quantization.ivf_index_int8(df.where("vec_id != 3"), num_cells=2, seed=7)
+    # quantized IVF ranking: vec 1 is vec 0's nearest neighbor; the
+    # all-zero vector is DROPPED by the index (norm 0 -> NaN cosine
+    # would otherwise rank first), no pre-filtering needed
+    idx = Quantization.ivf_index_int8(df, num_cells=2, seed=7)
+    assert idx.indexed.where("vec_id = 3").count() == 0
     top = idx.search(k=1, n_probe=2).where("query_id = 0").collect()
     assert top and top[0]["neighbor_id"] == 1
