@@ -1135,6 +1135,7 @@ def build_oracles() -> dict[str, str]:
     from sparker_spark.entry_r7 import r7_oracles
     from sparker_spark.entry_r8 import r8_oracles
     from sparker_spark.entry_r9 import r9_oracles
+    from sparker_spark.entry_r9b import r9b_oracles
 
     oracles.update(r4_oracles())
     oracles.update(r5_oracles())
@@ -1142,6 +1143,7 @@ def build_oracles() -> dict[str, str]:
     oracles.update(r7_oracles())
     oracles.update(r8_oracles())
     oracles.update(r9_oracles())
+    oracles.update(r9b_oracles())
     # native round() differs between engines at exact .5 boundaries —
     # rewrite every round() into the deterministic floor formula that
     # the Spark side (sparker_spark.rounding.rnd) uses
@@ -1207,8 +1209,10 @@ def _register_ext() -> None:
     # mixing renormalization — tail positions like every post-r2
     # addition; local oracle evidence in TAIL_CHECKS.md.
     from sparker_spark.entry_r9 import r9_queries
+    from sparker_spark.entry_r9b import r9b_queries
 
     QUERIES.update(r9_queries())
+    QUERIES.update(r9b_queries())
     # The driver grades only the first 50 registry entries. Push the
     # queries whose operators are redundantly covered to the tail so
     # every operator's *sole* oracle query stays inside the window:

@@ -1,0 +1,290 @@
+"""Round-9 second-wave registry queries: sub-document duplicated-span
+dedup (Lee et al. 2021, Spark-first positioned-shingle construction),
+DSIR hashed-n-gram importance resampling with deterministic Gumbel
+top-k (Xie et al. 2023), CCNet-style per-language perplexity
+partitioning (Wenzek et al. 2020), and tokenizer fertility evaluation.
+
+Each query pairs a Spark plan with an independently-written DuckDB
+oracle; column aliases match exactly (the driver's compare sorts
+columns by name before hashing values). No reference counterpart —
+sparker has no sub-document / data-selection / tokenizer surface;
+these extend the engine per the training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# ------------------------------------------------ duplicated spans
+# k = 8 words: the minimum removable duplicated span (the Lee-et-al.
+# threshold re-expressed in words; any >= k-word verbatim repeat is
+# detected, shorter ones are invisible by construction)
+SPAN_K = 8
+SPAN_MIN_OCC = 2
+
+# shared CTE: positioned k-word shingles -> frequent hashes ->
+# covered windows -> gaps-and-islands merge into maximal spans
+O_SPANS_CTE = f"""
+stoks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+          FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         ('0x' || substr(md5(list_aggregate(t[i:i+{SPAN_K - 1}],
+                                            'string_agg', ' ')),
+                         1, 15))::BIGINT AS h
+  FROM stoks, LATERAL unnest(
+    CASE WHEN len(t) >= {SPAN_K}
+         THEN range(1, len(t) - {SPAN_K - 2}) ELSE [] END) u(i)),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= {SPAN_MIN_OCC}),
+cov AS (SELECT doc_id, pos, pos + {SPAN_K - 1} AS e
+        FROM sh JOIN dup USING (h)),
+isl AS (SELECT doc_id, pos, e,
+  CASE WHEN pos > coalesce(max(e) OVER (
+         PARTITION BY doc_id ORDER BY pos
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       THEN 1 ELSE 0 END AS ni
+  FROM cov),
+isl2 AS (SELECT doc_id, pos, e,
+  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+         CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_words
+  FROM isl2 GROUP BY doc_id, island)
+"""
+
+O_SPAN_ISLANDS = f"""
+WITH {O_SPANS_CTE}
+SELECT doc_id, span_start, span_end, span_words FROM spans"""
+
+O_SPAN_REMOVAL = f"""
+WITH {O_SPANS_CTE},
+rem AS (SELECT DISTINCT doc_id,
+               CAST(unnest(range(span_start, span_end + 1)) AS BIGINT) AS pos
+        FROM spans),
+w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS word
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+            FROM documents) orig,
+      LATERAL unnest(range(1, len(t) + 1)) u(i)),
+kept AS (SELECT w.doc_id, w.pos, w.word FROM w
+         ANTI JOIN rem ON w.doc_id = rem.doc_id AND w.pos = rem.pos),
+agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+'))
+                            AS BIGINT) AS n_words
+        FROM documents)
+SELECT tot.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       coalesce(agg.n_kept, 0) AS n_kept,
+       tot.n_words - coalesce(agg.n_kept, 0) AS n_removed
+FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id"""
+
+
+def q_dedup_span_islands(spark, sf_dir):
+    """Maximal duplicated word spans (>= SPAN_K words, corpus
+    occurrence >= 2 counting within-doc repeats): positioned shingles
+    -> frequency filter -> per-doc gaps-and-islands merge. Every
+    span's (start, end, width) is value-checked."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.spans import duplicated_spans
+
+    return duplicated_spans(
+        load(spark, sf_dir, "documents"),
+        shingle_size=SPAN_K,
+        min_occurrences=SPAN_MIN_OCC,
+    )
+
+
+def q_dedup_span_removal(spark, sf_dir):
+    """The Lee-et-al. edit under the gate: duplicated spans cut out of
+    every document at word granularity (original casing kept,
+    whitespace normalized); every byte of every surviving text plus
+    the kept/removed word counts are value-checked."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.spans import duplicated_spans, remove_spans
+
+    docs = load(spark, sf_dir, "documents")
+    spans = duplicated_spans(
+        docs, shingle_size=SPAN_K, min_occurrences=SPAN_MIN_OCC
+    )
+    return remove_spans(docs, spans)
+
+
+# ------------------------------------------------------------ DSIR
+DSIR_B = 512
+DSIR_TARGET = "lang = 'en'"
+DSIR_K = 100
+DSIR_SEED = 7
+
+O_DSIR_CTE = f"""
+dtoks AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                      t -> len(t) > 0) AS t
+          FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_concat(
+    list_transform(t, x -> 'u|' || x),
+    CASE WHEN len(t) >= 2 THEN
+      list_transform(range(1, len(t)), i -> 'b|' || t[i] || ' ' || t[i+1])
+    ELSE [] END)) AS g
+  FROM dtoks),
+counts AS (SELECT doc_id,
+           (('0x' || substr(md5(g), 1, 15))::BIGINT) % {DSIR_B} AS bucket,
+           count(*) AS c
+           FROM grams GROUP BY 1, 2),
+raw AS (SELECT bucket, sum(c) AS cr FROM counts GROUP BY 1),
+tgt AS (SELECT bucket, sum(c) AS ct FROM counts
+        JOIN documents USING (doc_id) WHERE {DSIR_TARGET} GROUP BY 1),
+lr AS (SELECT bucket,
+       CAST(round(
+         ln((coalesce(ct, 0) + 1.0) /
+            ((SELECT coalesce(sum(ct), 0) FROM tgt) + {DSIR_B}.0))
+       - ln((cr + 1.0) /
+            ((SELECT sum(cr) FROM raw) + {DSIR_B}.0)), 6)
+       AS DECIMAL(18,6)) AS lr
+       FROM raw LEFT JOIN tgt USING (bucket)),
+scored AS (SELECT doc_id, sum(c) AS n_grams, sum(c * lr) AS lw
+           FROM counts JOIN lr USING (bucket) GROUP BY 1),
+lwts AS (SELECT d.doc_id,
+         CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(coalesce(lw, 0) AS DOUBLE) AS logweight
+         FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id)
+"""
+
+O_DSIR_LOGWEIGHTS = f"""
+WITH {O_DSIR_CTE}
+SELECT doc_id, n_grams, logweight FROM lwts"""
+
+O_DSIR_SAMPLE = f"""
+WITH {O_DSIR_CTE}
+SELECT doc_id,
+       logweight + round(-ln(-ln(
+         ((('0x' || substr(md5('{DSIR_SEED}|' || CAST(doc_id AS VARCHAR)),
+             1, 15))::BIGINT + 0.5) / 1152921504606846976.0))), 6)
+       AS sel_key
+FROM lwts ORDER BY sel_key DESC, doc_id LIMIT {DSIR_K}"""
+
+
+def q_dsir_logweights(spark, sf_dir):
+    """DSIR log importance weight of every document against the
+    lang='en' target: hashed unigram+bigram features (512 buckets),
+    Laplace-smoothed target/raw log-ratios (6-dp DECIMAL, so the
+    per-doc sums are exact), zero-gram docs scored 0."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.selection import ImportanceSelection
+
+    return ImportanceSelection.logweights(
+        load(spark, sf_dir, "documents"), DSIR_TARGET, buckets=DSIR_B
+    )
+
+
+def q_dsir_sample(spark, sf_dir):
+    """Gumbel top-k importance resample (k=100) — the deterministic
+    weighted-without-replacement selection over the DSIR weights; the
+    selected set AND its keys are value-checked."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.selection import ImportanceSelection
+
+    lw = ImportanceSelection.logweights(
+        load(spark, sf_dir, "documents"), DSIR_TARGET, buckets=DSIR_B
+    )
+    return ImportanceSelection.gumbel_topk(lw, k=DSIR_K, seed=DSIR_SEED)
+
+
+# ------------------------------------------------- ppl partition
+def q_ppl_partition(spark, sf_dir):
+    """CCNet head/middle/tail terciles per language under the corpus
+    bigram LM; cutoffs are exact interpolated quantiles (Spark
+    percentile == DuckDB quantile_cont), 6-dp rounded before the
+    boundary compare."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.selection import PerplexityPartition
+
+    return PerplexityPartition.assign(load(spark, sf_dir, "documents"))
+
+
+def _o_ppl_partition() -> str:
+    from sparker_spark.entry_r8 import O_TEXT_BIGRAM_LOGPROB
+
+    return f"""
+WITH lp AS ({O_TEXT_BIGRAM_LOGPROB.strip()}),
+pscored AS (SELECT lp.doc_id, d.lang, lp.avg_logprob
+            FROM lp JOIN documents d ON lp.doc_id = d.doc_id),
+cuts AS (SELECT lang,
+         round(quantile_cont(avg_logprob, 1.0/3), 6) AS c33,
+         round(quantile_cont(avg_logprob, 2.0/3), 6) AS c67
+         FROM pscored GROUP BY lang)
+SELECT doc_id, lang, avg_logprob,
+       CASE WHEN avg_logprob >= c67 THEN 'head'
+            WHEN avg_logprob >= c33 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM pscored JOIN cuts USING (lang)"""
+
+
+# ------------------------------------------------- tokenizer eval
+def q_tokeval_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility under the fixed merge table:
+    distinct words encoded ONCE (the Heaps-small model relation),
+    weighted by per-language word counts — fertility, chars/token,
+    single-token coverage all value-checked."""
+    from sparker_spark.entry import load
+    from sparker_spark.entry_r8 import _fixed_merges
+    from sparker_spark.llm.bpe import BPEEval
+
+    return BPEEval.fertility(
+        load(spark, sf_dir, "documents"), _fixed_merges(spark)
+    )
+
+
+def _o_tokeval_fertility() -> str:
+    # per-word replace-chain encode (valid because BPE_FIXED_MERGES is
+    # cascade-free — see entry_r8._o_bpe_encode_fixed) over the
+    # distinct-word relation, weighted by (lang, word) counts
+    from sparker_spark.entry_r8 import _bpe_tokens_str_expr
+
+    chain = _bpe_tokens_str_expr()
+    return f"""
+WITH w AS (SELECT lang,
+           unnest(list_filter(
+             regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'),
+             x -> len(x) > 0)) AS word
+           FROM documents),
+wc AS (SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2),
+enc AS (SELECT x AS word,
+        CAST(len(string_split({chain}, ' ')) AS BIGINT) AS w_tokens,
+        CAST(len(x) AS BIGINT) AS w_chars
+        FROM (SELECT DISTINCT word AS x FROM wc)),
+pw AS (SELECT wc.lang, wc.n, enc.w_tokens, enc.w_chars
+       FROM wc JOIN enc ON wc.word = enc.word)
+SELECT lang,
+       CAST(sum(n) AS BIGINT) AS n_words,
+       CAST(sum(n * w_tokens) AS BIGINT) AS n_tokens,
+       round(sum(n * w_tokens) / CAST(sum(n) AS DOUBLE), 6) AS fertility,
+       round(sum(n * w_chars) / CAST(sum(n * w_tokens) AS DOUBLE), 6)
+         AS chars_per_token,
+       round(sum(CASE WHEN w_tokens = 1 THEN n ELSE 0 END)
+             / CAST(sum(n) AS DOUBLE), 6) AS pct_single_token
+FROM pw GROUP BY lang"""
+
+
+def r9b_queries() -> dict:
+    return {
+        "dedup_span_islands": q_dedup_span_islands,
+        "dedup_span_removal": q_dedup_span_removal,
+        "dsir_logweights": q_dsir_logweights,
+        "dsir_sample": q_dsir_sample,
+        "ppl_partition": q_ppl_partition,
+        "tokeval_fertility": q_tokeval_fertility,
+    }
+
+
+def r9b_oracles() -> dict:
+    return {
+        "dedup_span_islands": O_SPAN_ISLANDS,
+        "dedup_span_removal": O_SPAN_REMOVAL,
+        "dsir_logweights": O_DSIR_LOGWEIGHTS,
+        "dsir_sample": O_DSIR_SAMPLE,
+        "ppl_partition": _o_ppl_partition(),
+        "tokeval_fertility": _o_tokeval_fertility(),
+    }

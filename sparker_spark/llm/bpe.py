@@ -47,6 +47,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparker_spark.rounding import rnd
+
 # stop training when the best pair occurs fewer times than this
 # (merging singletons memorizes the corpus tail instead of learning
 # subword structure)
@@ -817,3 +819,77 @@ class BPEModel:
     @staticmethod
     def read_vocab(spark, path: str) -> DataFrame:
         return spark.read.parquet(f"{path}/vocab.parquet")
+
+
+class BPEEval:
+    """Tokenizer evaluation: the corpus-level statistics every
+    tokenizer choice is judged by (fertility = tokens per word,
+    compression = chars per token, single-token word coverage), per
+    group (typically language — multilingual tokenizer fairness is
+    exactly a per-language fertility comparison)."""
+
+    @staticmethod
+    def fertility(
+        documents: DataFrame,
+        merges: DataFrame,
+        group_col: str = "lang",
+        text_col: str = "text",
+        byte_level: bool = False,
+    ) -> DataFrame:
+        """(group, n_words, n_tokens, fertility, chars_per_token,
+        pct_single_token): encode each DISTINCT word once (the
+        Heaps-small model relation — never the corpus) and weight by
+        per-group word counts. Plan: one corpus word-count aggregate
+        (keyed shuffle), one distinct-word encode (mapInPandas over
+        vocab rows), one join + one group aggregate."""
+        words = documents.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.filter(
+                    F.split(F.col(text_col), WS_CLASS),
+                    lambda t: F.length(t) > 0,
+                )
+            ).alias("word"),
+        ).groupBy("grp", "word").agg(F.count("*").cast("long").alias("n"))
+        distinct_words = words.select("word").distinct()
+        enc = BPE.encode(
+            distinct_words,
+            merges,
+            text_col="word",
+            id_col="word",
+            byte_level=byte_level,
+        ).select(
+            F.col("doc_id").alias("word"),
+            F.col("n_tokens").alias("w_tokens"),
+        )
+        per_word = words.join(enc, "word").select(
+            "grp",
+            "n",
+            "w_tokens",
+            F.length("word").cast("long").alias("w_chars"),
+        )
+        return per_word.groupBy("grp").agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("w_tokens")).cast("long").alias(
+                "n_tokens"
+            ),
+            rnd(
+                F.sum(F.col("n") * F.col("w_tokens"))
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("fertility"),
+            rnd(
+                F.sum(F.col("n") * F.col("w_chars"))
+                / F.sum(F.col("n") * F.col("w_tokens")).cast("double"),
+                6,
+            ).alias("chars_per_token"),
+            rnd(
+                F.sum(
+                    F.when(F.col("w_tokens") == 1, F.col("n")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("pct_single_token"),
+        ).withColumnRenamed("grp", group_col)

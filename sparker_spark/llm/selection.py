@@ -1,0 +1,275 @@
+"""Data selection for pretraining: hashed n-gram importance
+resampling (DSIR) and deterministic Gumbel top-k sampling.
+
+DSIR (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling", public NeurIPS paper): estimate target-domain
+and raw-corpus distributions over HASHED n-gram features (unigrams +
+bigrams bucketed by a fixed hash — the feature space is a bounded
+B-vector regardless of vocabulary size), weight every raw document by
+its log importance ratio
+
+    log w(d) = sum over grams g in d of  ln p_target(bucket(g))
+                                       - ln p_raw(bucket(g))
+
+and sample the pretraining subset with probability proportional to
+w(d) — Gumbel top-k makes that sample deterministic and exactly
+replayable: key(d) = log w(d) + Gumbel(u_d) with u_d a pure hash
+coordinate of (seed, doc_id), and the k largest keys ARE a weighted
+sample without replacement (Efraimidis-Spirakis / Gumbel-max, public
+construction).
+
+Scale posture: the feature space is B buckets (a model-sized
+relation), so the whole method is two hash aggregates over the
+exploded gram stream (keyed shuffles), one broadcast join of the
+B-row log-ratio table, and one per-doc sum — no pairwise work, no
+iteration, linear in corpus size. The two corpus totals are bounded
+driver scalars (same class as the purging thresholds).
+
+Cross-engine determinism: per-bucket log-ratios are rounded to 6
+places and carried as DECIMAL(18,6) (the repo rule for sums of
+irrational terms), so per-document weights are EXACT decimal sums —
+ranking ties cannot flip between engines; the Gumbel term is rounded
+the same way, and doc_id breaks residual ties.
+
+No reference counterpart — sparker has no data-selection surface;
+this extends the engine per the training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparker_spark.llm.hashing import SPARK_HASH60
+from sparker_spark.rounding import rnd
+
+DEFAULT_BUCKETS = 512
+TWO_60 = float(1 << 60)
+
+
+def _grams(text_col: str):
+    """Unigram + bigram feature strings of the lowercased whitespace
+    token stream, tagged ('u|', 'b|') so the two gram orders hash into
+    independent bucket positions."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    uni = F.transform(toks, lambda t: F.concat(F.lit("u|"), t))
+    big = F.when(F.size(toks) >= 2, F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(F.lit("b|"), a, F.lit(" "), b),
+    )).otherwise(F.array())
+    return F.concat(uni, big)
+
+
+class ImportanceSelection:
+    @staticmethod
+    def hashed_gram_counts(
+        documents: DataFrame,
+        buckets: int = DEFAULT_BUCKETS,
+        text_col: str = "text",
+    ) -> DataFrame:
+        """(doc_id, bucket, c): per-document hashed unigram+bigram
+        feature counts — one narrow explode + one keyed aggregate."""
+        b = int(buckets)
+        grams = documents.select(
+            "doc_id", F.explode(_grams(text_col)).alias("g")
+        ).select(
+            "doc_id",
+            (
+                F.expr(SPARK_HASH60.format(x="g")) % F.lit(b)
+            ).alias("bucket"),
+        )
+        return grams.groupBy("doc_id", "bucket").agg(
+            F.count("*").cast("long").alias("c")
+        )
+
+    @staticmethod
+    def bucket_logratio(
+        documents: DataFrame,
+        target_predicate: str,
+        buckets: int = DEFAULT_BUCKETS,
+        alpha: float = 1.0,
+        text_col: str = "text",
+    ) -> DataFrame:
+        """(bucket, lr): Laplace-smoothed per-bucket log importance
+        ratio ln p_target - ln p_raw, rounded to 6 places (DECIMAL) —
+        the B-row model relation every document is scored against.
+        ``target_predicate`` is a SQL predicate over the documents
+        table selecting the target-domain rows (e.g. "lang = 'en'").
+        Only buckets that occur in the raw corpus appear (a document
+        can never reference an unoccurring bucket)."""
+        counts = ImportanceSelection.hashed_gram_counts(
+            documents, buckets, text_col
+        )
+        tgt_ids = documents.where(target_predicate).select("doc_id")
+        raw = counts.groupBy("bucket").agg(F.sum("c").alias("cr"))
+        tgt = (
+            counts.join(F.broadcast(tgt_ids), "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum("c").alias("ct"))
+        )
+        # corpus totals: two bounded driver scalars
+        n_raw = raw.agg(F.sum("cr")).first()[0] or 0
+        n_tgt = tgt.agg(F.sum("ct")).first()[0] or 0
+        b = int(buckets)
+        a = float(alpha)
+        joined = raw.join(tgt, "bucket", "left").select(
+            "bucket",
+            rnd(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(a))
+                    / F.lit(float(n_tgt) + a * b)
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(a)) / F.lit(float(n_raw) + a * b)
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+        )
+        return joined
+
+    @staticmethod
+    def logweights(
+        documents: DataFrame,
+        target_predicate: str,
+        buckets: int = DEFAULT_BUCKETS,
+        alpha: float = 1.0,
+        text_col: str = "text",
+    ) -> DataFrame:
+        """(doc_id, n_grams, logweight): per-document DSIR log
+        importance weight — exact DECIMAL sum of c·lr over the doc's
+        buckets. Documents with zero grams (empty text) score 0.
+        Plan: gram counts (keyed shuffle) + broadcast join of the
+        B-row ratio table + per-doc sum (keyed shuffle)."""
+        counts = ImportanceSelection.hashed_gram_counts(
+            documents, buckets, text_col
+        )
+        lr = ImportanceSelection.bucket_logratio(
+            documents, target_predicate, buckets, alpha, text_col
+        )
+        scored = counts.join(F.broadcast(lr), "bucket").groupBy(
+            "doc_id"
+        ).agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lr")).alias("lw"),
+        )
+        return documents.select("doc_id").join(
+            scored, "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias(
+                "n_grams"
+            ),
+            # the sum is EXACT decimal; the double cast of a 6-dp
+            # decimal is the same IEEE value in both engines (the
+            # repo's standing output convention)
+            F.coalesce(F.col("lw").cast("double"), F.lit(0.0)).alias(
+                "logweight"
+            ),
+        )
+
+    @staticmethod
+    def gumbel_topk(
+        weighted: DataFrame,
+        k: int,
+        seed: int = 7,
+        weight_col: str = "logweight",
+    ) -> DataFrame:
+        """(doc_id, sel_key): the k documents sampled WITHOUT
+        replacement with probability proportional to exp(weight) —
+        Gumbel top-k: key = weight + G(u), G(u) = -ln(-ln(u)), u a
+        pure hash coordinate of (seed, doc_id) in (0, 1). Fully
+        deterministic and engine-replayable; the Gumbel term is
+        rounded to 6 places so keys are exact decimals, with doc_id
+        as the final tie-break. ``orderBy().limit(k)`` plans as
+        TakeOrderedAndProject — per-partition partial top-k then a
+        k-row driver merge, never a global sort."""
+        u = (
+            (
+                F.expr(
+                    SPARK_HASH60.format(
+                        x=(
+                            f"concat(CAST({int(seed)} AS STRING), '|', "
+                            "CAST(doc_id AS STRING))"
+                        )
+                    )
+                ).cast("double")
+                + F.lit(0.5)
+            )
+            / F.lit(TWO_60)
+        )
+        keyed = weighted.select(
+            "doc_id",
+            # both addends are 6-dp-rounded doubles; IEEE addition of
+            # identical operands is identical in both engines
+            (F.col(weight_col) + rnd(-F.log(-F.log(u)), 6)).alias(
+                "sel_key"
+            ),
+        )
+        return keyed.orderBy(
+            F.col("sel_key").desc(), F.col("doc_id").asc()
+        ).limit(int(k))
+
+
+class PerplexityPartition:
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020,
+    public "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data"): score every document under a language model,
+    then split EACH LANGUAGE into head / middle / tail terciles by
+    score — the standard coarse quality stratification a curation
+    recipe mixes from (e.g. keep head+middle, sample tail).
+
+    The engine-native scorer is the gated corpus bigram LM
+    (llm/text.py LanguageModelScore.bigram_logprob); higher mean
+    logprob = lower perplexity = head. Documents the scorer cannot
+    score (fewer than two tokens) are not partitioned, exactly as
+    CCNet leaves unscorable lines out.
+    """
+
+    @staticmethod
+    def assign(
+        documents: DataFrame, lang_col: str = "lang"
+    ) -> DataFrame:
+        """(doc_id, lang, avg_logprob, ppl_bucket): per-language
+        tercile assignment. Cutoffs are exact interpolated terciles
+        (Spark ``percentile`` == DuckDB ``quantile_cont`` by
+        construction, the repo's established quantile-parity idiom),
+        rounded to 6 places before comparison so bucket boundaries
+        cannot flip between engines. Plan: the LM score's keyed
+        aggregates + one per-language cutoff aggregate (a
+        languages-sized model relation, broadcast back) — no global
+        sort; the tercile state per language is two scalars."""
+        from sparker_spark.llm.text import LanguageModelScore
+
+        scored = LanguageModelScore.bigram_logprob(documents).join(
+            documents.select("doc_id", F.col(lang_col).alias("lang")),
+            "doc_id",
+        )
+        cuts = scored.groupBy("lang").agg(
+            rnd(
+                F.expr(
+                    "percentile(avg_logprob, CAST(1.0/3 AS DOUBLE))"
+                ),
+                6,
+            ).alias("c33"),
+            rnd(
+                F.expr(
+                    "percentile(avg_logprob, CAST(2.0/3 AS DOUBLE))"
+                ),
+                6,
+            ).alias("c67"),
+        )
+        return scored.join(F.broadcast(cuts), "lang").select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.when(F.col("avg_logprob") >= F.col("c67"), F.lit("head"))
+            .when(F.col("avg_logprob") >= F.col("c33"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
