@@ -23,10 +23,29 @@ SPAN_K = 8
 SPAN_MIN_OCC = 2
 
 # shared CTE: positioned k-word shingles -> frequent hashes ->
-# covered windows -> gaps-and-islands merge into maximal spans
-O_SPANS_CTE = f"""
+# covered windows (keep_first: each hash's lexicographically-first
+# occurrence exempted — the Lee-et-al. remove-all-but-one policy) ->
+# gaps-and-islands merge into maximal spans
+
+
+def _spans_cte(keep_first: bool = False, src: str = "documents") -> str:
+    if keep_first:
+        cov = f"""cov AS (
+  SELECT doc_id, pos, pos + {SPAN_K - 1} AS e FROM (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY h) AS occ,
+           row_number() OVER (PARTITION BY h
+                              ORDER BY doc_id, pos) AS rn
+    FROM sh)
+  WHERE occ >= {SPAN_MIN_OCC} AND rn > 1)"""
+    else:
+        cov = f"""dup AS (SELECT h FROM sh GROUP BY h
+        HAVING count(*) >= {SPAN_MIN_OCC}),
+cov AS (SELECT doc_id, pos, pos + {SPAN_K - 1} AS e
+        FROM sh JOIN dup USING (h))"""
+    return f"""
 stoks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
-          FROM documents),
+          FROM {src}),
 sh AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
          ('0x' || substr(md5(list_aggregate(t[i:i+{SPAN_K - 1}],
@@ -35,9 +54,7 @@ sh AS (
   FROM stoks, LATERAL unnest(
     CASE WHEN len(t) >= {SPAN_K}
          THEN range(1, len(t) - {SPAN_K - 2}) ELSE [] END) u(i)),
-dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= {SPAN_MIN_OCC}),
-cov AS (SELECT doc_id, pos, pos + {SPAN_K - 1} AS e
-        FROM sh JOIN dup USING (h)),
+{cov},
 isl AS (SELECT doc_id, pos, e,
   CASE WHEN pos > coalesce(max(e) OVER (
          PARTITION BY doc_id ORDER BY pos
@@ -54,18 +71,22 @@ spans AS (
   FROM isl2 GROUP BY doc_id, island)
 """
 
+
+O_SPANS_CTE = _spans_cte()
+
 O_SPAN_ISLANDS = f"""
 WITH {O_SPANS_CTE}
 SELECT doc_id, span_start, span_end, span_words FROM spans"""
 
-O_SPAN_REMOVAL = f"""
-WITH {O_SPANS_CTE},
+# removal tail shared by the remove-all and keep-first variants
+def _removal_tail(src: str = "documents") -> str:
+    return f"""
 rem AS (SELECT DISTINCT doc_id,
                CAST(unnest(range(span_start, span_end + 1)) AS BIGINT) AS pos
         FROM spans),
 w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS word
       FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
-            FROM documents) orig,
+            FROM {src}) orig,
       LATERAL unnest(range(1, len(t) + 1)) u(i)),
 kept AS (SELECT w.doc_id, w.pos, w.word FROM w
          ANTI JOIN rem ON w.doc_id = rem.doc_id AND w.pos = rem.pos),
@@ -74,11 +95,31 @@ agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
         FROM kept GROUP BY doc_id),
 tot AS (SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+'))
                             AS BIGINT) AS n_words
-        FROM documents)
+        FROM {src})"""
+
+
+O_REMOVAL_TAIL = _removal_tail()
+
+O_SPAN_REMOVAL = f"""
+WITH {O_SPANS_CTE},
+{O_REMOVAL_TAIL}
 SELECT tot.doc_id, coalesce(agg.clean_text, '') AS clean_text,
        coalesce(agg.n_kept, 0) AS n_kept,
        tot.n_words - coalesce(agg.n_kept, 0) AS n_removed
 FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id"""
+
+O_SPAN_KEEP_FIRST = f"""
+WITH {_spans_cte(keep_first=True)}
+SELECT doc_id, span_start, span_end, span_words FROM spans"""
+
+# curate(dup_span_words=...) with every other stage off == keep-first
+# span removal + drop-emptied-docs; text survives whitespace-normalized
+O_CURATION_SPAN_REMOVAL = f"""
+WITH {_spans_cte(keep_first=True)},
+{O_REMOVAL_TAIL}
+SELECT tot.doc_id, coalesce(agg.clean_text, '') AS text
+FROM tot JOIN agg ON tot.doc_id = agg.doc_id
+WHERE agg.n_kept > 0"""
 
 
 def q_dedup_span_islands(spark, sf_dir):
@@ -109,6 +150,212 @@ def q_dedup_span_removal(spark, sf_dir):
         docs, shingle_size=SPAN_K, min_occurrences=SPAN_MIN_OCC
     )
     return remove_spans(docs, spans)
+
+
+def q_dedup_span_keep_first(spark, sf_dir):
+    """Keep-first duplicated spans: each duplicated window's
+    lexicographically-first occurrence is exempt (min(struct) hash
+    aggregate — no per-key sort), so removal keeps one canonical copy
+    of every duplicated passage."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.spans import duplicated_spans
+
+    return duplicated_spans(
+        load(spark, sf_dir, "documents"),
+        shingle_size=SPAN_K,
+        min_occurrences=SPAN_MIN_OCC,
+        keep_first=True,
+    )
+
+
+def q_curation_span_removal(spark, sf_dir):
+    """curate(dup_span_words=...) under the VALUE-HASH gate: the
+    sub-document dedup stage inside the one-call curation API (all
+    other stages off) — keep-first span cut, emptied docs dropped,
+    every surviving byte checked."""
+    from sparker_spark.curate import curate
+    from sparker_spark.entry import load
+
+    return curate(
+        load(spark, sf_dir, "documents"),
+        redact=False,
+        min_quality=None,
+        max_top_ngram_frac=None,
+        max_dup_ngram_frac=None,
+        exact_dedup=False,
+        jaccard_threshold=None,
+        dup_span_words=SPAN_K,
+        dup_span_min_occ=SPAN_MIN_OCC,
+    )
+
+
+# ------------------------------------- span-clean vs static index
+# corpus/incoming split: the crawl-ingest scenario — new documents
+# cleaned against the EXISTING training corpus's span index (every
+# corpus window indexed: min_occurrences=1)
+SPANX_WEIGHTS = {"corpus": 0.8, "incoming": 0.2}
+SPANX_SEED = 17
+
+
+def _spanx_split(spark, sf_dir):
+    from sparker_spark.entry import load
+    from sparker_spark.llm.sampling import Sampling
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sp = Sampling.split(docs, "doc_id", SPANX_WEIGHTS, seed=SPANX_SEED)
+    corpus = sp.where("split = 'corpus'").drop("split")
+    incoming = sp.where("split = 'incoming'").drop("split")
+    return corpus, incoming
+
+
+def q_span_clean_vs_index(spark, sf_dir):
+    """Batch crawl-ingest cleaning: incoming docs (20% hash split)
+    have every word span already present in the corpus (80% split;
+    min_occurrences=1 index) cut out — spans_against_index +
+    remove_spans, the keyed-join scale path."""
+    from sparker_spark.llm.spans import (
+        remove_spans,
+        span_index,
+        spans_against_index,
+    )
+
+    corpus, incoming = _spanx_split(spark, sf_dir)
+    idx = span_index(corpus, shingle_size=SPAN_K, min_occurrences=1)
+    spans = spans_against_index(incoming, idx, shingle_size=SPAN_K)
+    return remove_spans(incoming, spans)
+
+
+def q_stream_span_clean(spark, sf_dir):
+    """The SAME cleaning as q_span_clean_vs_index through Structured
+    Streaming (streaming/incremental.streaming_span_clean): corpus
+    index bound as an array literal, per-row covered-position
+    expressions, no state store — the batch oracle is reused verbatim,
+    so the gate pins stream/batch value-identity."""
+    from sparker_spark.entry import _parallelize_scan
+    from sparker_spark.entry_r3e import _SINK_SEQ
+    from sparker_spark.entry_r5 import _drain, _stage_frame
+    from sparker_spark.streaming.incremental import streaming_span_clean
+
+    corpus, incoming = _spanx_split(spark, sf_dir)
+    corpus = _parallelize_scan(corpus)
+    stage = _stage_frame(incoming, "stream_spanx_", files=16)
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    out = streaming_span_clean(
+        stream, corpus, shingle_size=SPAN_K, min_occurrences=1
+    )
+    sink = f"stream_spanx_sink_{next(_SINK_SEQ)}"
+    return _drain(spark, out, sink, "append", stage)
+
+
+def _o_span_clean_vs_index() -> str:
+    from sparker_spark.llm.sampling import Sampling
+
+    split_case = Sampling.split_case_sql(
+        "doc_id", SPANX_WEIGHTS, seed=SPANX_SEED, dialect="duck"
+    )
+    return f"""
+WITH sp AS (SELECT doc_id, text, {split_case} AS split FROM documents),
+corp AS (SELECT doc_id, text FROM sp WHERE split = 'corpus'),
+inc AS (SELECT doc_id, text FROM sp WHERE split = 'incoming'),
+cidx AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(list_aggregate(t[i:i+{SPAN_K - 1}],
+                                       'string_agg', ' ')),
+                    1, 15))::BIGINT AS h
+  FROM (SELECT regexp_split_to_array(lower(text), '\\s+') AS t FROM corp),
+  LATERAL unnest(CASE WHEN len(t) >= {SPAN_K}
+                 THEN range(1, len(t) - {SPAN_K - 2}) ELSE [] END) u(i)),
+stoks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+          FROM inc),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         ('0x' || substr(md5(list_aggregate(t[i:i+{SPAN_K - 1}],
+                                            'string_agg', ' ')),
+                         1, 15))::BIGINT AS h
+  FROM stoks, LATERAL unnest(
+    CASE WHEN len(t) >= {SPAN_K}
+         THEN range(1, len(t) - {SPAN_K - 2}) ELSE [] END) u(i)),
+cov AS (SELECT doc_id, pos, pos + {SPAN_K - 1} AS e
+        FROM sh JOIN cidx USING (h)),
+isl AS (SELECT doc_id, pos, e,
+  CASE WHEN pos > coalesce(max(e) OVER (
+         PARTITION BY doc_id ORDER BY pos
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       THEN 1 ELSE 0 END AS ni
+  FROM cov),
+isl2 AS (SELECT doc_id, pos, e,
+  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+         CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_words
+  FROM isl2 GROUP BY doc_id, island),
+{_removal_tail(src='inc').lstrip()}
+SELECT tot.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       coalesce(agg.n_kept, 0) AS n_kept,
+       tot.n_words - coalesce(agg.n_kept, 0) AS n_removed
+FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id"""
+
+
+# quality floor chosen to be NON-degenerate on the graded corpora
+# (p10 of quality_score is ~0.577 at both SFs -> ~10% of docs drop)
+FUNNEL_MIN_Q = 0.58
+
+
+def q_curation_funnel(spark, sf_dir):
+    """funnel_report under the gate: per-stage (docs, tokens)
+    survivor accounting for raw -> quality floor -> exact dedup ->
+    keep-first span dedup — the lineage report a production pipeline
+    publishes next to its output. The oracle recomposes each stage
+    from the independently-gated stage SQL."""
+    from sparker_spark.curate import funnel_report
+    from sparker_spark.entry import load
+
+    return funnel_report(
+        load(spark, sf_dir, "documents"),
+        min_quality=FUNNEL_MIN_Q,
+        exact_dedup=True,
+        dup_span_words=SPAN_K,
+        dup_span_min_occ=SPAN_MIN_OCC,
+    )
+
+
+def _o_curation_funnel() -> str:
+    from sparker_spark.entry import _o_text_quality
+
+    tok = (
+        "len(list_filter(regexp_split_to_array(text, '\\s+'),"
+        " x -> len(x) > 0))"
+    )
+
+    def row(idx: int, name: str, src: str) -> str:
+        return (
+            f"SELECT {idx} AS stage_idx, '{name}' AS stage,"
+            f" CAST(count(*) AS BIGINT) AS docs,"
+            f" CAST(coalesce(sum({tok}), 0) AS BIGINT) AS tokens"
+            f" FROM {src}"
+        )
+
+    return f"""
+WITH fq AS (SELECT doc_id FROM ({_o_text_quality()})
+            WHERE quality_score >= {FUNNEL_MIN_Q}),
+s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN fq USING (doc_id)),
+canon AS (SELECT doc_id FROM (
+    SELECT doc_id, doc_id = min(doc_id) OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ) AS c FROM s1) WHERE c),
+s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN canon USING (doc_id)),
+{_spans_cte(keep_first=True, src='s2')},
+{_removal_tail(src='s2')},
+s3 AS (SELECT tot.doc_id, coalesce(agg.clean_text, '') AS text
+       FROM tot JOIN agg ON tot.doc_id = agg.doc_id
+       WHERE agg.n_kept > 0)
+{row(0, 'raw', 'documents')}
+UNION ALL {row(1, 'quality', 's1')}
+UNION ALL {row(2, 'exact_dedup', 's2')}
+UNION ALL {row(3, 'span_dedup', 's3')}"""
 
 
 # ------------------------------------------------------------ DSIR
@@ -272,6 +519,11 @@ def r9b_queries() -> dict:
     return {
         "dedup_span_islands": q_dedup_span_islands,
         "dedup_span_removal": q_dedup_span_removal,
+        "dedup_span_keep_first": q_dedup_span_keep_first,
+        "curation_span_removal": q_curation_span_removal,
+        "curation_funnel": q_curation_funnel,
+        "span_clean_vs_index": q_span_clean_vs_index,
+        "stream_span_clean": q_stream_span_clean,
         "dsir_logweights": q_dsir_logweights,
         "dsir_sample": q_dsir_sample,
         "ppl_partition": q_ppl_partition,
@@ -283,6 +535,11 @@ def r9b_oracles() -> dict:
     return {
         "dedup_span_islands": O_SPAN_ISLANDS,
         "dedup_span_removal": O_SPAN_REMOVAL,
+        "dedup_span_keep_first": O_SPAN_KEEP_FIRST,
+        "curation_span_removal": O_CURATION_SPAN_REMOVAL,
+        "curation_funnel": _o_curation_funnel(),
+        "span_clean_vs_index": _o_span_clean_vs_index(),
+        "stream_span_clean": _o_span_clean_vs_index(),
         "dsir_logweights": O_DSIR_LOGWEIGHTS,
         "dsir_sample": O_DSIR_SAMPLE,
         "ppl_partition": _o_ppl_partition(),

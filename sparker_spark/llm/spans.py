@@ -78,12 +78,23 @@ def duplicated_spans(
     shingle_size: int = DEFAULT_SHINGLE_SIZE,
     min_occurrences: int = 2,
     text_col: str = "text",
+    keep_first: bool = False,
 ) -> DataFrame:
     """(doc_id, span_start, span_end, span_words): maximal word-
     position intervals covered by k-word windows occurring at least
     ``min_occurrences`` times in the corpus (within-document repeats
     count — a doc that repeats its own paragraph is duplication too,
     exactly as a suffix array would see it).
+
+    ``keep_first=True`` exempts each duplicated window's FIRST
+    occurrence (lexicographic min (doc_id, pos)) from coverage — the
+    Lee-et-al. policy of removing all but ONE copy of duplicated
+    text, so feeding the spans to :func:`remove_spans` keeps the
+    canonical occurrence intact instead of deleting the content from
+    the corpus entirely. The first occurrence is found with a
+    ``min(struct(doc_id, pos))`` hash aggregate — no per-key sort, so
+    a boilerplate shingle with millions of occurrences costs one
+    combiner pass, not a skewed sort partition.
 
     Plan: shingle explode (narrow) -> frequency hash-aggregate on h
     (keyed shuffle 1) -> self-join positioned shingles to frequent
@@ -94,18 +105,34 @@ def duplicated_spans(
     pos = positioned_shingles(documents, shingle_size, text_col)
     dup = (
         pos.groupBy("h")
-        .agg(F.count("*").alias("occ"))
+        .agg(
+            F.count("*").alias("occ"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
         .where(F.col("occ") >= int(min_occurrences))
-        .select("h")
+        .select("h", "first")
     )
-    covered = pos.join(dup, "h").select(
+    covered = pos.join(dup, "h")
+    if keep_first:
+        covered = covered.where(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+    covered = covered.select(
         "doc_id",
         "pos",
         (F.col("pos") + F.lit(int(shingle_size) - 1)).alias("end"),
     )
-    # gaps-and-islands: windows sorted by start; a window opens a new
-    # island iff it starts past every previous window's end + 1
-    # (adjacent windows merge — contiguous duplicated text is ONE span)
+    return _merge_islands(covered)
+
+
+def _merge_islands(covered: DataFrame) -> DataFrame:
+    """(doc_id, pos, end) covered windows -> (doc_id, span_start,
+    span_end, span_words) maximal merged spans. Gaps-and-islands:
+    windows sorted by start; a window opens a new island iff it
+    starts past every previous window's end + 1 (adjacent windows
+    merge — contiguous duplicated text is ONE span). Window state per
+    doc is its covered positions only — bounded by document length."""
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -134,6 +161,52 @@ def duplicated_spans(
         F.max("end").cast("long").alias("span_end"),
         (F.max("end") - F.min("pos") + 1).cast("long").alias("span_words"),
     ).select("doc_id", "span_start", "span_end", "span_words")
+
+
+def span_index(
+    corpus: DataFrame,
+    shingle_size: int = DEFAULT_SHINGLE_SIZE,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(h): the distinct hashes of k-word windows occurring at least
+    ``min_occurrences`` times in a static corpus — the reusable index
+    a crawl-ingest pipeline cleans NEW documents against (batch:
+    :func:`spans_against_index`; streaming:
+    ``streaming/incremental.streaming_span_clean``). Persist it as
+    parquet like any relation; it is corpus-shingle-bounded, not
+    corpus-text-bounded. ``min_occurrences=1`` indexes EVERY corpus
+    window ("cut anything already seen")."""
+    pos = positioned_shingles(corpus, shingle_size, text_col)
+    if int(min_occurrences) <= 1:
+        return pos.select("h").distinct()
+    return (
+        pos.groupBy("h")
+        .agg(F.count("*").alias("occ"))
+        .where(F.col("occ") >= int(min_occurrences))
+        .select("h")
+    )
+
+
+def spans_against_index(
+    documents: DataFrame,
+    index: DataFrame,
+    shingle_size: int = DEFAULT_SHINGLE_SIZE,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_words): maximal spans of
+    ``documents`` covered by windows present in a prebuilt
+    :func:`span_index` — the batch path for cleaning an incoming
+    batch against an existing training corpus without re-shingling
+    the corpus. One keyed join + the islands merge; feed the result
+    to :func:`remove_spans`."""
+    pos = positioned_shingles(documents, shingle_size, text_col)
+    covered = pos.join(index, "h").select(
+        "doc_id",
+        "pos",
+        (F.col("pos") + F.lit(int(shingle_size) - 1)).alias("end"),
+    )
+    return _merge_islands(covered)
 
 
 def remove_spans(
@@ -195,4 +268,79 @@ def remove_spans(
         (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))).cast(
             "long"
         ).alias("n_removed"),
+    )
+
+
+def clean_against_hashes(
+    documents: DataFrame,
+    index_hashes: list[int],
+    shingle_size: int = DEFAULT_SHINGLE_SIZE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, clean_text, n_kept, n_removed): cut every word covered
+    by a k-window whose hash is in ``index_hashes`` — the PER-ROW
+    column-expression twin of :func:`spans_against_index` +
+    :func:`remove_spans`, with the index bound as an array literal.
+
+    No join, no shuffle, no state: each row computes its own window
+    hashes, membership bits, and covered positions (O(words · k) per
+    row, k is small) — so the SAME expression runs unchanged on a
+    Structured Streaming DataFrame
+    (streaming/incremental.streaming_span_clean), where cost scales
+    with ingest rate only. The array literal bounds the index size;
+    beyond the guard in the streaming wrapper, use the batch join
+    path inside foreachBatch.
+
+    The literal is built as SQL text, not F.lit(list) — py4j converts
+    python lists element-by-element (the repo's measured 11.3 s vs
+    0.02 s decontamination-literal lesson)."""
+    k = int(shingle_size)
+    idx = (
+        "array(" + ",".join(f"{int(h)}L" for h in sorted(index_hashes)) + ")"
+        if index_hashes
+        else "array()"
+    )
+    hits = (
+        f"CASE WHEN size(split({text_col}, '\\\\s+')) >= {k} THEN "
+        f"transform(sequence(1, size(split({text_col}, '\\\\s+')) - {k} + 1), "
+        f"i -> array_contains(CAST({idx} AS ARRAY<BIGINT>), "
+        + SPARK_HASH60.format(
+            x=(
+                "concat_ws(' ', "
+                + ", ".join(
+                    f"element_at(split(lower({text_col}), '\\\\s+'), i + {j})"
+                    for j in range(k)
+                )
+                + ")"
+            )
+        )
+        + ")) ELSE array() END"
+    )
+    out = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(hits).alias("_hits"),
+        F.split(F.col(text_col), "\\s+").alias("_wt"),
+    ).select(
+        "doc_id",
+        # slice length is clamped to [0, size(_hits)] so short docs
+        # (empty _hits) evaluate to an empty slice, never a negative
+        # length — no reliance on AND short-circuiting inside codegen
+        F.expr(
+            f"""filter(transform(sequence(1, size(_wt)), p ->
+              IF(exists(
+                   slice(_hits, greatest(1, p - {k} + 1),
+                         greatest(0, least(p, size(_hits))
+                           - greatest(1, p - {k} + 1) + 1)),
+                   x -> x),
+                 CAST(NULL AS STRING), element_at(_wt, p))),
+              x -> x IS NOT NULL)"""
+        ).alias("_kept"),
+        F.size("_wt").cast("long").alias("_n"),
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
+        F.size("_kept").cast("long").alias("n_kept"),
+        (F.col("_n") - F.size("_kept")).cast("long").alias("n_removed"),
     )

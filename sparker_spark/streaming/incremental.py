@@ -579,3 +579,56 @@ def streaming_interval_join(
     return lw.alias("l").join(rw.alias("r"), cond, "inner").select(
         *lcols, *rcols
     )
+
+
+def streaming_span_clean(
+    doc_stream: DataFrame,
+    corpus: DataFrame,
+    shingle_size: int = 8,
+    min_occurrences: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_index_size: int = 5_000_000,
+) -> DataFrame:
+    """Stateless stream-static duplicated-span cleaning: every newly
+    ingested document has the word spans it shares with a STATIC
+    training corpus cut out before entering the corpus (the streaming
+    twin of llm.spans.spans_against_index + remove_spans — same
+    windows, same portable 60-bit hashes, value-identical output
+    columns).
+
+    The corpus span index (llm.spans.span_index) is computed ONCE at
+    graph-build time and bound into the plan as an array literal,
+    guarded by ``max_index_size`` (beyond it, run the batch join path
+    inside ``foreachBatch``). Each streamed row then computes its own
+    window hashes, membership bits, and covered positions — no state
+    store, no join, no shuffle; cost scales with ingest rate only.
+
+    Output: (doc_id, clean_text, n_kept, n_removed), append mode.
+    """
+    from sparker_spark.llm.spans import clean_against_hashes, span_index
+
+    hashes = sorted(
+        r["h"]
+        for r in span_index(
+            corpus.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(text_col).alias("text"),
+            ),
+            shingle_size=shingle_size,
+            min_occurrences=min_occurrences,
+        ).collect()
+    )
+    if len(hashes) > max_index_size:
+        raise ValueError(
+            f"corpus span index has {len(hashes)} windows — beyond the "
+            f"array-literal bound ({max_index_size}); use the batch "
+            "spans_against_index via foreachBatch"
+        )
+    return clean_against_hashes(
+        doc_stream,
+        hashes,
+        shingle_size=shingle_size,
+        text_col=text_col,
+        id_col=id_col,
+    )

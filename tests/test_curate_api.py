@@ -139,3 +139,62 @@ def test_min_lm_logprob_filters_word_salad(spark):
     assert 7 in kept  # unscored short doc survives
     assert 6 not in kept  # word salad scores far below the floor
     assert set(range(6)) <= kept
+
+
+def test_funnel_report_stages(spark):
+    from sparker_spark.curate import funnel_report
+
+    shared = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (0, shared),
+            (1, shared),
+            (2, "x y z totally different words right here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["stage"]: r
+        for r in funnel_report(
+            docs,
+            min_quality=None,
+            exact_dedup=True,
+            dup_span_words=5,
+        ).collect()
+    }
+    assert rows["raw"]["docs"] == 3 and rows["raw"]["tokens"] == 28
+    # exact dedup: docs 0/1 identical -> canonical 0 survives
+    assert rows["exact_dedup"]["docs"] == 2
+    assert rows["exact_dedup"]["tokens"] == 18
+    # span stage: nothing left duplicated after exact dedup
+    assert rows["span_dedup"]["docs"] == 2
+    assert rows["span_dedup"]["tokens"] == 18
+    # stage order is stable
+    assert rows["raw"]["stage_idx"] == 0
+    assert rows["span_dedup"]["stage_idx"] == 2
+
+
+def test_funnel_report_span_tokens(spark):
+    from sparker_spark.curate import funnel_report
+
+    shared = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{shared} tail0 one"),
+            (1, f"{shared} tail1 two"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["stage"]: r
+        for r in funnel_report(
+            docs,
+            min_quality=None,
+            exact_dedup=False,
+            dup_span_words=5,
+        ).collect()
+    }
+    # doc 1's copy of the shared block is cut (keep-first): 24 -> 14
+    assert rows["raw"]["tokens"] == 24
+    assert rows["span_dedup"]["docs"] == 2
+    assert rows["span_dedup"]["tokens"] == 14

@@ -106,3 +106,152 @@ def test_case_preserved_matching_case_insensitive(spark):
     # matched case-insensitively, survivors keep ORIGINAL casing
     assert out[0]["clean_text"] == "keepme"
     assert out[1]["clean_text"] == "other"
+
+
+def test_keep_first_exempts_canonical(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, f"start {SHARED} middle unique0 end"),
+            (1, f"other opening words {SHARED} closing"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in duplicated_spans(
+            docs, shingle_size=5, min_occurrences=2, keep_first=True
+        ).collect()
+    }
+    # doc 0 holds every window's first occurrence -> no spans there
+    assert 0 not in spans
+    assert spans[1] == (4, 13)
+    out = {
+        r["doc_id"]: r
+        for r in remove_spans(
+            docs,
+            duplicated_spans(
+                docs, shingle_size=5, min_occurrences=2, keep_first=True
+            ),
+        ).collect()
+    }
+    # canonical copy intact, later copy cut
+    assert out[0]["n_removed"] == 0
+    assert out[1]["clean_text"] == "other opening words closing"
+
+
+def test_curate_span_stage(spark):
+    from sparker_spark.curate import curate
+
+    docs = spark.createDataFrame(
+        [
+            (0, SHARED),
+            (1, SHARED),
+            (2, "completely different words that are not repeated"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in curate(
+            docs,
+            redact=False,
+            min_quality=None,
+            max_top_ngram_frac=None,
+            max_dup_ngram_frac=None,
+            exact_dedup=False,
+            jaccard_threshold=None,
+            dup_span_words=5,
+        ).collect()
+    }
+    # doc 0 is the canonical copy (kept whole); doc 1 is fully
+    # duplicated -> emptied -> dropped; doc 2 untouched
+    assert out[0] == SHARED
+    assert 1 not in out
+    assert out[2].startswith("completely")
+
+
+def test_span_index_and_against_index(spark):
+    from sparker_spark.llm.spans import (
+        remove_spans,
+        span_index,
+        spans_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, f"corpus head {SHARED} corpus tail")],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (0, f"new words before {SHARED} after"),
+            (1, "nothing shared with the corpus at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = span_index(corpus, shingle_size=5, min_occurrences=1)
+    spans = spans_against_index(incoming, idx, shingle_size=5)
+    out = {
+        r["doc_id"]: r
+        for r in remove_spans(incoming, spans).collect()
+    }
+    assert out[0]["clean_text"] == "new words before after"
+    assert out[0]["n_removed"] == 10
+    assert out[1]["n_removed"] == 0
+
+
+def test_clean_against_hashes_matches_join_path(spark):
+    from sparker_spark.llm.spans import (
+        clean_against_hashes,
+        remove_spans,
+        span_index,
+        spans_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, f"alpha beta {SHARED} gamma delta")],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (0, f"pre {SHARED} post"),
+            (1, f"{SHARED}"),
+            (2, "unrelated text entirely of its own words"),
+            (3, "tiny"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    idx_df = span_index(corpus, shingle_size=5, min_occurrences=1)
+    hashes = [r["h"] for r in idx_df.collect()]
+    lit = {
+        r["doc_id"]: tuple(r)
+        for r in clean_against_hashes(
+            incoming, hashes, shingle_size=5
+        ).collect()
+    }
+    join = {
+        r["doc_id"]: tuple(r)
+        for r in remove_spans(
+            incoming,
+            spans_against_index(incoming, idx_df, shingle_size=5),
+        ).collect()
+    }
+    assert lit == join
+    assert lit[0][1] == "pre post"
+    assert lit[1][1] == "" and lit[1][3] == 10
+    assert lit[3][3] == 0 and lit[4][3] == 0
+
+
+def test_clean_against_hashes_empty_index(spark):
+    from sparker_spark.llm.spans import clean_against_hashes
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in clean_against_hashes(docs, [], shingle_size=5).collect()
+    }
+    assert out[0]["clean_text"] == "a b c d e f"
+    assert out[0]["n_removed"] == 0
+    assert out[1]["n_removed"] == 0
