@@ -93,6 +93,7 @@ class ImportanceSelection:
         buckets: int = DEFAULT_BUCKETS,
         alpha: float = 1.0,
         text_col: str = "text",
+        counts: DataFrame | None = None,
     ) -> DataFrame:
         """(bucket, lr): Laplace-smoothed per-bucket log importance
         ratio ln p_target - ln p_raw, rounded to 6 places (DECIMAL) —
@@ -100,10 +101,14 @@ class ImportanceSelection:
         ``target_predicate`` is a SQL predicate over the documents
         table selecting the target-domain rows (e.g. "lang = 'en'").
         Only buckets that occur in the raw corpus appear (a document
-        can never reference an unoccurring bucket)."""
-        counts = ImportanceSelection.hashed_gram_counts(
-            documents, buckets, text_col
-        )
+        can never reference an unoccurring bucket). ``counts``: a
+        precomputed :meth:`hashed_gram_counts` relation — pass it when
+        the caller already materialized one (``logweights`` does) so
+        the corpus gram stream is exploded once, not twice."""
+        if counts is None:
+            counts = ImportanceSelection.hashed_gram_counts(
+                documents, buckets, text_col
+            )
         tgt_ids = documents.where(target_predicate).select("doc_id")
         raw = counts.groupBy("bucket").agg(F.sum("c").alias("cr"))
         tgt = (
@@ -144,13 +149,21 @@ class ImportanceSelection:
         """(doc_id, n_grams, logweight): per-document DSIR log
         importance weight — exact DECIMAL sum of c·lr over the doc's
         buckets. Documents with zero grams (empty text) score 0.
-        Plan: gram counts (keyed shuffle) + broadcast join of the
-        B-row ratio table + per-doc sum (keyed shuffle)."""
+        Plan: ONE gram-count pass (keyed shuffle), materialized via
+        localCheckpoint because three consumers read it (raw totals,
+        target totals, scoring join — lazy, each would re-explode the
+        corpus), + broadcast join of the B-row ratio table + per-doc
+        sum (keyed shuffle)."""
         counts = ImportanceSelection.hashed_gram_counts(
             documents, buckets, text_col
-        )
+        ).localCheckpoint(eager=True)
         lr = ImportanceSelection.bucket_logratio(
-            documents, target_predicate, buckets, alpha, text_col
+            documents,
+            target_predicate,
+            buckets,
+            alpha,
+            text_col,
+            counts=counts,
         )
         scored = counts.join(F.broadcast(lr), "bucket").groupBy(
             "doc_id"
