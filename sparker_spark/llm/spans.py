@@ -94,7 +94,12 @@ def duplicated_spans(
     the corpus entirely. The first occurrence is found with a
     ``min(struct(doc_id, pos))`` hash aggregate — no per-key sort, so
     a boilerplate shingle with millions of occurrences costs one
-    combiner pass, not a skewed sort partition.
+    combiner pass, not a skewed sort partition. Like every greedy
+    interval-cutting variant (Lee et al. included), the exemption is
+    per-WINDOW: a position in a window's canonical occurrence can
+    still be cut when a DIFFERENT overlapping window's canonical
+    occurrence lives elsewhere — "one copy survives" holds per
+    window, not per arbitrary span content.
 
     Plan: shingle explode (narrow) -> frequency hash-aggregate on h
     (keyed shuffle 1) -> self-join positioned shingles to frequent
