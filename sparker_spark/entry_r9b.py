@@ -194,15 +194,22 @@ def q_curation_span_removal(spark, sf_dir):
 # cleaned against the EXISTING training corpus's span index (every
 # corpus window indexed: min_occurrences=1)
 SPANX_WEIGHTS = {"corpus": 0.8, "incoming": 0.2}
+# the STREAM gate flips the split: the literal-bound per-row path is
+# the route for BOUNDED indexes (a benchmark/holdout-scale corpus, or
+# a boilerplate index) — a 20% corpus keeps the bound honest while
+# the batch join path above carries the 80% corpus untroubled
+SPANX_STREAM_WEIGHTS = {"corpus": 0.2, "incoming": 0.8}
 SPANX_SEED = 17
 
 
-def _spanx_split(spark, sf_dir):
+def _spanx_split(spark, sf_dir, weights=None):
     from sparker_spark.entry import load
     from sparker_spark.llm.sampling import Sampling
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sp = Sampling.split(docs, "doc_id", SPANX_WEIGHTS, seed=SPANX_SEED)
+    sp = Sampling.split(
+        docs, "doc_id", weights or SPANX_WEIGHTS, seed=SPANX_SEED
+    )
     corpus = sp.where("split = 'corpus'").drop("split")
     incoming = sp.where("split = 'incoming'").drop("split")
     return corpus, incoming
@@ -236,7 +243,9 @@ def q_stream_span_clean(spark, sf_dir):
     from sparker_spark.entry_r5 import _drain, _stage_frame
     from sparker_spark.streaming.incremental import streaming_span_clean
 
-    corpus, incoming = _spanx_split(spark, sf_dir)
+    corpus, incoming = _spanx_split(
+        spark, sf_dir, weights=SPANX_STREAM_WEIGHTS
+    )
     corpus = _parallelize_scan(corpus)
     stage = _stage_frame(incoming, "stream_spanx_", files=16)
     schema = spark.read.parquet(stage).schema
@@ -248,11 +257,11 @@ def q_stream_span_clean(spark, sf_dir):
     return _drain(spark, out, sink, "append", stage)
 
 
-def _o_span_clean_vs_index() -> str:
+def _o_span_clean_vs_index(weights=None) -> str:
     from sparker_spark.llm.sampling import Sampling
 
     split_case = Sampling.split_case_sql(
-        "doc_id", SPANX_WEIGHTS, seed=SPANX_SEED, dialect="duck"
+        "doc_id", weights or SPANX_WEIGHTS, seed=SPANX_SEED, dialect="duck"
     )
     return f"""
 WITH sp AS (SELECT doc_id, text, {split_case} AS split FROM documents),
@@ -524,6 +533,8 @@ def r9b_queries() -> dict:
         "curation_funnel": q_curation_funnel,
         "span_clean_vs_index": q_span_clean_vs_index,
         "stream_span_clean": q_stream_span_clean,
+        "dsir_source_report": q_dsir_source_report,
+        "vocab_coverage": q_vocab_coverage,
         "dsir_logweights": q_dsir_logweights,
         "dsir_sample": q_dsir_sample,
         "ppl_partition": q_ppl_partition,
@@ -539,9 +550,100 @@ def r9b_oracles() -> dict:
         "curation_span_removal": O_CURATION_SPAN_REMOVAL,
         "curation_funnel": _o_curation_funnel(),
         "span_clean_vs_index": _o_span_clean_vs_index(),
-        "stream_span_clean": _o_span_clean_vs_index(),
+        "stream_span_clean": _o_span_clean_vs_index(
+            weights=SPANX_STREAM_WEIGHTS
+        ),
+        "dsir_source_report": O_DSIR_SOURCE_REPORT,
+        "vocab_coverage": _o_vocab_coverage(),
         "dsir_logweights": O_DSIR_LOGWEIGHTS,
         "dsir_sample": O_DSIR_SAMPLE,
         "ppl_partition": _o_ppl_partition(),
         "tokeval_fertility": _o_tokeval_fertility(),
     }
+
+
+# ---------------------------------------------- DSIR source report
+def q_dsir_source_report(spark, sf_dir):
+    """Per-source DSIR target-affinity: the bridge from data
+    selection to corpus mixing — exact-decimal mean logweight per
+    source, one keyed aggregate over the gated logweights."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.selection import source_report
+
+    return source_report(
+        load(spark, sf_dir, "documents"), DSIR_TARGET, buckets=DSIR_B
+    )
+
+
+O_DSIR_SOURCE_REPORT = f"""
+WITH {O_DSIR_CTE}
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(l.n_grams) AS BIGINT) AS n_grams,
+       round(CAST(sum(CAST(l.logweight AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_logweight
+FROM lwts l JOIN documents d ON l.doc_id = d.doc_id
+GROUP BY d.source"""
+
+
+# ------------------------------------------------- vocab coverage
+# coverage thresholds for the tokenizer-design report — sized to the
+# graded corpora's deliberately tiny vocabulary (31 whitespace types
+# at sf0.01: the token-blocking stress corpus) so every threshold
+# splits the mass; a production call passes its own Ns
+COV_NS = (5, 10, 25)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: what fraction of corpus token
+    occurrences the top-N types cover (N = 100/1k/10k) — the number
+    that sizes a tokenizer's vocab budget. Rank is the distributed
+    two-phase global rank (no single-partition window); the output is
+    ONE row, so the rank's internal cache is released after a trivial
+    checkpoint."""
+    from sparker_spark import ranking
+    from sparker_spark.entry import load
+    from sparker_spark.rounding import rnd
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("tok")
+    ).where("tok <> ''")
+    counts = toks.groupBy("tok").agg(
+        F.count("*").cast("long").alias("cnt")
+    ).withColumn("_neg", -F.col("cnt"))
+    ranked = ranking.global_rank(counts, ["_neg", "tok"], out="rk")
+    aggs = [
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+    ]
+    for n in COV_NS:
+        aggs.append(
+            rnd(
+                F.sum(F.when(F.col("rk") < n, F.col("cnt")).otherwise(0))
+                / F.sum("cnt").cast("double"),
+                6,
+            ).alias(f"cov_{n}")
+        )
+    out = ranked.agg(*aggs).localCheckpoint(eager=True)
+    ranking.release(ranked)
+    return out
+
+
+def _o_vocab_coverage() -> str:
+    cov = ",\n       ".join(
+        f"round(sum(CASE WHEN rk <= {n} THEN cnt ELSE 0 END)"
+        f" / CAST(sum(cnt) AS DOUBLE), 6) AS cov_{n}"
+        for n in COV_NS
+    )
+    return f"""
+WITH tc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok),
+rk AS (SELECT cnt,
+       row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk FROM tc)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(cnt) AS BIGINT) AS total_tokens,
+       {cov}
+FROM rk"""

@@ -346,3 +346,36 @@ class PerplexityPartition:
             .otherwise(F.lit("tail"))
             .alias("ppl_bucket"),
         )
+
+
+def source_report(
+    documents: DataFrame,
+    target_predicate: str,
+    buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_docs, n_grams, mean_logweight): per-source DSIR
+    target-affinity — which sources look most like the target domain,
+    the number a mixing recipe (llm/mixing.py) turns into per-source
+    weights. Mean is an exact-decimal sum over the 6-dp weights
+    divided at the end (order-independent across engines); one extra
+    keyed aggregate on top of :meth:`ImportanceSelection.logweights`.
+    """
+    lw = ImportanceSelection.logweights(
+        documents, target_predicate, buckets, alpha, text_col
+    )
+    joined = lw.join(
+        documents.select("doc_id", F.col(source_col).alias("source")),
+        "doc_id",
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_grams").cast("long").alias("n_grams"),
+        rnd(
+            F.sum(F.col("logweight").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_logweight"),
+    )
