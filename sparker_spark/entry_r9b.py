@@ -535,6 +535,7 @@ def r9b_queries() -> dict:
         "stream_span_clean": q_stream_span_clean,
         "dsir_source_report": q_dsir_source_report,
         "vocab_coverage": q_vocab_coverage,
+        "ppl_sample_corpus": q_ppl_sample_corpus,
         "dsir_logweights": q_dsir_logweights,
         "dsir_sample": q_dsir_sample,
         "ppl_partition": q_ppl_partition,
@@ -555,6 +556,7 @@ def r9b_oracles() -> dict:
         ),
         "dsir_source_report": O_DSIR_SOURCE_REPORT,
         "vocab_coverage": _o_vocab_coverage(),
+        "ppl_sample_corpus": _o_ppl_sample_corpus(),
         "dsir_logweights": O_DSIR_LOGWEIGHTS,
         "dsir_sample": O_DSIR_SAMPLE,
         "ppl_partition": _o_ppl_partition(),
@@ -647,3 +649,35 @@ SELECT CAST(count(*) AS BIGINT) AS n_types,
        CAST(sum(cnt) AS BIGINT) AS total_tokens,
        {cov}
 FROM rk"""
+
+
+# --------------------------------------- ppl-stratified sampling
+PPL_RATES = {"head": 1.0, "middle": 1.0, "tail": 0.25}
+PPL_SEED = 11
+
+
+def q_ppl_sample_corpus(spark, sf_dir):
+    """CCNet sampling recipe under the gate: head+middle kept whole,
+    a deterministic 25% hash-coordinate slice of tail — the survivor
+    set AND its scores/buckets value-checked."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.selection import sample_by_ppl_bucket
+
+    return sample_by_ppl_bucket(
+        load(spark, sf_dir, "documents"), PPL_RATES, seed=PPL_SEED
+    )
+
+
+def _o_ppl_sample_corpus() -> str:
+    from sparker_spark.llm.sampling import _coord_sql
+
+    coord = _coord_sql("doc_id", PPL_SEED, "duck")
+    rate = " ".join(
+        f"WHEN ppl_bucket = '{b}' THEN {r}"
+        for b, r in PPL_RATES.items()
+    )
+    return f"""
+WITH pp AS ({_o_ppl_partition().strip()})
+SELECT doc_id, lang, avg_logprob, ppl_bucket
+FROM pp
+WHERE {coord} < (CASE {rate} ELSE 0.0 END)"""

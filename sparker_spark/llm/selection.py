@@ -379,3 +379,27 @@ def source_report(
             6,
         ).alias("mean_logweight"),
     )
+
+
+def sample_by_ppl_bucket(
+    documents: DataFrame,
+    rates: dict[str, float],
+    seed: int = 11,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, lang, avg_logprob, ppl_bucket): the CCNet sampling
+    recipe — keep each perplexity tercile at its own rate (typically
+    head/middle whole, a thin slice of tail). Selection is the
+    engine's deterministic md5-coordinate sample (llm/sampling.py):
+    a pure function of (seed, doc_id), so the kept set is stable
+    under repartitioning and replayable by any engine. Buckets absent
+    from ``rates`` are dropped (rate 0)."""
+    from sparker_spark.llm.sampling import Sampling
+
+    assigned = PerplexityPartition.assign(documents, lang_col)
+    rate = F.lit(0.0)
+    for bucket, r in rates.items():
+        rate = F.when(
+            F.col("ppl_bucket") == bucket, F.lit(float(r))
+        ).otherwise(rate)
+    return assigned.where(Sampling.coord("doc_id", seed) < rate)

@@ -142,3 +142,29 @@ def test_fertility_fixed_merges(spark):
     assert out["de"]["n_tokens"] == 4
     assert out["de"]["fertility"] == 2.0
     assert out["de"]["pct_single_token"] == 0.0
+
+
+def test_sample_by_ppl_bucket(spark):
+    from sparker_spark.llm.selection import sample_by_ppl_bucket
+
+    rows = [
+        (i, " ".join((["the cat"] * (6 - i)) + [f"u{i} v{i}"]), "en")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    kept = sample_by_ppl_bucket(
+        docs, {"head": 1.0, "middle": 1.0, "tail": 0.0}, seed=3
+    ).collect()
+    # tail dropped entirely, head+middle kept whole -> 4 of 6 docs
+    assert len(kept) == 4
+    assert all(r["ppl_bucket"] in ("head", "middle") for r in kept)
+    # deterministic under reruns
+    kept2 = sample_by_ppl_bucket(
+        docs, {"head": 1.0, "middle": 1.0, "tail": 0.0}, seed=3
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(
+        r["doc_id"] for r in kept2
+    )
+    # absent bucket -> rate 0
+    none_kept = sample_by_ppl_bucket(docs, {}, seed=3).collect()
+    assert none_kept == []
