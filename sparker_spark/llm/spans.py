@@ -108,14 +108,16 @@ def duplicated_spans(
     doc_id). Window state per doc is its duplicated positions only —
     bounded by document length, never corpus-sized."""
     pos = positioned_shingles(documents, shingle_size, text_col)
+    # the first-occurrence accumulator is only built when keep_first
+    # asks for it — the default path pays one plain count combiner
+    aggs = [F.count("*").alias("occ")]
+    if keep_first:
+        aggs.append(F.min(F.struct("doc_id", "pos")).alias("first"))
     dup = (
         pos.groupBy("h")
-        .agg(
-            F.count("*").alias("occ"),
-            F.min(F.struct("doc_id", "pos")).alias("first"),
-        )
+        .agg(*aggs)
         .where(F.col("occ") >= int(min_occurrences))
-        .select("h", "first")
+        .drop("occ")
     )
     covered = pos.join(dup, "h")
     if keep_first:
@@ -245,9 +247,13 @@ def remove_spans(
             F.sequence(F.col("span_start"), F.col("span_end"))
         ).alias("pos"),
     )
+    # coalesce: split(NULL) is NULL (size -1) — treat NULL text as ''
+    # so the word/total accounting stays non-negative
     words = documents.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), "\\s+")).alias("p0", "word"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\s+")
+        ).alias("p0", "word"),
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "word")
     kept = words.join(covered_pos, ["doc_id", "pos"], "left_anti")
     reassembled = kept.groupBy("doc_id").agg(
@@ -264,7 +270,9 @@ def remove_spans(
     # with empty text via a left join from the full doc set
     totals = documents.select(
         "doc_id",
-        F.size(F.split(F.col(text_col), "\\s+")).cast("long").alias("n_words"),
+        F.size(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\s+")
+        ).cast("long").alias("n_words"),
     )
     return totals.join(reassembled, "doc_id", "left").select(
         "doc_id",
@@ -329,10 +337,7 @@ def clean_against_hashes(
     win_hash = SPARK_HASH60.format(
         x=(
             "concat_ws(' ', "
-            + ", ".join(
-                f"element_at(split(lower({text_col}), '\\\\s+'), i + {j})"
-                for j in range(k)
-            )
+            + ", ".join(f"element_at(lt, i + {j})" for j in range(k))
             + ")"
         )
     )
@@ -341,15 +346,24 @@ def clean_against_hashes(
     probe = (
         f"element_at(transform(array({win_hash}), __H -> {member}), 1)"
     )
+    # the lowered token array is ALSO bound once per row (the
+    # element_at(transform(array(X), lt -> ...), 1) idiom): inlining
+    # split(lower(text)) into the window lambda would re-split the
+    # whole text per element_at reference — O(k * words^2) per row.
+    # coalesce: split(NULL) is NULL — treat NULL text as ''
     hits = (
-        f"CASE WHEN size(split({text_col}, '\\\\s+')) >= {k} THEN "
-        f"transform(sequence(1, size(split({text_col}, '\\\\s+')) - {k} + 1), "
-        f"i -> {probe}) ELSE array() END"
+        f"element_at(transform(array("
+        f"split(lower(coalesce({text_col}, '')), '\\\\s+')), lt -> "
+        f"CASE WHEN size(lt) >= {k} THEN "
+        f"transform(sequence(1, size(lt) - {k} + 1), i -> {probe}) "
+        f"ELSE array() END), 1)"
     )
     out = documents.select(
         F.col(id_col).alias("doc_id"),
         F.expr(hits).alias("_hits"),
-        F.split(F.col(text_col), "\\s+").alias("_wt"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\\s+").alias(
+            "_wt"
+        ),
     ).select(
         "doc_id",
         # slice length is clamped to [0, size(_hits)] so short docs

@@ -198,3 +198,42 @@ def test_funnel_report_span_tokens(spark):
     assert rows["raw"]["tokens"] == 24
     assert rows["span_dedup"]["docs"] == 2
     assert rows["span_dedup"]["tokens"] == 14
+
+
+def test_funnel_report_matches_curate_survivors(spark):
+    """Drift guard: the funnel's final stage must count exactly the
+    docs curate() emits for the same knobs."""
+    from sparker_spark.curate import curate, funnel_report
+
+    shared = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{shared} uniq zero"),
+            (1, f"pre {shared} post"),
+            (2, shared),
+            (3, "all fresh words in this document here"),
+        ],
+        ["doc_id", "text"],
+    )
+    kwargs = dict(
+        min_quality=None,
+        exact_dedup=True,
+        dup_span_words=5,
+    )
+    survivors = curate(
+        docs,
+        redact=False,
+        max_top_ngram_frac=None,
+        max_dup_ngram_frac=None,
+        jaccard_threshold=None,
+        dup_span_min_occ=2,
+        **kwargs,
+    )
+    rows = {r["stage"]: r for r in funnel_report(docs, **kwargs).collect()}
+    agg = survivors.selectExpr(
+        "count(*) AS docs",
+        "sum(size(filter(split(text, '\\\\s+'), t -> length(t) > 0)))"
+        " AS tokens",
+    ).first()
+    assert rows["span_dedup"]["docs"] == agg["docs"]
+    assert rows["span_dedup"]["tokens"] == (agg["tokens"] or 0)
