@@ -536,6 +536,7 @@ def r9b_queries() -> dict:
         "dsir_source_report": q_dsir_source_report,
         "vocab_coverage": q_vocab_coverage,
         "ppl_sample_corpus": q_ppl_sample_corpus,
+        "dedup_span_profile": q_dedup_span_profile,
         "dsir_logweights": q_dsir_logweights,
         "dsir_sample": q_dsir_sample,
         "ppl_partition": q_ppl_partition,
@@ -557,6 +558,7 @@ def r9b_oracles() -> dict:
         "dsir_source_report": O_DSIR_SOURCE_REPORT,
         "vocab_coverage": _o_vocab_coverage(),
         "ppl_sample_corpus": _o_ppl_sample_corpus(),
+        "dedup_span_profile": O_SPAN_PROFILE,
         "dsir_logweights": O_DSIR_LOGWEIGHTS,
         "dsir_sample": O_DSIR_SAMPLE,
         "ppl_partition": _o_ppl_partition(),
@@ -682,3 +684,34 @@ WITH pp AS ({_o_ppl_partition().strip()})
 SELECT doc_id, lang, avg_logprob, ppl_bucket
 FROM pp
 WHERE {coord} < (CASE {rate} ELSE 0.0 END)"""
+
+
+# -------------------------------------------- span profile report
+def q_dedup_span_profile(spark, sf_dir):
+    """Corpus duplication profile: one row summarizing the duplicated
+    span mass (span count, affected docs, duplicated words, widest
+    span) — the number a curation run reports before deciding its
+    span-dedup policy. One aggregate over the gated span relation."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.spans import duplicated_spans
+
+    spans = duplicated_spans(
+        load(spark, sf_dir, "documents"),
+        shingle_size=SPAN_K,
+        min_occurrences=SPAN_MIN_OCC,
+    )
+    return spans.agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("span_words").cast("long").alias("dup_words"),
+        F.max("span_words").cast("long").alias("max_span_words"),
+    )
+
+
+O_SPAN_PROFILE = f"""
+WITH {O_SPANS_CTE}
+SELECT CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(span_words) AS BIGINT) AS dup_words,
+       CAST(max(span_words) AS BIGINT) AS max_span_words
+FROM spans"""
