@@ -537,6 +537,7 @@ def r9b_queries() -> dict:
         "vocab_coverage": q_vocab_coverage,
         "ppl_sample_corpus": q_ppl_sample_corpus,
         "dedup_span_profile": q_dedup_span_profile,
+        "dsir_mix_weights": q_dsir_mix_weights,
         "dsir_logweights": q_dsir_logweights,
         "dsir_sample": q_dsir_sample,
         "ppl_partition": q_ppl_partition,
@@ -559,6 +560,7 @@ def r9b_oracles() -> dict:
         "vocab_coverage": _o_vocab_coverage(),
         "ppl_sample_corpus": _o_ppl_sample_corpus(),
         "dedup_span_profile": O_SPAN_PROFILE,
+        "dsir_mix_weights": _o_dsir_mix_weights(),
         "dsir_logweights": O_DSIR_LOGWEIGHTS,
         "dsir_sample": O_DSIR_SAMPLE,
         "ppl_partition": _o_ppl_partition(),
@@ -715,3 +717,36 @@ SELECT CAST(count(*) AS BIGINT) AS n_spans,
        CAST(sum(span_words) AS BIGINT) AS dup_words,
        CAST(max(span_words) AS BIGINT) AS max_span_words
 FROM spans"""
+
+
+# ------------------------------------------ DSIR -> mixing bridge
+DSIR_MIX_T = 1.0
+
+
+def q_dsir_mix_weights(spark, sf_dir):
+    """The selection->mixing bridge end-to-end: per-source DSIR
+    affinity softmaxed (T=1) into normalized recipe weights — the
+    exact relation MixPlanner.budget_plan consumes."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.selection import (
+        mix_weights_from_affinity,
+        source_report,
+    )
+
+    rep = source_report(
+        load(spark, sf_dir, "documents"), DSIR_TARGET, buckets=DSIR_B
+    )
+    return mix_weights_from_affinity(rep, temperature=DSIR_MIX_T)
+
+
+def _o_dsir_mix_weights() -> str:
+    return f"""
+WITH rep AS ({O_DSIR_SOURCE_REPORT.strip()}),
+terms AS (SELECT source,
+          CAST(round(exp(mean_logweight / {DSIR_MIX_T}), 6)
+               AS DECIMAL(18,6)) AS w
+          FROM rep)
+SELECT source,
+       round(CAST(w AS DOUBLE)
+             / CAST((SELECT sum(w) FROM terms) AS DOUBLE), 6) AS weight
+FROM terms"""

@@ -410,3 +410,29 @@ def sample_by_ppl_bucket(
             F.col("ppl_bucket") == bucket, F.lit(float(r))
         ).otherwise(rate)
     return assigned.where(Sampling.coord("doc_id", seed) < rate)
+
+
+def mix_weights_from_affinity(
+    report: DataFrame, temperature: float = 1.0
+) -> DataFrame:
+    """(source, weight): normalized softmax of per-source DSIR
+    affinity — exp(mean_logweight / T) / sum — the recipe weights a
+    pipeline hands straight to llm/mixing.MixPlanner.budget_plan.
+    The exp terms are 6-dp-rounded DECIMALs so the normalizing total
+    is an EXACT sum (order-independent across engines); the total is
+    a bounded driver scalar (one row per source). Higher temperature
+    flattens the mix toward uniform."""
+    t = float(temperature)
+    terms = report.select(
+        "source",
+        rnd(F.exp(F.col("mean_logweight") / F.lit(t)), 6)
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+    total = terms.agg(F.sum("w")).first()[0]
+    return terms.select(
+        "source",
+        rnd(
+            F.col("w").cast("double") / F.lit(float(total)), 6
+        ).alias("weight"),
+    )

@@ -168,3 +168,21 @@ def test_sample_by_ppl_bucket(spark):
     # absent bucket -> rate 0
     none_kept = sample_by_ppl_bucket(docs, {}, seed=3).collect()
     assert none_kept == []
+
+
+def test_mix_weights_from_affinity(spark):
+    from sparker_spark.llm.selection import mix_weights_from_affinity
+
+    rep = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.0), ("c", -1.0)],
+        ["source", "mean_logweight"],
+    )
+    w = {r["source"]: r["weight"] for r in
+         mix_weights_from_affinity(rep).collect()}
+    # ordering follows affinity; weights normalize to ~1
+    assert w["a"] > w["b"] > w["c"] > 0
+    assert abs(sum(w.values()) - 1.0) < 1e-5
+    # high temperature flattens toward uniform
+    flat = {r["source"]: r["weight"] for r in
+            mix_weights_from_affinity(rep, temperature=100.0).collect()}
+    assert abs(flat["a"] - flat["c"]) < 0.01
