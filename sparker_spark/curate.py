@@ -66,8 +66,12 @@ def curate(
     * ``dup_span_words``: when set, verbatim word spans of at least
       this length occurring ``dup_span_min_occ``+ times in the corpus
       are CUT OUT of every document except the span's first occurrence
-      (Lee-et-al. sub-document dedup, llm/spans.py; keep_first so the
-      content survives once). Runs after exact dedup (full duplicates
+      (Lee-et-al. sub-document dedup, llm/spans.py; keep_first
+      exempts each k-word WINDOW's first occurrence, so survival is
+      guaranteed per window — a passage whose overlapping windows
+      have canonical occurrences in different documents can survive
+      only as fragments, the same greedy behavior as Lee et al.'s
+      variant). Runs after exact dedup (full duplicates
       keep their canonical copy there) and before near-dup LSH (the
       cut text is what gets shingled); docs left empty are dropped.
       NOTE: surviving text is whitespace-normalized (single spaces) by
@@ -252,7 +256,7 @@ def funnel_report(
     def _toks():
         return F.size(
             F.filter(
-                F.split(F.col("text"), "\\s+"),
+                F.split(F.col("text"), "[ \\t\\r\\n\\f\\x0B]+"),
                 lambda t: F.length(t) > 0,
             )
         )

@@ -173,7 +173,7 @@ keys AS (
 )"""
 
 DUCK_SHINGLE_KEYS = f"""
-toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+') AS t FROM documents),
 keys AS (
   SELECT DISTINCT doc_id AS profile_id, s AS key
   FROM (SELECT doc_id,
@@ -512,7 +512,7 @@ def q_er_clean_cbs_edges(spark, sf_dir):
 
 O_ER_CLEAN_CBS_EDGES = f"""WITH
 toks AS (SELECT doc_id, CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS source_id,
-                regexp_split_to_array(lower(text), '\\s+') AS t
+                regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+') AS t
          FROM documents),
 keys AS (
   SELECT DISTINCT doc_id AS profile_id, source_id, s AS key
@@ -549,7 +549,7 @@ def q_dedup_exact(spark, sf_dir):
 
 
 O_DEDUP_EXACT = """
-WITH h AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash
+WITH h AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0B]+', ' ', 'g'))) AS text_hash
            FROM documents)
 SELECT doc_id, text_hash,
        count(*) OVER (PARTITION BY text_hash) AS group_size,
@@ -648,7 +648,7 @@ def _o_dedup_simhash() -> str:
         for bi in range(nbands)
     )
     return f"""WITH t AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+')) AS tok
   FROM documents),
 h AS (SELECT doc_id, {DUCK_HASH60.format(x='tok')} AS h FROM t WHERE tok <> ''),
 sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
@@ -720,12 +720,12 @@ def q_text_token_stats(spark, sf_dir):
 O_TEXT_TOKEN_STATS = f"""
 SELECT doc_id,
        length(text) AS n_chars,
-       len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens_ws,
+       len(regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+')) AS n_tokens_ws,
        len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS n_tokens_word,
        len(regexp_extract_all(text, '{BPE_ISH_REGEX}')) AS n_tokens_bpe,
-       len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS n_distinct_tokens,
-       round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-             / len(regexp_split_to_array(lower(text), '\\s+')), 6) AS mean_token_len
+       len(list_distinct(regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+'))) AS n_distinct_tokens,
+       round(CAST(length(regexp_replace(text, '[ \\t\\r\\n\\f\\x0B]+', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+')), 6) AS mean_token_len
 FROM documents"""
 
 
@@ -738,14 +738,14 @@ def _o_text_quality() -> str:
     return f"""
 WITH t AS (
   SELECT doc_id, text,
-         regexp_split_to_array(lower(text), '\\s+') AS toks
+         regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+') AS toks
   FROM documents),
 m AS (
   SELECT doc_id, text,
          CAST(len(toks) AS DOUBLE) AS n,
          CAST(len(list_filter(toks, x -> list_contains([{stop_list}], x))) AS DOUBLE) AS n_stop,
          CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) AS n_alpha,
-         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct
+         CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\r\\n\\f\\x0B]', '', 'g')) AS DOUBLE) AS n_punct
   FROM t)
 SELECT doc_id,
        round(n_stop / n, 6) AS stopword_ratio,
@@ -774,7 +774,7 @@ def _o_text_lang_id() -> str:
     for lang in reversed(langs):
         pred = f"CASE WHEN hits_{lang} = best AND best > 0 THEN '{lang}' ELSE {pred} END"
     return f"""
-WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS toks
+WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+') AS toks
            FROM documents),
 scored AS (SELECT doc_id, lang, {hits} FROM t),
 withbest AS (SELECT *, {best} AS best FROM scored)

@@ -947,7 +947,7 @@ pruned AS (
   SELECT w.src AS p1, w.dst AS p2
   FROM weighted w JOIN thr t1 ON w.src = t1.pid JOIN thr t2 ON w.dst = t2.pid
   WHERE w.src < w.dst AND (w.w >= t1.t OR w.w >= t2.t)),
-gh AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS th
+gh AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0B]+', ' ', 'g'))) AS th
        FROM documents),
 gt AS (SELECT a.doc_id AS p1, b.doc_id AS p2
        FROM gh a JOIN gh b ON a.th = b.th AND a.doc_id < b.doc_id),

@@ -44,7 +44,7 @@ def _duck_ngram_cte(name: str, src_where: str, n: int) -> str:
     """DISTINCT word-n-gram 60-bit hashes per doc from the split CTE
     ``sp`` — mirrors llm/shingles.shingle_hashes for arbitrary n."""
     return f"""{name}_toks AS (
-  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  SELECT doc_id, regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+') AS t
   FROM sp WHERE {src_where}),
 {name} AS (
   SELECT doc_id, {DUCK_HASH60.format(x='s')} AS h
@@ -105,7 +105,7 @@ lagg AS (
          CAST(sum(CASE WHEN cnt > 1 THEN len(line) * cnt ELSE 0 END) AS DOUBLE)
            AS dup_chars
   FROM per_line GROUP BY 1),
-toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+') AS t
          FROM documents),
 grams AS (
   SELECT doc_id,
@@ -148,7 +148,7 @@ def q_vocab_topk(spark, sf_dir):
     the global top-K never materializes the full sorted vocabulary."""
     docs = _load_docs(spark, sf_dir)
     toks = docs.select(
-        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("tok")
+        F.explode(F.split(F.lower(F.col("text")), "[ \\t\\r\\n\\f\\x0B]+")).alias("tok")
     ).where("tok <> ''")
     return (
         toks.groupBy("tok")
@@ -160,7 +160,7 @@ def q_vocab_topk(spark, sf_dir):
 
 O_VOCAB_TOPK = f"""
 SELECT tok, CAST(count(*) AS BIGINT) AS cnt
-FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+FROM (SELECT unnest(regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+')) AS tok
       FROM documents)
 WHERE tok <> ''
 GROUP BY tok
@@ -223,7 +223,7 @@ def q_corpus_mix(spark, sf_dir):
 
     docs = _load_docs(spark, sf_dir)
     q = TextAnalysis.quality_score(docs).select("doc_id", "quality_score")
-    toks = F.size(F.split(F.lower(F.col("text")), "\\s+")).cast("long")
+    toks = F.size(F.split(F.lower(F.col("text")), "[ \\t\\r\\n\\f\\x0B]+")).cast("long")
     return (
         docs.select("doc_id", "source", "lang", "n_chars", toks.alias("n_toks"))
         .join(q, "doc_id")
@@ -250,7 +250,7 @@ WITH q AS ({_o_text_quality()})
 SELECT source,
        count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       CAST(sum(len(regexp_split_to_array(lower(text), '\\s+'))) AS BIGINT)
+       CAST(sum(len(regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+'))) AS BIGINT)
          AS total_tokens_ws,
        count(DISTINCT lang) AS n_langs,
        round(CAST(sum(CAST(quality_score AS DECIMAL(28,6))) AS DOUBLE)

@@ -69,15 +69,15 @@ from sparker_spark.llm.text import LANG_STOPWORDS
 _SINK_SEQ = _itertools.count()
 
 
-def _await_stream(q, stage: str, timeout: int = 300) -> None:
-    """Drain an availableNow streaming query and clean up its staging
-    directory. awaitTermination(timeout) returns False on timeout —
-    ignoring that would read the memory sink while the query is still
-    running and turn a slow run into a nondeterministic value-hash
-    mismatch; raise a clear error instead. The staging dir is only
-    needed while the source is being consumed, so it is removed
-    unconditionally (the memory sink keeps its rows after the query
-    stops)."""
+def _await_stream(q, stage: str | None = None, timeout: int = 300) -> None:
+    """Drain an availableNow streaming query. awaitTermination(timeout)
+    returns False on timeout — ignoring that would read the memory
+    sink while the query is still running and turn a slow run into a
+    nondeterministic value-hash mismatch; raise a clear error instead.
+    ``stage``, when given, is a CALLER-OWNED staging dir removed after
+    the drain; memoized stages (entry_r5._stage_copy/_stage_frame with
+    ``key=``) pass None — they persist for the process so bench reps
+    never re-pay (or re-time) fixture setup, and atexit cleans them."""
     import shutil
 
     try:
@@ -87,7 +87,8 @@ def _await_stream(q, stage: str, timeout: int = 300) -> None:
                 f"streaming query did not finish within {timeout}s"
             )
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        if stage is not None:
+            shutil.rmtree(stage, ignore_errors=True)
 
 FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 STREAM_GAP = "30 minutes"
@@ -199,14 +200,14 @@ def _o_quality_quantile() -> str:
     return f"""
 WITH t AS (
   SELECT doc_id, lang, text,
-         regexp_split_to_array(lower(text), '\\s+') AS toks
+         regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+') AS toks
   FROM documents),
 m AS (
   SELECT doc_id, lang,
          CAST(len(toks) AS DOUBLE) AS n,
          CAST(len(list_filter(toks, x -> list_contains([{stop_list}], x))) AS DOUBLE) AS n_stop,
          CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) AS n_alpha,
-         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\r\\n\\f\\x0B]', '', 'g')) AS DOUBLE) AS n_punct,
          CAST(length(text) AS DOUBLE) AS n_chars
   FROM t),
 scores AS (
@@ -369,8 +370,9 @@ def q_stream_hll(spark, sf_dir):
     from sparker_spark.streaming.incremental import streaming_hll
 
     path = f"{sf_dir}/events.parquet"
-    stage = tempfile.mkdtemp(prefix="stream_hll_")
-    shutil.copy(path, f"{stage}/events.parquet")
+    from sparker_spark.entry_r5 import _stage_copy
+
+    stage = _stage_copy(path, "stream_hll_")
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(stage)
     regs = streaming_hll(stream, "user_id", p=HLL_P)
@@ -382,7 +384,7 @@ def q_stream_hll(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    _await_stream(q, stage)
+    _await_stream(q)
     return spark.table(sink).select(
         "bucket", F.col("r").cast("int").alias("r")
     )
@@ -547,8 +549,9 @@ def q_stream_countmin(spark, sf_dir):
     from sparker_spark.sketches import _portable_h31, portable_bucket_sql
 
     path = f"{sf_dir}/events.parquet"
-    stage = tempfile.mkdtemp(prefix="stream_cm_")
-    shutil.copy(path, f"{stage}/events.parquet")
+    from sparker_spark.entry_r5 import _stage_copy
+
+    stage = _stage_copy(path, "stream_cm_")
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(stage)
     coeffs = minhash_coefficients(SCM_D, 1234)
@@ -579,7 +582,7 @@ def q_stream_countmin(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    _await_stream(q, stage)
+    _await_stream(q)
     return spark.table(sink).select(
         F.col("j").cast("int").alias("j"),
         "bucket",
@@ -626,7 +629,7 @@ def q_frequent_itemsets(spark, sf_dir):
         "doc_id",
         F.array_distinct(
             F.filter(
-                F.split(F.lower(F.col("text")), "\\s+"),
+                F.split(F.lower(F.col("text")), "[ \\t\\r\\n\\f\\x0B]+"),
                 lambda t: F.length(t) > 0,
             )
         ).alias("items"),
@@ -649,7 +652,7 @@ def _o_frequent_itemsets() -> str:
 WITH toks AS (
   SELECT DISTINCT doc_id, tok
   FROM (SELECT doc_id,
-               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+'),
                                   x -> len(x) > 0)) AS tok
         FROM documents)),
 nd AS (SELECT count(*) AS n FROM documents),
@@ -1012,8 +1015,9 @@ def q_stream_sessions(spark, sf_dir):
     import shutil
     import tempfile
 
-    stage = tempfile.mkdtemp(prefix="stream_sessions_")
-    shutil.copy(path, f"{stage}/events.parquet")
+    from sparker_spark.entry_r5 import _stage_copy
+
+    stage = _stage_copy(path, "stream_sessions_")
     batch_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(batch_schema).parquet(stage)
     # the parquet ts is TIMESTAMP_NTZ; watermarks require session-TZ
@@ -1031,7 +1035,7 @@ def q_stream_sessions(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    _await_stream(q, stage)
+    _await_stream(q)
     return spark.table(sink).select(
         "user_id",
         "session_start",
@@ -1211,7 +1215,7 @@ O_TOKEN_PMI = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, tok
   FROM (SELECT doc_id,
-               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+'),
                                   x -> len(x) > 0)) AS tok
         FROM documents)),
 pc AS (
@@ -1496,7 +1500,7 @@ O_JACCARD_PREFIX = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, tok
   FROM (SELECT doc_id,
-               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+'),
                                   x -> len(x) > 0)) AS tok
         FROM documents)),
 sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
@@ -1526,7 +1530,7 @@ def q_tfidf_top_terms(spark, sf_dir):
 O_TFIDF = f"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+'),
                             t -> len(t) > 0)) AS term
   FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),

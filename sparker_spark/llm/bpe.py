@@ -58,8 +58,10 @@ DEFAULT_MIN_COUNT = 2
 # includes \x0B in Java regex but not in RE2/DuckDB (the repo's
 # BoilerplateRemoval portability rule); the SQL oracles use the same
 # class, and BPE.encode's Python splitter mirrors it (str.split()
-# would additionally split on unicode spaces)
-WS_CLASS = "[ \\t\\r\\n\\f\\x0B]+"
+# would additionally split on unicode spaces). Canonical definition
+# lives in llm/hashing.py next to the other engine-portable
+# primitives; re-exported here for existing importers.
+from sparker_spark.llm.hashing import WS_CLASS  # noqa: F401
 
 
 # --------------------------------------------------- byte-level base

@@ -241,7 +241,7 @@ class RepetitionStats:
         n = int(n)
         grams = documents.select(
             "doc_id",
-            F.split(F.lower(F.col("text")), "\\s+").alias("toks"),
+            F.split(F.lower(F.col("text")), "[ \\t\\r\\n\\f\\x0B]+").alias("toks"),
         ).select(
             "doc_id",
             F.explode(

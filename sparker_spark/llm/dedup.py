@@ -29,7 +29,7 @@ class Dedup:
         is_canonical). Canonical = smallest doc_id in the group."""
         text = F.col("text")
         if normalize:
-            text = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+            text = F.trim(F.regexp_replace(F.lower(text), "[ \\t\\r\\n\\f\\x0B]+", " "))
         w = Window.partitionBy("text_hash")
         return (
             documents.select("doc_id", F.md5(text).alias("text_hash"))
@@ -269,7 +269,7 @@ class Dedup:
         no explode by bit position."""
         toks = documents.select(
             "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("tok"),
+            F.explode(F.split(F.lower(F.col("text")), "[ \\t\\r\\n\\f\\x0B]+")).alias("tok"),
         ).where(F.length("tok") > 0)
         from sparker_spark.llm.hashing import SPARK_HASH60
 

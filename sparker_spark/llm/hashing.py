@@ -15,6 +15,20 @@ import random
 
 MERSENNE_31 = 2147483647  # 2^31 - 1, prime
 
+# Canonical whitespace tokenizer class — NEVER use \s in a tokenizer:
+# Java regex \s is exactly [ \t\n\x0B\f\r] but RE2 (DuckDB) \s
+# excludes \x0B, so engine and oracle diverge on any document
+# containing a vertical tab. Spelling the class out keeps both
+# engines bit-identical (Java-side behavior is unchanged — the class
+# IS Java's \s). WS_CLASS is for direct Java/Python regex args
+# (F.split / F.regexp_replace / re) and for DuckDB SQL text (DuckDB
+# string literals don't unescape, RE2 reads the \t escapes);
+# WS_CLASS_SQL is for regexes embedded in SPARK SQL string literals,
+# which unescape one backslash level first. tests/test_ws_class.py
+# lints the tree against \s regressions.
+WS_CLASS = "[ \\t\\r\\n\\f\\x0B]+"
+WS_CLASS_SQL = "[ \\\\t\\\\r\\\\n\\\\f\\\\x0B]+"
+
 # Spark SQL fragment: 60-bit bigint hash of a string expression
 SPARK_HASH60 = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
 # DuckDB equivalent (verified identical output)

@@ -42,13 +42,13 @@ from sparker_spark import ranking
 
 
 def _ws_tokens(col):
-    """Whitespace token array (split on ``\\s+``, empty tokens
+    """Whitespace token array (split on ``[ \\t\\r\\n\\f\\x0B]+``, empty tokens
     dropped; NULL text = zero tokens). The DEFAULT tokenizer expression
     shared by the plan's counts and the materializer's slices — the
     ends-doc test and slice bounds silently break if these ever
     diverge."""
     return F.coalesce(
-        F.filter(F.split(col, "\\s+"), lambda t: F.length(t) > 0),
+        F.filter(F.split(col, "[ \\t\\r\\n\\f\\x0B]+"), lambda t: F.length(t) > 0),
         F.array().cast("array<string>"),
     )
 

@@ -53,7 +53,7 @@ def _grams(text_col: str):
     independent bucket positions."""
     # coalesce: split(NULL) is NULL — treat NULL text as ''
     toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "\\s+"),
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[ \\t\\r\\n\\f\\x0B]+"),
         lambda t: F.length(t) > 0,
     )
     uni = F.transform(toks, lambda t: F.concat(F.lit("u|"), t))
@@ -162,7 +162,7 @@ class ImportanceSelection:
         b = int(buckets)
         # coalesce: split(NULL) is NULL — treat NULL text as ''
         toks = (
-            f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'),"
+            f"filter(split(lower(coalesce({text_col}, '')), '[ \\\\t\\\\r\\\\n\\\\f\\\\x0B]+'),"
             " t -> length(t) > 0)"
         )
         grams = (
@@ -421,7 +421,13 @@ def mix_weights_from_affinity(
     The exp terms are 6-dp-rounded DECIMALs so the normalizing total
     is an EXACT sum (order-independent across engines); the total is
     a bounded driver scalar (one row per source). Higher temperature
-    flattens the mix toward uniform."""
+    flattens the mix toward uniform.
+
+    Raises ValueError when the report is empty (sum is NULL) or every
+    exp term rounds to 0 at 6 dp (mean_logweight <= ~-13.8 at T=1 —
+    a corpus so far from the target that softmax weights are
+    meaningless noise); raise ``temperature`` to spread such a mix
+    instead of dividing by zero."""
     t = float(temperature)
     terms = report.select(
         "source",
@@ -430,6 +436,13 @@ def mix_weights_from_affinity(
         .alias("w"),
     )
     total = terms.agg(F.sum("w")).first()[0]
+    if total is None or float(total) == 0.0:
+        raise ValueError(
+            "mix_weights_from_affinity: affinity softmax total is "
+            f"{'NULL (empty report)' if total is None else '0 at 6 dp'}"
+            " — no usable weights; raise temperature or check the "
+            "DSIR report"
+        )
     return terms.select(
         "source",
         rnd(

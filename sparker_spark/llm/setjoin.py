@@ -37,7 +37,7 @@ class SetSimilarityJoin:
         return (
             documents.select(
                 "doc_id",
-                F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("tok"),
+                F.explode(F.split(F.lower(F.col(text_col)), "[ \\t\\r\\n\\f\\x0B]+")).alias("tok"),
             )
             .where(F.length("tok") > 0)
             .distinct()

@@ -38,7 +38,7 @@ def shingles(
     return documents.select(
         "doc_id",
         *carry,
-        F.split(F.lower(F.col("text")), "\\s+").alias("toks"),
+        F.split(F.lower(F.col("text")), "[ \\t\\r\\n\\f\\x0B]+").alias("toks"),
     ).select(
         "doc_id",
         *carry,

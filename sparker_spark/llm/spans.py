@@ -58,7 +58,7 @@ def positioned_shingles(
     cells = ", ".join(f"toks[i + {j - 1}]" for j in range(n))
     return documents.select(
         "doc_id",
-        F.split(F.lower(F.col(text_col)), "\\s+").alias("toks"),
+        F.split(F.lower(F.col(text_col)), "[ \\t\\r\\n\\f\\x0B]+").alias("toks"),
     ).select(
         "doc_id",
         F.explode(
@@ -225,7 +225,7 @@ def remove_spans(
     """(doc_id, clean_text, n_kept, n_removed): documents with the
     words inside duplicated spans removed — the Lee-et-al. edit, at
     word granularity. Positions index the ORIGINAL-case whitespace
-    token stream (``\\s+`` splits identically on any case), so the
+    token stream (``[ \\t\\r\\n\\f\\x0B]+`` splits identically on any case), so the
     surviving text keeps its original casing; inter-word whitespace is
     normalized to single spaces (the same normalization every other
     text operator here applies). Docs with no spans pass through with
@@ -252,7 +252,7 @@ def remove_spans(
     words = documents.select(
         "doc_id",
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\s+")
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "[ \\t\\r\\n\\f\\x0B]+")
         ).alias("p0", "word"),
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "word")
     kept = words.join(covered_pos, ["doc_id", "pos"], "left_anti")
@@ -271,7 +271,7 @@ def remove_spans(
     totals = documents.select(
         "doc_id",
         F.size(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\s+")
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "[ \\t\\r\\n\\f\\x0B]+")
         ).cast("long").alias("n_words"),
     )
     return totals.join(reassembled, "doc_id", "left").select(
@@ -353,7 +353,7 @@ def clean_against_hashes(
     # coalesce: split(NULL) is NULL — treat NULL text as ''
     hits = (
         f"element_at(transform(array("
-        f"split(lower(coalesce({text_col}, '')), '\\\\s+')), lt -> "
+        f"split(lower(coalesce({text_col}, '')), '[ \\\\t\\\\r\\\\n\\\\f\\\\x0B]+')), lt -> "
         f"CASE WHEN size(lt) >= {k} THEN "
         f"transform(sequence(1, size(lt) - {k} + 1), i -> {probe}) "
         f"ELSE array() END), 1)"
@@ -361,7 +361,7 @@ def clean_against_hashes(
     out = documents.select(
         F.col(id_col).alias("doc_id"),
         F.expr(hits).alias("_hits"),
-        F.split(F.coalesce(F.col(text_col), F.lit("")), "\\s+").alias(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "[ \\t\\r\\n\\f\\x0B]+").alias(
             "_wt"
         ),
     ).select(

@@ -43,7 +43,7 @@ class TextAnalysis:
     def token_stats(documents: DataFrame) -> DataFrame:
         """Per-document token statistics: whitespace tokens, regex
         (BPE-ish) tokens, distinct tokens, mean token length."""
-        toks = F.split(F.lower(F.col("text")), "\\s+")
+        toks = F.split(F.lower(F.col("text")), "[ \\t\\r\\n\\f\\x0B]+")
         return documents.select(
             "doc_id",
             F.length("text").cast("long").alias("n_chars"),
@@ -56,7 +56,7 @@ class TextAnalysis:
             ).alias("n_tokens_bpe"),
             F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
             rnd(
-                F.length(F.regexp_replace(F.col("text"), "\\s+", ""))
+                F.length(F.regexp_replace(F.col("text"), "[ \\t\\r\\n\\f\\x0B]+", ""))
                 / F.size(toks),
                 6,
             ).alias("mean_token_len"),
@@ -67,18 +67,18 @@ class TextAnalysis:
         """Heuristic quality signals: stopword ratio, alpha ratio,
         punctuation ratio, plus a blended 0-1 score. Deterministic
         formula, oracle-checkable."""
-        toks = F.split(F.lower(F.col("text")), "\\s+")
+        toks = F.split(F.lower(F.col("text")), "[ \\t\\r\\n\\f\\x0B]+")
         n = F.size(toks).cast("double")
         stop_list = ",".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
         n_stop = F.expr(
-            f"CAST(size(filter(split(lower(text), '\\\\s+'),"
+            f"CAST(size(filter(split(lower(text), '[ \\\\t\\\\r\\\\n\\\\f\\\\x0B]+'),"
             f" t -> t IN ({stop_list}))) AS DOUBLE)"
         )
         n_alpha = F.expr(
-            "CAST(size(filter(split(lower(text), '\\\\s+'),"
+            "CAST(size(filter(split(lower(text), '[ \\\\t\\\\r\\\\n\\\\f\\\\x0B]+'),"
             " t -> t rlike '^[a-z]+$')) AS DOUBLE)"
         )
-        punct = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9\\s]", "")).cast(
+        punct = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 \\t\\r\\n\\f\\x0B]", "")).cast(
             "double"
         )
         stop_ratio = n_stop / n
@@ -109,7 +109,7 @@ class TextAnalysis:
             lst = ",".join(f"'{w}'" for w in words)
             scores.append(
                 F.expr(
-                    f"size(filter(split(lower(text), '\\\\s+'), t -> t IN ({lst})))"
+                    f"size(filter(split(lower(text), '[ \\\\t\\\\r\\\\n\\\\f\\\\x0B]+'), t -> t IN ({lst})))"
                 ).alias(f"hits_{lang}")
             )
         scored = documents.select("doc_id", "lang", *scores)
@@ -144,7 +144,7 @@ class TextAnalysis:
 
         toks = documents.select(
             "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("term"),
+            F.explode(F.split(F.lower(F.col("text")), "[ \\t\\r\\n\\f\\x0B]+")).alias("term"),
         ).where(F.length("term") > 0)
         tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
         df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
@@ -210,7 +210,7 @@ class Collocations:
         toks = (
             documents.select(
                 "doc_id",
-                F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("tok"),
+                F.explode(F.split(F.lower(F.col("text")), "[ \\t\\r\\n\\f\\x0B]+")).alias("tok"),
             )
             .where(F.length("tok") > 0)
             .distinct()
@@ -298,7 +298,7 @@ class Chunker:
             documents.select(
                 F.col(doc_col).alias("doc_id"),
                 F.filter(
-                    F.split(F.col(text_col), "\\s+"), lambda x: x != ""
+                    F.split(F.col(text_col), "[ \\t\\r\\n\\f\\x0B]+"), lambda x: x != ""
                 ).alias("toks"),
             )
             .select("doc_id", F.explode(expr).alias("c"))

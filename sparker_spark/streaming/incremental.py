@@ -107,7 +107,7 @@ def _shingle_hash_arrays(text_col: str, shingle_size: int):
     from sparker_spark.llm.hashing import MERSENNE_31, SPARK_HASH60
 
     n = int(shingle_size)
-    toks = f"split(lower({text_col}), '\\\\s+')"
+    toks = f"split(lower({text_col}), '[ \\\\t\\\\r\\\\n\\\\f\\\\x0B]+')"
     shings = (
         f"array_distinct(CASE WHEN size({toks}) >= {n} THEN "
         f"transform(sequence(1, size({toks}) - {n - 1}),"
@@ -619,6 +619,17 @@ def streaming_span_clean(
         shingle_size=shingle_size,
         min_occurrences=min_occurrences,
     )
+    # enforce the guard BEFORE materializing anything on the driver:
+    # an oversized index (the exact case the guard exists for) must
+    # not be collected as a multi-GB blob first. limit(n+1).count()
+    # stops scanning at the bound instead of counting the full index.
+    over = idx.limit(int(max_index_size) + 1).count()
+    if over > max_index_size:
+        raise ValueError(
+            f"corpus span index exceeds the array-literal bound "
+            f"({max_index_size} windows); use the batch "
+            "spans_against_index via foreachBatch"
+        )
     # collect the index as ONE pre-joined string, not 100k+ Rows —
     # py4j row conversion dominates the collect otherwise (measured
     # 6.3 s -> ~1 s for a 181k-hash index)
@@ -626,12 +637,6 @@ def streaming_span_clean(
         F.concat_ws(" ", F.sort_array(F.collect_list("h")))
     ).first()[0]
     hashes = [int(x) for x in blob.split(" ")] if blob else []
-    if len(hashes) > max_index_size:
-        raise ValueError(
-            f"corpus span index has {len(hashes)} windows — beyond the "
-            f"array-literal bound ({max_index_size}); use the batch "
-            "spans_against_index via foreachBatch"
-        )
     return clean_against_hashes(
         doc_stream,
         hashes,

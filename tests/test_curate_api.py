@@ -232,7 +232,7 @@ def test_funnel_report_matches_curate_survivors(spark):
     rows = {r["stage"]: r for r in funnel_report(docs, **kwargs).collect()}
     agg = survivors.selectExpr(
         "count(*) AS docs",
-        "sum(size(filter(split(text, '\\\\s+'), t -> length(t) > 0)))"
+        "sum(size(filter(split(text, '[ \\\\t\\\\r\\\\n\\\\f\\\\x0B]+'), t -> length(t) > 0)))"
         " AS tokens",
     ).first()
     assert rows["span_dedup"]["docs"] == agg["docs"]

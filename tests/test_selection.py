@@ -186,3 +186,24 @@ def test_mix_weights_from_affinity(spark):
     flat = {r["source"]: r["weight"] for r in
             mix_weights_from_affinity(rep, temperature=100.0).collect()}
     assert abs(flat["a"] - flat["c"]) < 0.01
+
+
+def test_mix_weights_from_affinity_degenerate(spark):
+    import pytest
+
+    from sparker_spark.llm.selection import mix_weights_from_affinity
+
+    schema = "source string, mean_logweight double"
+    # empty report: sum(w) is NULL -> clear error, not float(None)
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="NULL"):
+        mix_weights_from_affinity(empty)
+    # every exp term rounds to 0 at 6 dp -> clear error, not NULL/NaN
+    # weights (exp(-20) ~ 2e-9 rounds to 0.000000)
+    far = spark.createDataFrame([("a", -20.0), ("b", -25.0)], schema)
+    with pytest.raises(ValueError, match="0 at 6 dp"):
+        mix_weights_from_affinity(far)
+    # the documented escape hatch: temperature spreads the same mix
+    w = {r["source"]: r["weight"] for r in
+         mix_weights_from_affinity(far, temperature=10.0).collect()}
+    assert w["a"] > w["b"] > 0

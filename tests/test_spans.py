@@ -255,3 +255,40 @@ def test_clean_against_hashes_empty_index(spark):
     assert out[0]["clean_text"] == "a b c d e f"
     assert out[0]["n_removed"] == 0
     assert out[1]["n_removed"] == 0
+
+
+def test_streaming_span_clean_guard_precedes_collect(spark):
+    """The max_index_size guard must fire from a bounded limit+count,
+    BEFORE the index is collected to the driver (ADVICE r9: an
+    oversized index is exactly the case the guard exists for, so it
+    must not materialize a driver blob first)."""
+    import pytest
+
+    from sparker_spark.streaming import incremental as inc
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} q{i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    stream = stream.selectExpr(
+        "CAST(value AS BIGINT) AS doc_id", "'a b c' AS text"
+    )
+    calls = {"collect_list": 0}
+    orig_agg = inc.F.collect_list
+
+    def counting(*a, **k):
+        calls["collect_list"] += 1
+        return orig_agg(*a, **k)
+
+    inc.F.collect_list = counting
+    try:
+        with pytest.raises(ValueError, match="exceeds"):
+            inc.streaming_span_clean(
+                stream, corpus, shingle_size=5, max_index_size=3
+            )
+    finally:
+        inc.F.collect_list = orig_agg
+    assert calls["collect_list"] == 0  # guard fired before the blob
