@@ -407,6 +407,14 @@ def main():
     # `first_run_total_sec` reports the cold pass so the cache-build
     # cost stays visible in the record instead of vanishing.
     REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # subset mode for at-scale decade runs (SCALING.md): run only the
+    # named queries/pipelines — one slow registry tail would otherwise
+    # make a 10x-data sweep impractical to iterate on
+    ONLY = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
+        if q.strip()
+    }
     timings: dict[str, float] = {}
     colds: dict[str, float] = {}
     first_run_total = 0.0
@@ -465,10 +473,14 @@ def main():
     # same clean-JVM-warm plan — the protocol of the r6 judge's
     # controlled reruns.
     for name, fn in PIPELINES.items():
+        if ONLY and name not in ONLY:
+            continue
         run_reps(name, fn, isolate_fn=barrier)
 
     stream_queries = [q for q in QUERIES if q.startswith("stream_")]
     for name in stream_queries:
+        if ONLY and name not in ONLY:
+            continue
         barrier()
         run_reps(name, QUERIES[name])
 
@@ -492,7 +504,7 @@ def main():
         q for q in QUERIES if q not in HEADLINE and q not in EXCLUDED
     ]
     for name in run_list:
-        if name in timings:
+        if name in timings or (ONLY and name not in ONLY):
             continue
         barrier()
         run_reps(name, QUERIES[name])
@@ -509,14 +521,18 @@ def main():
         "sf": float(sf),
         "reps": REPS,
         "first_run_total_sec": round(first_run_total, 3),
+        **({"subset": sorted(ONLY)} if ONLY else {}),
         "series_break": "r9: clearCache+GC barrier between EVERY query "
         "(r7 isolated only pipelines/stream) — medians are per-query "
         "clean-JVM-warm, comparable to controlled reruns; cross-query "
         "shared-cache warm time moved into cold/first_run_total_sec",
     }
-    # full record -> committed artifact; stdout gets a compact line
+    # full record -> committed artifact; stdout gets a compact line.
+    # Subset runs write a SEPARATE artifact so the committed
+    # full-registry record is never clobbered by a decade-run slice.
     artifact = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_SUBSET_LOCAL.json" if ONLY else "BENCH_LOCAL.json",
     )
     try:
         with open(artifact, "w") as f:
@@ -538,6 +554,7 @@ def main():
             "reps": REPS,
             "n_queries": len(timings),
             "first_run_total_sec": round(first_run_total, 3),
+            **({"subset": True} if ONLY else {}),
             "queries": {
                 **{k: timings[k] for k in PIPELINES if k in timings},
                 **dict(slowest),

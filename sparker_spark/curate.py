@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparker_spark.rounding import rnd
+
 
 def curate(
     documents: DataFrame,
@@ -34,6 +36,8 @@ def curate(
     max_top_ngram_frac: float | None = 0.15,
     max_dup_ngram_frac: float | None = 0.3,
     min_lm_logprob: float | None = None,
+    lm_floor_quantile: float | None = None,
+    lm_order: int = 3,
     exact_dedup: bool = True,
     dup_span_words: int | None = None,
     dup_span_min_occ: int = 2,
@@ -54,15 +58,20 @@ def curate(
     * ``min_quality`` / ``max_top_ngram_frac`` / ``max_dup_ngram_frac``:
       quality-floor and repetition-filter thresholds (``None`` skips
       that predicate).
-    * ``min_lm_logprob``: corpus bigram-LM floor (the context-model
-      step of the CCNet-style quality ladder): documents whose mean
-      ln P(w2|w1) under the corpus's OWN Laplace-smoothed bigram LM
-      (LanguageModelScore.bigram_logprob, trained on the post-
-      redaction/boilerplate corpus) falls below the floor are dropped
-      — word salad separates far more sharply under a context model
-      than under surface stats. Documents with fewer than two tokens
-      have no score and are KEPT (short-doc policy belongs to the
-      surface-quality knobs, not the LM).
+    * ``min_lm_logprob`` / ``lm_floor_quantile`` / ``lm_order``: the
+      context-model step of the CCNet-style quality ladder. Documents
+      whose mean n-gram logprob under the corpus's OWN Laplace-
+      smoothed LM (order ``lm_order``: 3 by default, 2 for the r9
+      bigram; trained on the post-redaction/boilerplate corpus) falls
+      below the floor are dropped — word salad separates far more
+      sharply under a context model than under surface stats.
+      ``min_lm_logprob`` is an absolute floor; ``lm_floor_quantile``
+      instead computes the floor as that corpus quantile of the score
+      (CCNet's own percentile-cut semantics — absolute floors don't
+      transfer across corpora because vocabulary size shifts the
+      smoothed-logprob scale). Documents with fewer than ``lm_order``
+      tokens have no score and are KEPT (short-doc policy belongs to
+      the surface-quality knobs, not the LM).
     * ``dup_span_words``: when set, verbatim word spans of at least
       this length occurring ``dup_span_min_occ``+ times in the corpus
       are CUT OUT of every document except the span's first occurrence
@@ -127,17 +136,37 @@ def curate(
     # RDD is freed by GC, unlike a session-pinned cache).
     docs = docs.localCheckpoint(eager=True)
 
-    if min_lm_logprob is not None:
+    if min_lm_logprob is not None or lm_floor_quantile is not None:
         from sparker_spark.llm.text import LanguageModelScore
 
-        lm = LanguageModelScore.bigram_logprob(docs).select(
-            "doc_id", "avg_logprob"
-        )
+        scorer = {
+            2: LanguageModelScore.bigram_logprob,
+            3: LanguageModelScore.trigram_logprob,
+        }[int(lm_order)]
+        lm = scorer(docs).select("doc_id", "avg_logprob")
+        if lm_floor_quantile is not None:
+            # corpus-relative floor (CCNet cuts by percentile, not
+            # absolute ppl — an absolute floor cannot transfer across
+            # corpora whose vocabulary size shifts the smoothed
+            # logprob scale). Spark percentile == DuckDB
+            # quantile_cont, 6-dp rounded: the repo's quantile-parity
+            # idiom; one bounded driver scalar.
+            floor = lm.agg(
+                rnd(
+                    F.expr(
+                        "percentile(avg_logprob, "
+                        f"CAST({float(lm_floor_quantile)} AS DOUBLE))"
+                    ),
+                    6,
+                ).alias("f")
+            ).first()["f"]
+        else:
+            floor = float(min_lm_logprob)
         docs = (
             docs.join(lm, "doc_id", "left")
             .where(
                 F.col("avg_logprob").isNull()
-                | (F.col("avg_logprob") >= float(min_lm_logprob))
+                | (F.col("avg_logprob") >= floor)
             )
             .select("doc_id", "text")
             .localCheckpoint(eager=True)

@@ -1144,6 +1144,9 @@ def build_oracles() -> dict[str, str]:
     oracles.update(r8_oracles())
     oracles.update(r9_oracles())
     oracles.update(r9b_oracles())
+    from sparker_spark.entry_r10 import r10_oracles
+
+    oracles.update(r10_oracles())
     # native round() differs between engines at exact .5 boundaries —
     # rewrite every round() into the deterministic floor formula that
     # the Spark side (sparker_spark.rounding.rnd) uses
@@ -1213,6 +1216,11 @@ def _register_ext() -> None:
 
     QUERIES.update(r9_queries())
     QUERIES.update(r9b_queries())
+    # r10 queries: trigram LM gate + char-offset span removal + DSIR
+    # e2e composition — tail positions, local evidence in TAIL_CHECKS.
+    from sparker_spark.entry_r10 import r10_queries
+
+    QUERIES.update(r10_queries())
     # The driver grades only the first 50 registry entries. Push the
     # queries whose operators are redundantly covered to the tail so
     # every operator's *sole* oracle query stays inside the window:

@@ -790,6 +790,34 @@ SELECT doc_id,
 FROM big JOIN lp USING (w1, w2)
 GROUP BY doc_id"""
 
+# order-3 twin of O_TEXT_BIGRAM_LOGPROB — same add-one smoothing,
+# context count, vocabulary scalar, and DECIMAL(18,6) rounding
+# discipline; the prefix key is (w1, w2) instead of (w1)
+O_TEXT_TRIGRAM_LOGPROB = """WITH
+d AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                         x -> len(x) > 0) AS t
+      FROM documents),
+tri AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM d)),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs
+  FROM (SELECT unnest(t) AS tok FROM d)),
+tc AS (SELECT w1, w2, w3, count(*) AS cg FROM tri GROUP BY 1, 2, 3),
+cc AS (SELECT w1, w2, sum(cg) AS c1 FROM tc GROUP BY 1, 2),
+lp AS (
+  SELECT tc.w1, tc.w2, tc.w3,
+         CAST(round(ln((cg + 1.0) / (c1 + (SELECT vs FROM v))), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM tc JOIN cc ON tc.w1 = cc.w1 AND tc.w2 = cc.w2)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+FROM tri JOIN lp USING (w1, w2, w3)
+GROUP BY doc_id"""
+
 
 # -------------------------------------- BPE ids + BPE pretrain e2e
 

@@ -935,15 +935,23 @@ v AS MATERIALIZED (
 # which text_bigram_logprob already gates): -3.4 splits the graded
 # corpora ~30/70 (quantiles probed: median -3.387, p25 ~ -3.404).
 
-CURATE_LM_FLOOR = -3.4
+CURATE_LM_FLOOR = -3.4  # r9 absolute bigram floor (kept for API users)
+# r10: the gate moved to the trigram scorer with a CORPUS-QUANTILE
+# floor — CCNet's own percentile-cut semantics; an absolute floor
+# can't transfer across corpora (vocabulary size shifts the smoothed-
+# logprob scale: sf0.01 p25 = -3.100 vs sf0.1 p25 = -3.385), so a
+# fixed -3.4 would be a no-op filter at one SF and drop-everything at
+# another under order 3.
+CURATE_LM_FLOOR_Q = 0.3
 
 
 def q_curation_lm_filter(spark, sf_dir):
-    """curate(min_lm_logprob=...) under the VALUE-HASH gate: documents
-    below the corpus-self bigram-LM floor dropped, unscored (<2-token)
-    docs kept; every surviving byte checked. All other stages off so
-    the oracle composes the gated text_bigram_logprob SQL + one
-    threshold filter."""
+    """curate(lm_floor_quantile=...) under the VALUE-HASH gate (r10:
+    TRIGRAM scorer, corpus-p30 floor — Wenzek et al. score with a
+    5-gram KenLM and cut by percentile): the lowest-scoring 30% of
+    scorable documents dropped, unscored (<3-token) docs kept; every
+    surviving byte checked. All other stages off so the oracle
+    composes the trigram-LM SQL + one quantile + one filter."""
     from sparker_spark.curate import curate
     from sparker_spark.entry import load
 
@@ -955,18 +963,23 @@ def q_curation_lm_filter(spark, sf_dir):
         max_dup_ngram_frac=None,
         exact_dedup=False,
         jaccard_threshold=None,
-        min_lm_logprob=CURATE_LM_FLOOR,
+        lm_floor_quantile=CURATE_LM_FLOOR_Q,
+        lm_order=3,
     )
 
 
 def _o_curation_lm_filter() -> str:
-    from sparker_spark.entry_r8 import O_TEXT_BIGRAM_LOGPROB
+    from sparker_spark.entry_r8 import O_TEXT_TRIGRAM_LOGPROB
 
     return f"""
+WITH lp AS ({O_TEXT_TRIGRAM_LOGPROB.strip()}),
+fl AS (SELECT round(quantile_cont(avg_logprob, {CURATE_LM_FLOOR_Q}), 6)
+         AS floor FROM lp)
 SELECT d.doc_id, d.text
 FROM documents d
-LEFT JOIN ({O_TEXT_BIGRAM_LOGPROB.strip()}) lp ON d.doc_id = lp.doc_id
-WHERE lp.avg_logprob IS NULL OR lp.avg_logprob >= {CURATE_LM_FLOOR}"""
+LEFT JOIN lp ON d.doc_id = lp.doc_id
+WHERE lp.avg_logprob IS NULL
+   OR lp.avg_logprob >= (SELECT floor FROM fl)"""
 
 
 def r9_queries() -> dict:

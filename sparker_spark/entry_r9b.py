@@ -451,9 +451,10 @@ def q_dsir_sample(spark, sf_dir):
 # ------------------------------------------------- ppl partition
 def q_ppl_partition(spark, sf_dir):
     """CCNet head/middle/tail terciles per language under the corpus
-    bigram LM; cutoffs are exact interpolated quantiles (Spark
-    percentile == DuckDB quantile_cont), 6-dp rounded before the
-    boundary compare."""
+    TRIGRAM LM (r10 — Wenzek et al. score with a 5-gram KenLM; order
+    3 replaces r9's bigram as the closest faithful step); cutoffs are
+    exact interpolated quantiles (Spark percentile == DuckDB
+    quantile_cont), 6-dp rounded before the boundary compare."""
     from sparker_spark.entry import load
     from sparker_spark.llm.selection import PerplexityPartition
 
@@ -461,10 +462,10 @@ def q_ppl_partition(spark, sf_dir):
 
 
 def _o_ppl_partition() -> str:
-    from sparker_spark.entry_r8 import O_TEXT_BIGRAM_LOGPROB
+    from sparker_spark.entry_r8 import O_TEXT_TRIGRAM_LOGPROB
 
     return f"""
-WITH lp AS ({O_TEXT_BIGRAM_LOGPROB.strip()}),
+WITH lp AS ({O_TEXT_TRIGRAM_LOGPROB.strip()}),
 pscored AS (SELECT lp.doc_id, d.lang, lp.avg_logprob
             FROM lp JOIN documents d ON lp.doc_id = d.doc_id),
 cuts AS (SELECT lang,

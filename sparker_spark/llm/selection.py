@@ -304,16 +304,20 @@ class PerplexityPartition:
     score — the standard coarse quality stratification a curation
     recipe mixes from (e.g. keep head+middle, sample tail).
 
-    The engine-native scorer is the gated corpus bigram LM
-    (llm/text.py LanguageModelScore.bigram_logprob); higher mean
-    logprob = lower perplexity = head. Documents the scorer cannot
-    score (fewer than two tokens) are not partitioned, exactly as
-    CCNet leaves unscorable lines out.
+    The engine-native scorer is the gated corpus n-gram LM
+    (llm/text.py LanguageModelScore): order 3 by default — the
+    published pipeline scores with a 5-gram KenLM, and the wider
+    context separates degenerate repetitive documents a bigram LM
+    scores as perfectly predictable; pass ``order=2`` for the r9
+    bigram behavior. Higher mean logprob = lower perplexity = head.
+    Documents the scorer cannot score (fewer than ``order`` tokens)
+    are not partitioned, exactly as CCNet leaves unscorable lines
+    out.
     """
 
     @staticmethod
     def assign(
-        documents: DataFrame, lang_col: str = "lang"
+        documents: DataFrame, lang_col: str = "lang", order: int = 3
     ) -> DataFrame:
         """(doc_id, lang, avg_logprob, ppl_bucket): per-language
         tercile assignment. Cutoffs are exact interpolated terciles
@@ -326,7 +330,11 @@ class PerplexityPartition:
         sort; the tercile state per language is two scalars."""
         from sparker_spark.llm.text import LanguageModelScore
 
-        scored = LanguageModelScore.bigram_logprob(documents).join(
+        scorer = {
+            2: LanguageModelScore.bigram_logprob,
+            3: LanguageModelScore.trigram_logprob,
+        }[int(order)]
+        scored = scorer(documents).join(
             documents.select("doc_id", F.col(lang_col).alias("lang")),
             "doc_id",
         )

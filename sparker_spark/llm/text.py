@@ -370,50 +370,52 @@ class LanguageModelScore:
         )
 
     @staticmethod
-    def bigram_logprob(
+    def _ngram_logprob(
         documents: DataFrame,
-        doc_col: str = "doc_id",
-        text_col: str = "text",
+        n: int,
+        doc_col: str,
+        text_col: str,
+        count_alias: str,
     ) -> DataFrame:
-        """(doc_id, n_bigrams, avg_logprob): mean ln P(w2 | w1) per
-        document under the corpus bigram LM with add-one (Laplace)
-        smoothing — the next step up from :meth:`unigram_logprob` on
-        the CCNet-style quality ladder; repetitive or word-salad
-        documents separate far more sharply under a context model.
+        """(doc_id, <count_alias>, avg_logprob): mean
+        ln P(w_n | w_1..w_{n-1}) per document under the corpus
+        order-n LM with add-one (Laplace) smoothing:
 
-        P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V) with c(w1) the CONTEXT
-        count (sum of bigram counts with left = w1) and V the corpus
-        vocabulary size (one bounded driver scalar, same class as the
-        unigram total). Per-bigram logprobs are rounded to 6 places
-        and summed as DECIMAL(18,6) (the repo's cross-engine
-        determinism rule for sums of irrational terms). Documents with
-        fewer than two tokens produce no row (no bigrams, undefined
-        mean). Plan: one explode + two hash aggregates + one join —
-        keyed shuffles only."""
+            P = (c(w_1..w_n) + 1) / (c(w_1..w_{n-1}) + V)
+
+        with the CONTEXT count c(w_1..w_{n-1}) the sum of n-gram
+        counts sharing the prefix and V the corpus vocabulary size
+        (one bounded driver scalar, same class as the unigram total).
+        Per-gram logprobs are rounded to 6 places and summed as
+        DECIMAL(18,6) (the repo's cross-engine determinism rule for
+        sums of irrational terms). Documents with fewer than n tokens
+        produce no row (no n-grams, undefined mean). Plan: one explode
+        + two hash aggregates + one join — keyed shuffles only, the
+        SAME shape at every order; only the key width grows."""
+        n = int(n)
+        keys = [f"w{j + 1}" for j in range(n)]
         toks_arr = F.filter(
             F.split(F.lower(F.col(text_col)), "[^0-9a-z_]+"),
             lambda t: F.length(t) > 0,
         )
-        big = (
+        fields = ", ".join(
+            f"'{k}', element_at(t, i + {j})" for j, k in enumerate(keys)
+        )
+        grams = (
             documents.select(
                 F.col(doc_col).alias("doc_id"), toks_arr.alias("t")
             )
-            # slice(t, 1, size-1) throws on size 0 (length -1); such
-            # docs have no bigrams anyway — drop them BEFORE slicing
-            .where(F.size("t") >= 2)
+            .where(F.size("t") >= n)
             .select(
                 "doc_id",
                 F.explode(
-                    F.zip_with(
-                        F.slice(F.col("t"), 1, F.size("t") - 1),
-                        F.slice(F.col("t"), 2, F.size("t") - 1),
-                        lambda a, b: F.struct(
-                            a.alias("w1"), b.alias("w2")
-                        ),
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {n - 1}), "
+                        f"i -> named_struct({fields}))"
                     )
                 ).alias("p"),
             )
-            .select("doc_id", "p.w1", "p.w2")
+            .select("doc_id", *[F.col(f"p.{k}").alias(k) for k in keys])
         )
         vocab_size = (
             documents.select(
@@ -423,19 +425,18 @@ class LanguageModelScore:
             .first()[0]
         )
         if not vocab_size:
-            return big.select(
+            return grams.select(
                 "doc_id",
-                F.lit(0).cast("long").alias("n_bigrams"),
+                F.lit(0).cast("long").alias(count_alias),
                 F.lit(0.0).alias("avg_logprob"),
             )
-        bc = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-        cc = bc.groupBy("w1").agg(F.sum("cb").alias("c1"))
-        lp = bc.join(cc, "w1").select(
-            "w1",
-            "w2",
+        gc_ = grams.groupBy(*keys).agg(F.count("*").alias("cg"))
+        cc = gc_.groupBy(*keys[:-1]).agg(F.sum("cg").alias("c1"))
+        lp = gc_.join(cc, keys[:-1]).select(
+            *keys,
             rnd(
                 F.log(
-                    (F.col("cb") + F.lit(1.0))
+                    (F.col("cg") + F.lit(1.0))
                     / (F.col("c1") + F.lit(float(vocab_size)))
                 ),
                 6,
@@ -444,17 +445,53 @@ class LanguageModelScore:
             .alias("lp"),
         )
         return (
-            big.join(lp, ["w1", "w2"])
+            grams.join(lp, keys)
             .groupBy("doc_id")
             .agg(
-                F.count("*").cast("long").alias("n_bigrams"),
+                F.count("*").cast("long").alias(count_alias),
                 F.sum("lp").alias("s"),
             )
             .select(
                 "doc_id",
-                "n_bigrams",
+                count_alias,
                 rnd(
-                    F.col("s").cast("double") / F.col("n_bigrams"), 6
+                    F.col("s").cast("double") / F.col(count_alias), 6
                 ).alias("avg_logprob"),
             )
+        )
+
+    @staticmethod
+    def bigram_logprob(
+        documents: DataFrame,
+        doc_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """(doc_id, n_bigrams, avg_logprob): mean ln P(w2 | w1) per
+        document under the corpus bigram LM with add-one smoothing —
+        the next step up from :meth:`unigram_logprob` on the
+        CCNet-style quality ladder; repetitive or word-salad documents
+        separate far more sharply under a context model. See
+        :meth:`_ngram_logprob` for the formula and plan."""
+        return LanguageModelScore._ngram_logprob(
+            documents, 2, doc_col, text_col, "n_bigrams"
+        )
+
+    @staticmethod
+    def trigram_logprob(
+        documents: DataFrame,
+        doc_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """(doc_id, n_trigrams, avg_logprob): mean ln P(w3 | w1 w2)
+        per document under the corpus trigram LM with add-one
+        smoothing — the published CCNet pipeline (Wenzek et al. 2020)
+        scores with a 5-gram KenLM; order 3 is the closest faithful
+        step this side of Kneser-Ney, and the wider context separates
+        short degenerate documents (e.g. alternating two-word loops,
+        which a bigram LM scores as PERFECTLY predictable) that
+        surface stats and bigrams both miss. Documents with fewer
+        than three tokens produce no row. Same plan shape and DECIMAL
+        rounding discipline as :meth:`bigram_logprob`."""
+        return LanguageModelScore._ngram_logprob(
+            documents, 3, doc_col, text_col, "n_trigrams"
         )
