@@ -63,20 +63,22 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
     shingle assembly, hashing) runs on one core until the first
     shuffle — measured 2.8 s -> 0.5 s on the sf0.1 shingle keygen.
 
-    Split COUNT alone can lie: parquet byte-range splits cannot cross
-    row-group boundaries, so a mid-size single-row-group file plans
-    many splits of which ONE carries every row (observed: a 150 MB
-    one-row-group corpus reported 19 partitions and serialized 500k
-    codec payloads onto one python worker). So small inputs by BYTES
-    are also respread — for them the exchange costs ~the file size,
-    while the skew costs (cores−1)× the whole downstream stage. At
-    real scale inputs are multi-GB with many row groups per file:
-    both conditions are false and NO shuffle is added — this is a
-    small-file fixup, not a partitioning strategy."""
+    The decision is METADATA-ONLY (``df.inputFiles()`` + file sizes —
+    no job, no RDD conversion; the r9 version probed
+    ``df.rdd.getNumPartitions()``, which charged a plan-conversion
+    pass to every query construction). Split count alone can lie
+    anyway: parquet byte-range splits cannot cross row-group
+    boundaries, so a mid-size single-row-group file plans many splits
+    of which ONE carries every row (observed: a 150 MB one-row-group
+    corpus reported 19 partitions and serialized 500k codec payloads
+    onto one python worker). So the rule is BYTES: a fully-local
+    input under 1 GiB is respread — the exchange costs ~the file
+    size, while the skew costs (cores−1)× the whole downstream
+    stage. At real scale inputs are multi-GB and the condition is
+    false: NO shuffle is added — this is a small-file fixup, not a
+    partitioning strategy."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
-        return df.repartition(target)
     try:
         import os
         from urllib.parse import unquote, urlparse
@@ -89,7 +91,11 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
         # ALL inputs must be local and small: a relation mixing one
         # small local file with large remote inputs must never be
         # reshuffled on the strength of the local part alone
-        if local and len(local) == len(files) and total < 1 << 30:
+        if (
+            files
+            and len(local) == len(files)
+            and total < 1 << 30
+        ):
             return df.repartition(target)
     except OSError:
         pass

@@ -38,13 +38,267 @@ def _o_text_trigram_logprob() -> str:
     return O_TEXT_TRIGRAM_LOGPROB
 
 
+
+
+# ------------------------------- char-offset-faithful span removal
+def q_dedup_span_removal_chars(spark, sf_dir):
+    """remove_spans_chars under the VALUE-HASH gate: the detected
+    duplicated spans (same SPAN_K/SPAN_MIN_OCC relation the r9b span
+    gates pin) cut at CHAR granularity — every byte outside the
+    removed intervals preserved verbatim, and the intervals
+    themselves value-checked (rendered "start-end,start-end" because
+    the driver's hash stringifies arrays engine-dependently). The
+    oracle reconstructs clean_text INDEPENDENTLY, by substring
+    arithmetic over the original text and the interval set."""
+    from sparker_spark.entry import _parallelize_scan, load
+    from sparker_spark.entry_r9b import SPAN_K, SPAN_MIN_OCC
+    from sparker_spark.llm.spans import duplicated_spans, remove_spans_chars
+
+    docs = _parallelize_scan(load(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    spans = duplicated_spans(
+        docs, shingle_size=SPAN_K, min_occurrences=SPAN_MIN_OCC
+    )
+    out = remove_spans_chars(docs, spans)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "removed_intervals",
+                lambda s: F.concat_ws(
+                    "-",
+                    s["start"].cast("string"),
+                    s["end"].cast("string"),
+                ),
+            ),
+        ).alias("intervals"),
+        "n_kept",
+        "n_removed",
+    )
+
+
+def _o_dedup_span_removal_chars() -> str:
+    from sparker_spark.entry_r9b import O_SPANS_CTE
+
+    ws = "[ \\t\\r\\n\\f\\x0B]+"
+    # words + the whitespace run AFTER each word; char offsets from a
+    # running sum; islands over consecutive removed positions; then
+    # clean_text REBUILT BY SUBSTRING ARITHMETIC over the original
+    # text (independent of the engine's emit-string construction)
+    return f"""
+WITH {O_SPANS_CTE},
+rem AS (SELECT DISTINCT doc_id,
+               CAST(unnest(range(span_start, span_end + 1)) AS BIGINT) AS pos
+        FROM spans),
+base AS (SELECT doc_id, text,
+                regexp_split_to_array(text, '{ws}') AS w,
+                regexp_extract_all(text, '{ws}', 0) AS d
+         FROM documents),
+wp AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS word,
+              coalesce(d[i], '') AS delim
+       FROM base, LATERAL unnest(range(1, len(w) + 1)) u(i)),
+off AS (SELECT doc_id, pos, word, delim,
+               1 + coalesce(sum(len(word) + len(delim)) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS char_start
+        FROM wp),
+mk AS (SELECT o.doc_id, o.pos, o.char_start,
+              o.char_start + len(o.word) - 1 AS word_end,
+              r.pos IS NOT NULL AS removed
+       FROM off o LEFT JOIN rem r
+         ON o.doc_id = r.doc_id AND o.pos = r.pos),
+cisl AS (SELECT doc_id, pos, char_start, word_end,
+               CASE WHEN pos > coalesce(max(pos) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1 THEN 1 ELSE 0 END AS new_island
+        FROM mk WHERE removed),
+cisl2 AS (SELECT doc_id, char_start, word_end,
+                sum(new_island) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS island
+         FROM cisl),
+iv AS (SELECT doc_id, CAST(min(char_start) AS BIGINT) AS s,
+              CAST(max(word_end) AS BIGINT) AS e
+       FROM cisl2 GROUP BY doc_id, island),
+-- surviving chunks by SUBSTRING arithmetic: the text between the
+-- previous interval's end and this interval's start, plus the tail
+-- after the last interval
+chunks AS (
+  SELECT doc_id, s AS ord,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+           AS c_from,
+         s - 1 AS c_to
+  FROM iv
+  UNION ALL
+  SELECT b.doc_id,
+         CAST(len(b.text) + 1 AS BIGINT) AS ord,
+         coalesce((SELECT max(e) FROM iv WHERE iv.doc_id = b.doc_id), 0)
+           + 1 AS c_from,
+         CAST(len(b.text) AS BIGINT) AS c_to
+  FROM base b),
+clean AS (
+  SELECT c.doc_id,
+         string_agg(substr(b.text, CAST(c.c_from AS INTEGER),
+                           CAST(greatest(0, c.c_to - c.c_from + 1)
+                                AS INTEGER)),
+                    '' ORDER BY c.ord) AS clean_text
+  FROM chunks c JOIN base b USING (doc_id)
+  GROUP BY c.doc_id),
+ivstr AS (SELECT doc_id,
+                 string_agg(s || '-' || e, ',' ORDER BY s) AS intervals
+          FROM iv GROUP BY doc_id),
+cnt AS (SELECT doc_id,
+               CAST(sum(CASE WHEN removed THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_kept,
+               CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed
+        FROM mk GROUP BY doc_id)
+SELECT b.doc_id,
+       coalesce(cl.clean_text, b.text) AS clean_text,
+       coalesce(iv2.intervals, '') AS intervals,
+       cnt.n_kept, cnt.n_removed
+FROM base b
+JOIN cnt USING (doc_id)
+LEFT JOIN clean cl ON b.doc_id = cl.doc_id
+LEFT JOIN ivstr iv2 ON b.doc_id = iv2.doc_id"""
+
+
+
+
+# -------------------------------------- DSIR -> mix -> curate -> pack
+DSIRP_BUDGET = 20_000
+DSIRP_SEED = 13
+
+
+def q_pipeline_dsir_pretrain_e2e(spark, sf_dir):
+    """The full data-SELECTION story end-to-end under one VALUE-HASH
+    gate (round-10 ask #7): DSIR per-source affinity (gated
+    dsir_source_report) -> softmax bridge weights (gated
+    dsir_mix_weights) -> token-budget mix sample (the gated
+    sample_to_budget machinery) -> quality floor -> exact dedup ->
+    sequence packing — the composition a pretraining run executes
+    between "here are 20 raw sources" and "here are the training
+    sequences", pinned the way pipeline_pretrain_shards_e2e pins the
+    packing tail.
+
+    The bridge weights are quantized to integers (×1e6) before
+    entering the mix: the plan normalizes by the weight SUM, and a
+    float sum's value depends on accumulation order (Python dict sum
+    vs SQL SUM) — integer sums are order-free, so both engines reach
+    bit-identical rates."""
+    from sparker_spark.entry import _parallelize_scan, load
+    from sparker_spark.entry_r8 import PACK8_LEN, PACK8_SEP
+    from sparker_spark.entry_r9b import DSIR_B, DSIR_MIX_T, DSIR_TARGET
+    from sparker_spark.llm.mixing import MixPlanner
+    from sparker_spark.llm.selection import (
+        mix_weights_from_affinity,
+        source_report,
+    )
+    from sparker_spark.pretrain import prepare_training_data
+
+    docs = _parallelize_scan(load(spark, sf_dir, "documents"))
+    rep = source_report(docs, DSIR_TARGET, buckets=DSIR_B)
+    wdf = mix_weights_from_affinity(rep, temperature=DSIR_MIX_T)
+    weights = {
+        r["source"]: int(round(r["weight"] * 1_000_000))
+        for r in wdf.collect()
+    }
+    sampled = MixPlanner.sample_to_budget(
+        docs, weights, DSIRP_BUDGET, seed=DSIRP_SEED
+    )
+    selected = docs.join(sampled.select("doc_id"), "doc_id").select(
+        "doc_id", "text"
+    )
+    return prepare_training_data(
+        selected,
+        seq_len=PACK8_LEN,
+        sep_tokens=PACK8_SEP,
+        redact=False,
+        min_quality=0.3,
+        max_top_ngram_frac=None,
+        max_dup_ngram_frac=None,
+        exact_dedup=True,
+        jaccard_threshold=None,
+    )
+
+
+def _o_pipeline_dsir_pretrain() -> str:
+    from sparker_spark.entry import _o_text_quality
+    from sparker_spark.entry_r8 import (
+        PACK8_LEN,
+        PACK8_SEP,
+        _WS_N_SQL,
+        _WS_TOKS_SQL,
+        _WSX_N_SQL,
+        _plan_ctes,
+        _texts_select,
+    )
+    from sparker_spark.entry_r9b import DSIR_MIX_T, O_DSIR_SOURCE_REPORT
+    from sparker_spark.llm.sampling import _coord_sql
+
+    coord = _coord_sql("d.doc_id", DSIRP_SEED, "duck")
+    b = f"CAST({DSIRP_BUDGET} AS DOUBLE)"
+    wn = "(CAST(wi.iw AS DOUBLE) / CAST((SELECT sum(iw) FROM wi) AS DOUBLE))"
+    return f"""
+WITH rep AS (SELECT * FROM ({O_DSIR_SOURCE_REPORT.strip()})),
+terms AS (SELECT source,
+          CAST(round(exp(mean_logweight / {DSIR_MIX_T}), 6)
+               AS DECIMAL(18,6)) AS w
+          FROM rep),
+wts AS (SELECT source,
+        round(CAST(w AS DOUBLE)
+              / CAST((SELECT sum(w) FROM terms) AS DOUBLE), 6) AS weight
+        FROM terms),
+wi AS (SELECT source, CAST(round(weight * 1000000) AS BIGINT) AS iw
+       FROM wts),
+nn AS (SELECT doc_id, source, CAST({_WSX_N_SQL} AS BIGINT) AS n
+       FROM documents),
+tt AS (SELECT source, CAST(sum(n) AS BIGINT) AS available_tokens
+       FROM nn GROUP BY source),
+rr AS (SELECT tt.source,
+         CASE WHEN tt.available_tokens > 0 AND {b} * {wn} > 0
+              THEN least(1.0, ({b} * {wn}) / tt.available_tokens)
+              ELSE 0.0 END AS rate
+       FROM tt JOIN wi USING (source)),
+sel AS (SELECT d.doc_id, d.text
+        FROM documents d
+        JOIN nn ON d.doc_id = nn.doc_id
+        JOIN rr ON nn.source = rr.source
+        WHERE {coord} < rr.rate),
+q AS (SELECT doc_id, quality_score FROM ({_o_text_quality().strip()})),
+qs AS (SELECT s.doc_id, s.text
+       FROM sel s JOIN q USING (doc_id)
+       WHERE q.quality_score >= 0.3),
+surv AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           doc_id = min(doc_id) OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text),
+                                    '[ \\t\\r\\n\\f\\x0B]+', ' ', 'g')))
+           ) AS canon
+    FROM qs)
+  WHERE canon),
+{_plan_ctes('surv', _WS_N_SQL, PACK8_LEN, PACK8_SEP)},
+{_texts_select('surv', _WS_TOKS_SQL, PACK8_LEN, '<|sep|>')}"""
+
+
 def r10_queries() -> dict:
     return {
         "text_trigram_logprob": q_text_trigram_logprob,
+        "dedup_span_removal_chars": q_dedup_span_removal_chars,
+        "pipeline_dsir_pretrain_e2e": q_pipeline_dsir_pretrain_e2e,
     }
 
 
 def r10_oracles() -> dict:
     return {
         "text_trigram_logprob": _o_text_trigram_logprob(),
+        "dedup_span_removal_chars": _o_dedup_span_removal_chars(),
+        "pipeline_dsir_pretrain_e2e": _o_pipeline_dsir_pretrain(),
     }

@@ -387,3 +387,189 @@ def clean_against_hashes(
         F.size("_kept").cast("long").alias("n_kept"),
         (F.col("_n") - F.size("_kept")).cast("long").alias("n_removed"),
     )
+
+
+def remove_spans_chars(
+    documents: DataFrame,
+    spans: DataFrame,
+    min_span_words: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, clean_text, removed_intervals, n_kept, n_removed):
+    char-offset-faithful span removal — the provenance/audit twin of
+    :func:`remove_spans`, which is word-granular and normalizes
+    whitespace. Here every byte OUTSIDE the removed intervals is
+    preserved verbatim (original casing, tabs, doubled spaces, line
+    breaks), and ``removed_intervals`` is the sorted array of 1-based
+    inclusive [start, end] char ranges cut from the ORIGINAL text —
+    so ``cut(text, removed_intervals) == clean_text`` exactly, and a
+    legal-excision audit can point at the original bytes.
+
+    An interval covers a maximal run of removed word positions plus
+    the whitespace runs STRICTLY INSIDE it; the delimiters on either
+    side survive (they are outside the removed words), so a cut can
+    leave doubled whitespace — faithfulness over cosmetics, by
+    design.
+
+    Plan: words + their delimiter runs are reconstructed positionally
+    (``split`` on WS_CLASS for words, ``regexp_extract_all`` for the
+    delimiter runs between them — text == interleave(words, delims)
+    by construction), char offsets come from one per-document running
+    sum (window keyed on doc_id, state bounded by doc length), the
+    removed-position set joins in, intervals merge with the same
+    gaps-and-islands pass as span detection, and the surviving bytes
+    reassemble with the collect_list/array_sort idiom of
+    :func:`remove_spans`. Keyed shuffles only; no corpus sort."""
+    if min_span_words is not None:
+        spans = spans.where(F.col("span_words") >= int(min_span_words))
+    from sparker_spark.llm.hashing import WS_CLASS, WS_CLASS_SQL
+
+    covered_pos = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    ).distinct()
+    # (doc_id, pos, word, delim): delim is the whitespace run AFTER
+    # word #pos ('' for the last word). split yields exactly
+    # len(delims)+1 words for any text, including leading/trailing
+    # whitespace (empty words at the edges), so the interleave
+    # reconstructs the original text byte-for-byte.
+    base = documents.select(
+        "doc_id",
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_CLASS).alias(
+            "_w"
+        ),
+        # WS_CLASS_SQL: the Spark SQL lexer unescapes string literals
+        # once, so the SQL-embedded regex needs its backslashes doubled
+        F.expr(
+            f"regexp_extract_all(coalesce({text_col}, ''),"
+            f" '{WS_CLASS_SQL}', 0)"
+        ).alias("_d"),
+    )
+    words = base.select(
+        "doc_id",
+        F.posexplode("_w").alias("p0", "word"),
+        F.col("_d").alias("_d"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        "word",
+        F.coalesce(
+            F.expr("try_element_at(_d, p0 + 1)"), F.lit("")
+        ).alias("delim"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = (
+        words.join(
+            covered_pos.withColumn("removed", F.lit(True)),
+            ["doc_id", "pos"],
+            "left",
+        )
+        .withColumn("removed", F.coalesce("removed", F.lit(False)))
+        .withColumn(
+            "char_start",
+            F.lit(1)
+            + F.coalesce(
+                F.sum(F.length("word") + F.length("delim")).over(w_prev),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "word_end", F.col("char_start") + F.length("word") - 1
+        )
+    )
+    # a delimiter is cut iff it lies strictly inside a removed run
+    # (this word AND the next are both removed)
+    w_next = Window.partitionBy("doc_id").orderBy("pos")
+    marked = marked.withColumn(
+        "next_removed",
+        F.coalesce(F.lead("removed").over(w_next), F.lit(False)),
+    ).withColumn(
+        "emit",
+        F.concat(
+            F.when(F.col("removed"), F.lit("")).otherwise(F.col("word")),
+            F.when(
+                F.col("removed") & F.col("next_removed"), F.lit("")
+            ).otherwise(F.col("delim")),
+        ),
+    )
+    # islands over consecutive removed positions -> char intervals
+    rem = marked.where("removed").select(
+        "doc_id", "pos", "char_start", "word_end"
+    )
+    w_prevpos = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = rem.select(
+        "doc_id",
+        "pos",
+        "char_start",
+        "word_end",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max("pos").over(w_prevpos), F.lit(-1)) + 1,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    ).select(
+        "doc_id",
+        "char_start",
+        "word_end",
+        F.sum("new_island").over(w_run).alias("island"),
+    )
+    intervals = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("char_start").cast("long").alias("start"),
+            F.max("word_end").cast("long").alias("end"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("start", "end"))
+            ).alias("removed_intervals")
+        )
+    )
+    reassembled = marked.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "emit"))),
+                lambda s: s["emit"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("removed"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("removed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    empty_ivs = F.expr(
+        "CAST(array() AS ARRAY<STRUCT<start: BIGINT, end: BIGINT>>)"
+    )
+    return (
+        reassembled.join(intervals, "doc_id", "left")
+        .select(
+            "doc_id",
+            "clean_text",
+            F.coalesce("removed_intervals", empty_ivs).alias(
+                "removed_intervals"
+            ),
+            "n_kept",
+            "n_removed",
+        )
+    )
