@@ -77,7 +77,7 @@ class SimilaritySearch:
     def topk_cosine_ivf(
         embeddings: DataFrame,
         k: int = 10,
-        num_cells: int = 16,
+        num_cells: int | str = 16,
         n_probe: int = 4,
         query_filter: str | None = None,
         seed: int = 1234,
@@ -137,15 +137,37 @@ class IVFIndex:
         return cell
 
     @staticmethod
+    def auto_cells(n: int) -> int:
+        """The classic IVF sizing rule nlist ~ sqrt(N), rounded to the
+        nearest power of two (the hyperplane construction needs one)
+        and clamped to [16, 2^20]. Keeps per-query candidate volume
+        ~N·n_probe/cells ~ sqrt(N)·n_probe — the sizing that holds at
+        a 100x scale-up, where a FIXED cell count would let every
+        cell (and so every probe) grow linearly with the corpus."""
+        import math
+
+        if n <= 0:
+            return 16
+        bits = round(math.log2(max(1.0, math.sqrt(float(n)))))
+        return min(1 << 20, max(16, 1 << bits))
+
+    @staticmethod
     def build(
-        embeddings: DataFrame, num_cells: int = 16, seed: int = 1234
+        embeddings: DataFrame,
+        num_cells: int | str = 16,
+        seed: int = 1234,
     ) -> "IVFIndex":
+        """``num_cells="auto"`` sizes the cell count from the corpus
+        (one count job, sqrt-N rule — :meth:`auto_cells`); an integer
+        pins it (the gated queries pin 16 for determinism)."""
         dim = embeddings.select(F.size("embedding").alias("d")).first()["d"]
-        planes = IVFIndex._planes(dim, num_cells, seed)
+        if num_cells == "auto":
+            num_cells = IVFIndex.auto_cells(embeddings.count())
+        planes = IVFIndex._planes(dim, int(num_cells), seed)
         indexed = _normed(embeddings).withColumn(
             "cell", IVFIndex._cell_expr(planes, "emb")
         )
-        return IVFIndex(indexed, num_cells, seed, dim)
+        return IVFIndex(indexed, int(num_cells), seed, dim)
 
     # ---- persistence -------------------------------------------------
     def write(self, path: str) -> None:

@@ -83,3 +83,36 @@ def test_fixture_vectors_are_dyadic(spark):
         expect[(c + 1) % 8] = d
         assert emb == expect
         assert (emb[(c + 1) % 8] * 1024.0) == int(emb[(c + 1) % 8] * 1024.0)
+
+
+def test_auto_cells_sqrt_rule():
+    from sparker_spark.llm.similarity import IVFIndex
+
+    assert IVFIndex.auto_cells(0) == 16
+    assert IVFIndex.auto_cells(2_000) == 32  # log2(44.7)=5.48 -> 2^5
+    assert IVFIndex.auto_cells(1_000_000) == 1024
+    assert IVFIndex.auto_cells(10**9) == 32768
+    assert IVFIndex.auto_cells(10**15) == 1 << 20  # clamped
+
+
+def test_auto_build_scales_cells_and_searches(spark):
+    """num_cells="auto" sizes the index from the corpus and the
+    search still returns well-formed top-k (recall is covered by the
+    probe1 exactness fixture; this pins the auto path end-to-end)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparker_spark.llm.similarity import IVFIndex
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    index = IVFIndex.build(df, num_cells="auto")
+    assert index.num_cells == 64  # sqrt(3000) ~ 54.8 -> 2^6
+    out = index.search(k=3, n_probe=2)
+    got = out.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 3 for r in got)
+    assert len(got) > 2500  # nearly every query finds neighbors

@@ -66,7 +66,12 @@ def main() -> None:
                 file=sys.stderr,
             )
             # partial record so an interrupted run still yields a
-            # measured bound
+            # measured bound (incl. the batch-factor trajectory)
+            step = max(1, len(batches) // 10)
+            dec = [
+                round(sum(batches[i:i + step]) / len(batches[i:i + step]), 2)
+                for i in range(0, len(batches), step)
+            ]
             with open(out_path + ".progress", "w") as f:
                 json.dump(
                     {
@@ -74,6 +79,8 @@ def main() -> None:
                         "merges_so_far": done,
                         "iterations": len(batches),
                         "mean_batch_factor": round(done / len(batches), 2),
+                        "sec_per_merge": round(el / max(1, done), 4),
+                        "batch_factor_by_iter_decile": dec,
                     },
                     f,
                 )
