@@ -288,11 +288,88 @@ surv AS (
 {_texts_select('surv', _WS_TOKS_SQL, PACK8_LEN, '<|sep|>')}"""
 
 
+
+
+# -------------------------------------------------- semantic dedup
+SEM_T = 0.42  # cosine threshold sized to the graded embeddings table
+# (max pairwise cosine 0.513 at sf0.01 — the synthetic vectors have no
+# true near-dups, so the gate exercises the machinery on the top of
+# the similarity distribution: ~34 all-pairs edges at 0.42, of which
+# the within-cell subset survives, plus every singleton labeled)
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-shaped embedding near-dup labeling under the
+    VALUE-HASH gate (llm/dedup.SemanticDedup): seeded hyperplane
+    cells -> within-cell rounded cosine >= SEM_T -> connected
+    components -> min-id canonical, singletons included — every
+    vector's (component, cluster_size, is_canonical) value-checked.
+    Uses the same (dim=64, cells=16, seed=1234) constants as the
+    gated IVF queries so the plane construction is pinned once."""
+    from sparker_spark.entry import load
+    from sparker_spark.entry_ext import IVF_CELLS, IVF_SEED
+    from sparker_spark.llm.dedup import SemanticDedup
+
+    return SemanticDedup.dedup(
+        load(spark, sf_dir, "embeddings"),
+        SEM_T,
+        num_cells=IVF_CELLS,
+        seed=IVF_SEED,
+    )
+
+
+def _o_dedup_semantic() -> str:
+    import random
+
+    from sparker_spark.entry_ext import IVF_CELLS, IVF_DIM, IVF_SEED
+
+    bits = IVF_CELLS.bit_length() - 1
+    rng = random.Random(IVF_SEED)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(IVF_DIM)]
+        for _ in range(bits)
+    ]
+    cell = " + ".join(
+        f"CASE WHEN list_dot_product(emb, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN {2**j} ELSE 0 END"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH RECURSIVE v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS norm
+  FROM embeddings),
+vc AS MATERIALIZED (SELECT vec_id, emb, norm, ({cell}) AS cell FROM v),
+sedges AS (
+  SELECT a.vec_id AS p1, b.vec_id AS p2
+  FROM vc a JOIN vc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6)
+        >= {SEM_T}),
+und AS (SELECT p1 AS u, p2 AS v FROM sedges
+        UNION SELECT p2, p1 FROM sedges),
+reach(u, r) AS (
+  SELECT DISTINCT u, u FROM und
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
+),
+comp AS (SELECT u, min(r) AS component FROM reach GROUP BY u),
+allnodes AS (
+  SELECT v.vec_id, coalesce(comp.component, v.vec_id) AS component
+  FROM v LEFT JOIN comp ON v.vec_id = comp.u),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM allnodes GROUP BY component)
+SELECT a.vec_id, a.component, s.cluster_size,
+       a.vec_id = a.component AS is_canonical
+FROM allnodes a JOIN sizes s USING (component)"""
+
+
 def r10_queries() -> dict:
     return {
         "text_trigram_logprob": q_text_trigram_logprob,
         "dedup_span_removal_chars": q_dedup_span_removal_chars,
         "pipeline_dsir_pretrain_e2e": q_pipeline_dsir_pretrain_e2e,
+        "dedup_semantic": q_dedup_semantic,
     }
 
 
@@ -301,4 +378,5 @@ def r10_oracles() -> dict:
         "text_trigram_logprob": _o_text_trigram_logprob(),
         "dedup_span_removal_chars": _o_dedup_span_removal_chars(),
         "pipeline_dsir_pretrain_e2e": _o_pipeline_dsir_pretrain(),
+        "dedup_semantic": _o_dedup_semantic(),
     }

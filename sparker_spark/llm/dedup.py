@@ -523,3 +523,97 @@ class Dedup:
             "keeper_id",
             (F.col("_rn") == 1).alias("kept"),
         )
+
+
+class SemanticDedup:
+    """Embedding-space near-duplicate removal (the SemDeDup shape,
+    Abbas et al. 2023 "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication" — public): cluster the embedding
+    space coarsely, compare ONLY within clusters, and keep one
+    representative per high-cosine group. Text-surface dedup
+    (exact/MinHash/SimHash above) cannot see paraphrases and
+    translations; embedding cosine can.
+
+    Spark-first deviations from the paper, both deterministic and
+    both documented: the coarse clusters are the engine's seeded
+    hyperplane cells (llm/similarity.IVFIndex — a (dim, cells, seed)
+    pure function, so the DuckDB oracle replays them exactly; the
+    paper uses k-means, whose iterations are seed- and
+    scheduling-sensitive), and the kept representative is the
+    group's MIN id (the paper keeps the vector farthest from the
+    centroid; min-id is the engine's established canonical rule,
+    dedup_cc_clusters). Connected components merge transitively (a~b,
+    b~c => one group), matching the paper's within-cluster dedup.
+
+    Scale posture: with cells sized ~sqrt(N) (IVFIndex.auto_cells),
+    within-cell pair volume is ~N^1.5/cells = N * sqrt(N)/cells-ish
+    per cell budget — never all-pairs; the CC is the pointer-jumping
+    one (graph.py), logarithmic rounds. Cross-cell near-dups at the
+    cell boundary are missed exactly as the paper's k-means variant
+    misses them (documented recall trade of every clustered dedup).
+    """
+
+    @staticmethod
+    def pairs(
+        embeddings: DataFrame,
+        threshold: float,
+        num_cells: int | str = 16,
+        seed: int = 1234,
+    ) -> DataFrame:
+        """(p1, p2, cosine): within-cell pairs (p1 < p2) with rounded
+        cosine >= threshold. One keyed self-join on the cell id."""
+        from sparker_spark.llm.similarity import DOT, IVFIndex
+
+        rel = IVFIndex.build(
+            embeddings, num_cells=num_cells, seed=seed
+        ).indexed
+        a = rel.select(
+            "cell",
+            F.col("vec_id").alias("p1"),
+            F.col("emb").alias("e1"),
+            F.col("norm").alias("n1"),
+        )
+        b = rel.select(
+            "cell",
+            F.col("vec_id").alias("p2"),
+            F.col("emb").alias("e2"),
+            F.col("norm").alias("n2"),
+        )
+        scored = (
+            a.join(b, "cell")
+            .where(F.col("p1") < F.col("p2"))
+            .select(
+                "p1",
+                "p2",
+                rnd(
+                    F.expr(DOT) / (F.col("n1") * F.col("n2")), 6
+                ).alias("cosine"),
+            )
+        )
+        return scored.where(F.col("cosine") >= float(threshold))
+
+    @staticmethod
+    def dedup(
+        embeddings: DataFrame,
+        threshold: float,
+        num_cells: int | str = 16,
+        seed: int = 1234,
+    ) -> DataFrame:
+        """(vec_id, component, cluster_size, is_canonical): every
+        vector labeled with its semantic-duplicate group; vectors with
+        no near-dup are their own canonical singleton. Filter
+        is_canonical to materialize the deduplicated corpus."""
+        from sparker_spark.graph import ConnectedComponents
+
+        edges = SemanticDedup.pairs(
+            embeddings, threshold, num_cells=num_cells, seed=seed
+        ).select("p1", "p2")
+        nodes = embeddings.select(F.col("vec_id").alias("node"))
+        return ConnectedComponents.canonical_groups(
+            edges, nodes=nodes
+        ).select(
+            F.col("node").alias("vec_id"),
+            "component",
+            "cluster_size",
+            "is_canonical",
+        )

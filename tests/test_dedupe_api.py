@@ -165,3 +165,48 @@ def test_dedupe_three_sources_cross_only(spark):
     assert ("a1", "a2") not in pairs
     for want in (("a1", "b1"), ("a2", "b1"), ("a1", "c1"), ("b1", "c1")):
         assert want in pairs, want
+
+
+def test_semantic_dedup_groups_and_singletons(spark):
+    """SemanticDedup: identical vectors group transitively (a~b, b~c
+    => one component, min-id canonical); dissimilar vectors stay
+    canonical singletons; every input vector is labeled."""
+    from pyspark.sql import functions as F
+
+    from sparker_spark.llm.dedup import SemanticDedup
+
+    base = [1.0] * 8
+    near = [1.0] * 7 + [1.05]
+    anti = [-1.0] * 8
+    ortho = [1.0, -1.0] * 4
+    rows = [
+        (0, base),
+        (1, base),
+        (2, near),
+        (10, anti),
+        (20, ortho),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in SemanticDedup.dedup(df, 0.99, num_cells=16).collect()
+    }
+    assert len(out) == 5  # every vector labeled
+    # 0,1,2 join one group (0-1 exact, 1-2 cosine > 0.99) IF they share
+    # a cell — identical/near-identical vectors always do (same signs)
+    assert out[0]["component"] == out[1]["component"] == out[2]["component"]
+    assert out[0]["cluster_size"] == 3
+    assert out[0]["is_canonical"] and not out[1]["is_canonical"]
+    # anti/ortho: no near-dup -> canonical singletons
+    for vid in (10, 20):
+        assert out[vid]["cluster_size"] == 1 and out[vid]["is_canonical"]
+
+
+def test_semantic_pairs_threshold(spark):
+    from sparker_spark.llm.dedup import SemanticDedup
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = SemanticDedup.pairs(df, 0.999, num_cells=16).collect()
+    assert [(r["p1"], r["p2"]) for r in got] == [(0, 1)]
+    assert got[0]["cosine"] >= 0.999
