@@ -364,12 +364,83 @@ SELECT a.vec_id, a.component, s.cluster_size,
 FROM allnodes a JOIN sizes s USING (component)"""
 
 
+
+
+def q_dedup_semantic_probe1(spark, sf_dir):
+    """The multi-probe twin of dedup_semantic: pairs whose cells
+    differ in at most ONE hyperplane sign bit also compared — the
+    boundary-recall recovery (a near-dup straddling a plane lands in
+    adjacent cells). Candidate volume grows by <= (log2 cells + 1)x;
+    the oracle enumerates the same pair set with a symmetric
+    Hamming<=1 cell condition."""
+    from sparker_spark.entry import load
+    from sparker_spark.entry_ext import IVF_CELLS, IVF_SEED
+    from sparker_spark.llm.dedup import SemanticDedup
+
+    return SemanticDedup.dedup(
+        load(spark, sf_dir, "embeddings"),
+        SEM_T,
+        num_cells=IVF_CELLS,
+        seed=IVF_SEED,
+        multi_probe=True,
+    )
+
+
+def _o_dedup_semantic_probe1() -> str:
+    import random
+
+    from sparker_spark.entry_ext import IVF_CELLS, IVF_DIM, IVF_SEED
+
+    bits = IVF_CELLS.bit_length() - 1
+    rng = random.Random(IVF_SEED)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(IVF_DIM)]
+        for _ in range(bits)
+    ]
+    cell = " + ".join(
+        f"CASE WHEN list_dot_product(emb, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN {2**j} ELSE 0 END"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH RECURSIVE v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS norm
+  FROM embeddings),
+vc AS MATERIALIZED (SELECT vec_id, emb, norm, ({cell}) AS cell FROM v),
+sedges AS (
+  SELECT a.vec_id AS p1, b.vec_id AS p2
+  FROM vc a JOIN vc b
+    ON a.vec_id < b.vec_id
+   AND bit_count(CAST(xor(a.cell, b.cell) AS BIGINT)) <= 1
+  WHERE round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6)
+        >= {SEM_T}),
+und AS (SELECT p1 AS u, p2 AS v FROM sedges
+        UNION SELECT p2, p1 FROM sedges),
+reach(u, r) AS (
+  SELECT DISTINCT u, u FROM und
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
+),
+comp AS (SELECT u, min(r) AS component FROM reach GROUP BY u),
+allnodes AS (
+  SELECT v.vec_id, coalesce(comp.component, v.vec_id) AS component
+  FROM v LEFT JOIN comp ON v.vec_id = comp.u),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM allnodes GROUP BY component)
+SELECT a.vec_id, a.component, s.cluster_size,
+       a.vec_id = a.component AS is_canonical
+FROM allnodes a JOIN sizes s USING (component)"""
+
+
 def r10_queries() -> dict:
     return {
         "text_trigram_logprob": q_text_trigram_logprob,
         "dedup_span_removal_chars": q_dedup_span_removal_chars,
         "pipeline_dsir_pretrain_e2e": q_pipeline_dsir_pretrain_e2e,
         "dedup_semantic": q_dedup_semantic,
+        "dedup_semantic_probe1": q_dedup_semantic_probe1,
     }
 
 
@@ -379,4 +450,5 @@ def r10_oracles() -> dict:
         "dedup_span_removal_chars": _o_dedup_span_removal_chars(),
         "pipeline_dsir_pretrain_e2e": _o_pipeline_dsir_pretrain(),
         "dedup_semantic": _o_dedup_semantic(),
+        "dedup_semantic_probe1": _o_dedup_semantic_probe1(),
     }

@@ -559,32 +559,70 @@ class SemanticDedup:
         threshold: float,
         num_cells: int | str = 16,
         seed: int = 1234,
+        multi_probe: bool = False,
     ) -> DataFrame:
         """(p1, p2, cosine): within-cell pairs (p1 < p2) with rounded
-        cosine >= threshold. One keyed self-join on the cell id."""
+        cosine >= threshold. One keyed self-join on the cell id.
+
+        ``multi_probe=True`` additionally compares pairs whose cells
+        differ in ONE hyperplane sign bit — near-dups sitting on a
+        plane boundary land in adjacent cells, the recall loss every
+        clustered dedup trades away. Each vector fans out to its
+        UPWARD Hamming-1 neighbor cells on one join side only
+        (neighbor > home), so every qualifying pair is enumerated
+        exactly once and candidate volume grows by at most
+        (log2 cells + 1)x — still sub-quadratic, never all-pairs."""
         from sparker_spark.llm.similarity import DOT, IVFIndex
 
-        rel = IVFIndex.build(
+        index = IVFIndex.build(
             embeddings, num_cells=num_cells, seed=seed
-        ).indexed
-        a = rel.select(
+        )
+        rel = index.indexed
+        if multi_probe:
+            # each vector fans out to its UPWARD (neighbor > home)
+            # Hamming-1 cells plus home; a cross-cell pair (c1 < c2,
+            # one bit apart) is then enumerable ONLY as (lower-cell
+            # vector expanded up) x (higher-cell vector at home) —
+            # exactly once, regardless of id order. Same-cell pairs
+            # keep the id-ordered guard.
+            bits = index.num_cells.bit_length() - 1
+            a_rel = rel.select(
+                F.col("cell").alias("home"),
+                F.explode(
+                    F.expr(
+                        "filter(transform(sequence(0, "
+                        f"{bits}), j -> IF(j = {bits}, cell, "
+                        "cell ^ shiftleft(1, j))), c -> c >= cell)"
+                    )
+                ).alias("cell"),
+                "vec_id",
+                "emb",
+                "norm",
+            )
+        else:
+            a_rel = rel.select(F.col("cell").alias("home"), "*")
+        a = a_rel.select(
+            "home",
             "cell",
-            F.col("vec_id").alias("p1"),
+            F.col("vec_id").alias("i1"),
             F.col("emb").alias("e1"),
             F.col("norm").alias("n1"),
         )
         b = rel.select(
             "cell",
-            F.col("vec_id").alias("p2"),
+            F.col("vec_id").alias("i2"),
             F.col("emb").alias("e2"),
             F.col("norm").alias("n2"),
         )
         scored = (
             a.join(b, "cell")
-            .where(F.col("p1") < F.col("p2"))
+            .where(
+                ((F.col("home") == F.col("cell")) & (F.col("i1") < F.col("i2")))
+                | (F.col("home") != F.col("cell"))
+            )
             .select(
-                "p1",
-                "p2",
+                F.least("i1", "i2").alias("p1"),
+                F.greatest("i1", "i2").alias("p2"),
                 rnd(
                     F.expr(DOT) / (F.col("n1") * F.col("n2")), 6
                 ).alias("cosine"),
@@ -598,6 +636,7 @@ class SemanticDedup:
         threshold: float,
         num_cells: int | str = 16,
         seed: int = 1234,
+        multi_probe: bool = False,
     ) -> DataFrame:
         """(vec_id, component, cluster_size, is_canonical): every
         vector labeled with its semantic-duplicate group; vectors with
@@ -606,7 +645,11 @@ class SemanticDedup:
         from sparker_spark.graph import ConnectedComponents
 
         edges = SemanticDedup.pairs(
-            embeddings, threshold, num_cells=num_cells, seed=seed
+            embeddings,
+            threshold,
+            num_cells=num_cells,
+            seed=seed,
+            multi_probe=multi_probe,
         ).select("p1", "p2")
         nodes = embeddings.select(F.col("vec_id").alias("node"))
         return ConnectedComponents.canonical_groups(

@@ -210,3 +210,67 @@ def test_semantic_pairs_threshold(spark):
     got = SemanticDedup.pairs(df, 0.999, num_cells=16).collect()
     assert [(r["p1"], r["p2"]) for r in got] == [(0, 1)]
     assert got[0]["cosine"] >= 0.999
+
+
+def test_semantic_multi_probe_catches_boundary_pairs(spark):
+    """Near-identical vectors can straddle one hyperplane and land in
+    Hamming-1 cells — single-probe misses them, multi_probe=True
+    enumerates them exactly once."""
+    import random
+
+    from sparker_spark.llm.dedup import SemanticDedup
+    from sparker_spark.llm.similarity import IVFIndex
+
+    # construct the straddle deterministically: project a random base
+    # ONTO plane 0 (zero dot product), then nudge +-eps along the
+    # plane normal — the two copies differ only in sign bit 0 while
+    # staying ~identical in cosine
+    planes = IVFIndex._planes(16, 16, 1234)
+    p0 = planes[0]
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    dot = sum(b * x for b, x in zip(base, p0))
+    nn = sum(x * x for x in p0)
+    on_plane = [b - dot * x / nn for b, x in zip(base, p0)]
+    eps = 1e-3
+    rows = [
+        (0, [b + eps * x for b, x in zip(on_plane, p0)]),
+        (1, [b - eps * x for b, x in zip(on_plane, p0)]),
+    ] + [
+        (i, [x + rng.gauss(0, 0.02) for x in on_plane])
+        for i in range(2, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in IVFIndex.build(df, num_cells=16).indexed.select(
+            "vec_id", "cell"
+        ).collect()
+    }
+    ham1 = [
+        (i, j)
+        for i in cells
+        for j in cells
+        if i < j and bin(cells[i] ^ cells[j]).count("1") == 1
+    ]
+    assert ham1, "fixture must straddle at least one plane"
+    single = {
+        (r["p1"], r["p2"])
+        for r in SemanticDedup.pairs(df, 0.99, num_cells=16).collect()
+    }
+    multi = {
+        (r["p1"], r["p2"])
+        for r in SemanticDedup.pairs(
+            df, 0.99, num_cells=16, multi_probe=True
+        ).collect()
+    }
+    assert single <= multi
+    gained = multi - single
+    assert gained and all(
+        bin(cells[i] ^ cells[j]).count("1") == 1 for i, j in gained
+    )
+    # exactly-once: multi is a SET relation (no duplicate pairs)
+    raw = SemanticDedup.pairs(
+        df, 0.99, num_cells=16, multi_probe=True
+    ).collect()
+    assert len(raw) == len(multi)
