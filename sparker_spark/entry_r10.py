@@ -434,6 +434,78 @@ SELECT a.vec_id, a.component, s.cluster_size,
 FROM allnodes a JOIN sizes s USING (component)"""
 
 
+
+
+# ------------------------------------------- quality classifier
+QC_B = 512
+QC_LABEL = "lang = 'en'"  # weak positive label: the corpus's en docs
+# stand in for the wiki-proxy class of the published recipe (GPT-3 /
+# CCNet / DataComp filter with a linear classifier on weak labels)
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-architecture quality filter under the VALUE-HASH
+    gate (llm/classifier.QualityClassifier): hashed unigram+bigram
+    NB log-odds, one-pass deterministic training, map-literal
+    scoring — every document's logit and keep/drop decision
+    value-checked against an oracle that replays TRAINING AND
+    SCORING in SQL."""
+    from sparker_spark.entry import _parallelize_scan, load
+    from sparker_spark.llm.classifier import QualityClassifier
+
+    return QualityClassifier.train_score(
+        _parallelize_scan(load(spark, sf_dir, "documents")),
+        QC_LABEL,
+        buckets=QC_B,
+    )
+
+
+def _o_quality_classifier() -> str:
+    return f"""
+WITH dtoks AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[ \\t\\r\\n\\f\\x0B]+'),
+                      t -> len(t) > 0) AS t
+          FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_concat(
+    list_transform(t, x -> 'u|' || x),
+    CASE WHEN len(t) >= 2 THEN
+      list_transform(range(1, len(t)), i -> 'b|' || t[i] || ' ' || t[i+1])
+    ELSE [] END)) AS g
+  FROM dtoks),
+counts AS (SELECT doc_id,
+           (('0x' || substr(md5(g), 1, 15))::BIGINT) % {QC_B} AS bucket,
+           count(*) AS c
+           FROM grams GROUP BY 1, 2),
+pos AS (SELECT doc_id FROM documents WHERE {QC_LABEL}),
+cp AS (SELECT bucket, sum(c) AS cnt1 FROM counts
+       JOIN pos USING (doc_id) GROUP BY 1),
+cn AS (SELECT bucket, sum(c) AS cnt0 FROM counts
+       ANTI JOIN pos USING (doc_id) GROUP BY 1),
+scal AS (SELECT
+  (SELECT coalesce(sum(cnt1), 0) FROM cp) AS n1,
+  (SELECT coalesce(sum(cnt0), 0) FROM cn) AS n0,
+  (SELECT count(*) FROM pos) AS d1,
+  (SELECT count(*) FROM documents) - (SELECT count(*) FROM pos) AS d0),
+w AS (SELECT coalesce(cp.bucket, cn.bucket) AS bucket,
+      CAST(round(
+        ln((coalesce(cnt1, 0) + 1.0) / (scal.n1 + {QC_B}.0))
+      - ln((coalesce(cnt0, 0) + 1.0) / (scal.n0 + {QC_B}.0)), 6)
+      AS DECIMAL(18,6)) AS w
+      FROM cp FULL JOIN cn USING (bucket), scal),
+sc AS (SELECT doc_id, sum(c) AS n_grams, sum(c * w) AS s
+       FROM counts JOIN w USING (bucket) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+       round(CAST(coalesce(sc.s, 0) AS DOUBLE)
+             + round(ln(CAST(scal.d1 AS DOUBLE) / scal.d0), 6), 6)
+         AS logit,
+       round(CAST(coalesce(sc.s, 0) AS DOUBLE)
+             + round(ln(CAST(scal.d1 AS DOUBLE) / scal.d0), 6), 6) >= 0
+         AS pred
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id, scal"""
+
+
 def r10_queries() -> dict:
     return {
         "text_trigram_logprob": q_text_trigram_logprob,
@@ -441,6 +513,7 @@ def r10_queries() -> dict:
         "pipeline_dsir_pretrain_e2e": q_pipeline_dsir_pretrain_e2e,
         "dedup_semantic": q_dedup_semantic,
         "dedup_semantic_probe1": q_dedup_semantic_probe1,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -451,4 +524,5 @@ def r10_oracles() -> dict:
         "pipeline_dsir_pretrain_e2e": _o_pipeline_dsir_pretrain(),
         "dedup_semantic": _o_dedup_semantic(),
         "dedup_semantic_probe1": _o_dedup_semantic_probe1(),
+        "quality_classifier": _o_quality_classifier(),
     }
