@@ -38,6 +38,9 @@ def curate(
     min_lm_logprob: float | None = None,
     lm_floor_quantile: float | None = None,
     lm_order: int = 3,
+    classifier_labels: DataFrame | None = None,
+    classifier_buckets: int = 512,
+    min_classifier_logit: float = 0.0,
     exact_dedup: bool = True,
     dup_span_words: int | None = None,
     dup_span_min_occ: int = 2,
@@ -85,6 +88,14 @@ def curate(
       cut text is what gets shingled); docs left empty are dropped.
       NOTE: surviving text is whitespace-normalized (single spaces) by
       the word-level reconstruction.
+    * ``classifier_labels``: (doc_id) relation of weak POSITIVE
+      examples (e.g. the wiki-proxy sources) — when given, a
+      fastText-architecture NB quality classifier
+      (llm/classifier.QualityClassifier) is trained on the corpus
+      against these labels and documents scoring below
+      ``min_classifier_logit`` are dropped (the GPT-3/CCNet/DataComp
+      classifier-filter stage). Runs after the LM floor, before the
+      surface-stat filters.
     * ``jaccard_threshold``: near-dup removal threshold; ``None`` skips
       the whole LSH + connected-components stage.
     * ``boilerplate_min_docs``: when set, lines shared by that many
@@ -168,6 +179,19 @@ def curate(
                 F.col("avg_logprob").isNull()
                 | (F.col("avg_logprob") >= floor)
             )
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
+
+    if classifier_labels is not None:
+        from sparker_spark.llm.classifier import QualityClassifier
+
+        scores = QualityClassifier.train_score(
+            docs, classifier_labels, buckets=int(classifier_buckets)
+        ).select("doc_id", "logit")
+        docs = (
+            docs.join(scores, "doc_id")
+            .where(F.col("logit") >= float(min_classifier_logit))
             .select("doc_id", "text")
             .localCheckpoint(eager=True)
         )

@@ -506,6 +506,40 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id, scal"""
 
 
+
+
+def q_curation_classifier_filter(spark, sf_dir):
+    """curate(classifier_labels=...) under the VALUE-HASH gate: the
+    classifier-filter stage alone (all other stages off) — weak
+    positives are the corpus's en docs, and every surviving byte is
+    checked against the oracle's replay of training + scoring +
+    threshold."""
+    from sparker_spark.curate import curate
+    from sparker_spark.entry import _parallelize_scan, load
+
+    docs = _parallelize_scan(load(spark, sf_dir, "documents"))
+    labels = docs.where(QC_LABEL).select("doc_id")
+    return curate(
+        docs,
+        redact=False,
+        min_quality=None,
+        max_top_ngram_frac=None,
+        max_dup_ngram_frac=None,
+        exact_dedup=False,
+        jaccard_threshold=None,
+        classifier_labels=labels,
+        classifier_buckets=QC_B,
+    )
+
+
+def _o_curation_classifier_filter() -> str:
+    return f"""
+WITH scored AS ({_o_quality_classifier().strip()})
+SELECT d.doc_id, d.text
+FROM documents d JOIN scored USING (doc_id)
+WHERE scored.logit >= 0.0"""
+
+
 def r10_queries() -> dict:
     return {
         "text_trigram_logprob": q_text_trigram_logprob,
@@ -514,6 +548,7 @@ def r10_queries() -> dict:
         "dedup_semantic": q_dedup_semantic,
         "dedup_semantic_probe1": q_dedup_semantic_probe1,
         "quality_classifier": q_quality_classifier,
+        "curation_classifier_filter": q_curation_classifier_filter,
     }
 
 
@@ -525,4 +560,5 @@ def r10_oracles() -> dict:
         "dedup_semantic": _o_dedup_semantic(),
         "dedup_semantic_probe1": _o_dedup_semantic_probe1(),
         "quality_classifier": _o_quality_classifier(),
+        "curation_classifier_filter": _o_curation_classifier_filter(),
     }

@@ -38,7 +38,7 @@ class QualityClassifier:
     @staticmethod
     def train_score(
         documents: DataFrame,
-        label_predicate: str,
+        label_predicate: str | DataFrame,
         buckets: int = DEFAULT_BUCKETS,
         alpha: float = 1.0,
         text_col: str = "text",
@@ -62,7 +62,14 @@ class QualityClassifier:
         base = documents.select(
             "doc_id", F.expr(bkts).alias("_bkts")
         ).localCheckpoint(eager=True)
-        pos_ids = documents.where(label_predicate).select("doc_id")
+        # the positive class: a predicate over ``documents``, or a
+        # (doc_id) relation — curate() passes the latter because its
+        # working frame is column-pruned to (doc_id, text) while weak
+        # labels usually live on the ORIGINAL metadata columns
+        if isinstance(label_predicate, str):
+            pos_ids = documents.where(label_predicate).select("doc_id")
+        else:
+            pos_ids = label_predicate.select("doc_id").distinct()
         occ1 = base.join(pos_ids, "doc_id").select(
             F.explode("_bkts").alias("bucket")
         )
@@ -73,8 +80,8 @@ class QualityClassifier:
         c0 = occ0.groupBy("bucket").agg(F.count("*").alias("c0"))
         n1 = c1.agg(F.sum("c1")).first()[0] or 0
         n0 = c0.agg(F.sum("c0")).first()[0] or 0
-        d1 = pos_ids.count()
-        d0 = documents.count() - d1
+        d1 = base.join(pos_ids, "doc_id").count()
+        d0 = base.count() - d1
         if d1 == 0 or d0 == 0:
             raise ValueError(
                 "quality classifier needs BOTH classes non-empty: "
