@@ -63,3 +63,36 @@ def test_classifier_requires_both_classes(spark):
         QualityClassifier.train_score(docs, "source = 'x'")
     with pytest.raises(ValueError, match="BOTH classes"):
         QualityClassifier.train_score(docs, "source = 'nope'")
+
+
+def test_curate_classifier_stage_composes(spark):
+    """curate(classifier_labels=...) composes with the quality floor
+    and exact dedup: the classifier drops off-distribution docs, the
+    later stages still run on the survivors."""
+    from sparker_spark.curate import curate
+
+    good_text = "the quick brown fox jumps over the lazy dog again"
+    rows = (
+        [(i, good_text, "good") for i in range(10)]
+        + [(50 + i, "zz qq xx vv kk jj ww yy uu tt", "bad")
+           for i in range(10)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    labels = docs.where("source = 'good'").select("doc_id")
+    out = curate(
+        docs,
+        redact=False,
+        min_quality=None,
+        max_top_ngram_frac=None,
+        max_dup_ngram_frac=None,
+        jaccard_threshold=None,
+        exact_dedup=True,
+        classifier_labels=labels,
+        classifier_buckets=128,
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # classifier drops the word-salad class; exact dedup then keeps
+    # ONE canonical copy of the identical good docs
+    assert kept == {0}
