@@ -338,6 +338,54 @@ class BPE:
         )
 
     @staticmethod
+    def _apply_ranked_passes(
+        syms: list, rank_of: dict[tuple[str, str], int]
+    ) -> list:
+        """Replay a merge table over one word's symbols EXACTLY as the
+        training loop would have evolved them: merges apply in rank
+        order, each as ONE left-to-right non-overlapping pass, and a
+        pair re-exposed AFTER its rank has passed stays unmerged (the
+        training state never revisits earlier ranks — this is where
+        the priority encoder :meth:`_encode_word` legitimately
+        differs, so resume must NOT use it).
+
+        Simulation: track the last applied rank (``time``); repeatedly
+        apply the minimum-rank adjacent pair with rank > time. Between
+        two firings no other merge touches the word, so skipping the
+        non-firing ranks is exact. O(firings × len) per word, and
+        firings ≤ len(syms) - 1."""
+        time = -1
+        while len(syms) > 1:
+            best = None
+            best_pair = None
+            for i in range(len(syms) - 1):
+                r = rank_of.get((syms[i], syms[i + 1]))
+                if r is not None and r > time and (
+                    best is None or r < best
+                ):
+                    best, best_pair = r, (syms[i], syms[i + 1])
+            if best is None:
+                break
+            left, right = best_pair
+            merged = left + right
+            out: list = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+            time = best
+        return syms
+
+    @staticmethod
     def _merge_expr(syms, left: str, right: str):
         """One left-to-right non-overlapping merge pass over a symbol
         array, as a pure column expression (sequential fold — correct
@@ -394,6 +442,7 @@ class BPE:
         min_count: int = DEFAULT_MIN_COUNT,
         byte_level: bool = False,
         batch_pairs: int = 1,
+        resume_merges: list[tuple[int, str, str]] | None = None,
     ) -> DataFrame:
         """Learn up to ``num_merges`` merges; returns the merge table
         (rank, left, right, merged) with rank 1 = first/most-frequent.
@@ -417,15 +466,60 @@ class BPE:
         shared rewrite pass instead of a full job round-trip. Batches
         shrink automatically (to singletons in the worst case) when
         the top pairs interact, so correctness never depends on the
-        corpus."""
+        corpus.
+
+        ``resume_merges``: continue an interrupted run from its saved
+        merge table — a list of (rank, left, right) with contiguous
+        ranks 1..k. The initial vocab state is replayed through the
+        given merges with :meth:`_apply_ranked_passes` (one Arrow
+        mapInPandas pass over the Heaps-small vocab — NOT the corpus),
+        which reproduces the training-state evolution exactly, so
+        ``train(D, n)`` equals ``train(D, n, resume_merges=m_k)`` for
+        any prefix ``m_k`` of its own merges (property-tested in
+        tests/test_bpe.py)."""
         spark = docs.sparkSession
         state = BPE._init_state(
             BPE.word_vocab(docs, text_col), byte_level=byte_level
-        ).localCheckpoint(eager=True)
+        )
         merges: list[tuple[int, str, str, str]] = []
         merged_seen: set[str] = set()
         num_merges = int(num_merges)
         batch_pairs = max(1, int(batch_pairs))
+        if resume_merges:
+            ordered = sorted(
+                (int(k), str(l), str(r)) for k, l, r in resume_merges
+            )
+            if [k for k, _, _ in ordered] != list(
+                range(1, len(ordered) + 1)
+            ):
+                raise ValueError(
+                    "resume_merges ranks must be contiguous 1..k"
+                )
+            rank_of = {(l, r): k for k, l, r in ordered}
+
+            def replay(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    yield pd.DataFrame(
+                        {
+                            "word": pdf["word"],
+                            "n": pdf["n"],
+                            "syms": [
+                                BPE._apply_ranked_passes(
+                                    list(s), rank_of
+                                )
+                                for s in pdf["syms"]
+                            ],
+                        }
+                    )
+
+            state = state.mapInPandas(
+                replay, schema="word string, n long, syms array<string>"
+            )
+            merges = [(k, l, r, l + r) for k, l, r in ordered]
+            merged_seen = {l + r for _, l, r in ordered}
+        state = state.localCheckpoint(eager=True)
         while len(merges) < num_merges:
             top_k = max(8, 4 * batch_pairs)
             top = (

@@ -628,3 +628,78 @@ def test_train_local_batched_matches(spark):
         .collect()
     ]
     assert bat == seq
+
+
+def test_resume_equals_uninterrupted(spark):
+    """train(D, n, resume_merges=prefix_of_its_own_merges) must equal
+    train(D, n) for ANY prefix — including one that splits a batch —
+    because _apply_ranked_passes replays the exact training-state
+    evolution (rank-order single passes; re-exposed earlier pairs stay
+    unmerged)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the the the banana bandana banana"),
+            (2, "aaaa aaa aa a abab ababab"),
+            (3, "low lower lowest newer newest wider widest"),
+        ]
+        * 5,
+        ["doc_id", "text"],
+    )
+    full = [
+        tuple(r)
+        for r in BPE.train(docs, 24, byte_level=True, batch_pairs=6)
+        .orderBy("rank")
+        .collect()
+    ]
+    for cut in (1, 7, 12, 23):
+        prefix = [(k, l, r) for k, l, r, _m in full if k <= cut]
+        resumed = [
+            tuple(r)
+            for r in BPE.train(
+                docs,
+                24,
+                byte_level=True,
+                batch_pairs=6,
+                resume_merges=prefix,
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+        assert resumed == full, (cut, full, resumed)
+
+
+def test_resume_rejects_gapped_ranks(spark):
+    docs = spark.createDataFrame([(0, "ab ab ab ab")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        BPE.train(docs, 4, resume_merges=[(2, "a", "b")])
+
+
+def test_apply_ranked_passes_skips_reexposed_pair():
+    """A pair re-exposed AFTER its rank has passed must stay unmerged
+    — the point where training-state replay differs from the priority
+    encoder."""
+    # merges: 1=(a,b)->ab  2=(c,ab)->cab  3=(x,c)->xc
+    # word 'xcab': rank1 fires -> [x,c,ab]; rank2 fires -> [x,cab];
+    # rank3's pair (x,c) was consumed before it could fire at rank 3?
+    # no — after rank2 the word is [x,cab]: (x,c) never adjacent again.
+    rank_of = {("a", "b"): 1, ("c", "ab"): 2, ("x", "c"): 3}
+    assert BPE._apply_ranked_passes(list("xcab"), rank_of) == ["x", "cab"]
+    # word 'cxab': rank1 -> [c,x,ab]; rank2 pair (c,ab) NOT adjacent;
+    # rank3 pair (x,c) NOT adjacent (order is c,x) -> stops.
+    assert BPE._apply_ranked_passes(list("cxab"), rank_of) == [
+        "c",
+        "x",
+        "ab",
+    ]
+    # re-exposure: merges 1=(b,c) 2=(a,b). word 'abc': rank1 fires
+    # -> [a, bc]; rank2's (a,b) is gone. word 'abbc': rank1 ->
+    # [a,b,bc]; rank2 fires -> [ab, bc]. Now suppose merge 3=(a,b)
+    # cannot exist twice — instead check a LOWER rank re-exposed:
+    # merges 1=(a,b) 2=(b,c). word 'abbcb' + later exposure of (a,b)
+    # via rank2 cannot happen (merges only create new symbols), but
+    # (b,c) exposed by rank1? 'ab' consumed b. Use the classic case:
+    # merges 1=(b,b) 2=(a,b). 'abb': rank1 -> [a, bb]; (a,b) gone.
+    assert BPE._apply_ranked_passes(
+        list("abb"), {("b", "b"): 1, ("a", "b"): 2}
+    ) == ["a", "bb"]
