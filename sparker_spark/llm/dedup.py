@@ -545,21 +545,35 @@ class SemanticDedup:
     dedup_cc_clusters). Connected components merge transitively (a~b,
     b~c => one group), matching the paper's within-cluster dedup.
 
-    Scale posture: with cells sized ~sqrt(N) (IVFIndex.auto_cells),
-    within-cell pair volume is ~N^1.5/cells = N * sqrt(N)/cells-ish
-    per cell budget — never all-pairs; the CC is the pointer-jumping
-    one (graph.py), logarithmic rounds. Cross-cell near-dups at the
-    cell boundary are missed exactly as the paper's k-means variant
-    misses them (documented recall trade of every clustered dedup).
+    Scale posture — CELL SIZING IS THE WHOLE GAME, because dedup makes
+    EVERY vector a query (nothing amortizes):
+
+    * ``target_cell_size=k`` (the PRODUCTION mode for dedup): cells ≈
+      N/k, per-cell pair volume ≤ k², total candidate volume ≈ N·k —
+      LINEAR in the corpus. This matches SemDeDup's constant-size
+      k-means clusters (cluster count grows with N).
+    * ``num_cells="auto"`` (the default): sqrt-N cells — right for
+      SEARCH (per-query cost ~sqrt(N)), but total dedup volume is
+      N^1.5: sub-quadratic yet super-linear, measurably so at the
+      decade (bench_decade_newq_sf10.json).
+    * a pinned integer (the gates use 16): deterministic correctness
+      anchor; quadratic-per-cell — never use it at scale.
+
+    The CC is the pointer-jumping one (graph.py), logarithmic rounds.
+    Cross-cell near-dups at the cell boundary are missed exactly as
+    the paper's k-means variant misses them (documented recall trade
+    of every clustered dedup) unless ``multi_probe`` is on.
     """
 
     @staticmethod
     def pairs(
         embeddings: DataFrame,
-        threshold: float,
-        num_cells: int | str = 16,
+        threshold: float | None,
+        num_cells: int | str = "auto",
         seed: int = 1234,
-        multi_probe: bool = False,
+        multi_probe: bool | str = False,
+        target_cell_size: int | None = None,
+        probe_margin: float = 0.05,
     ) -> DataFrame:
         """(p1, p2, cosine): within-cell pairs (p1 < p2) with rounded
         cosine >= threshold. One keyed self-join on the cell id.
@@ -571,14 +585,58 @@ class SemanticDedup:
         UPWARD Hamming-1 neighbor cells on one join side only
         (neighbor > home), so every qualifying pair is enumerated
         exactly once and candidate volume grows by at most
-        (log2 cells + 1)x — still sub-quadratic, never all-pairs."""
+        (log2 cells + 1)x — still sub-quadratic, never all-pairs.
+
+        ``multi_probe="margin"`` prunes that fan-out to the planes the
+        vector is actually NEAR: expand along bit j only when
+        |proj_j|/norm < ``probe_margin``. Only boundary vectors can
+        gain recall from probing (a vector far from plane j has its
+        whole cosine-neighborhood on its own side), so the pruned
+        variant keeps the recall at a fraction of the candidates —
+        measured on the sf0.1 fixture in bench_semdedup_prod.json."""
         from sparker_spark.llm.similarity import DOT, IVFIndex
 
         index = IVFIndex.build(
-            embeddings, num_cells=num_cells, seed=seed
+            embeddings,
+            num_cells=num_cells,
+            seed=seed,
+            target_cell_size=target_cell_size,
         )
         rel = index.indexed
-        if multi_probe:
+        if multi_probe == "margin":
+            bits = index.num_cells.bit_length() - 1
+            planes = IVFIndex._planes(index.dim, index.num_cells, index.seed)
+            projs = IVFIndex._proj_exprs(planes, "emb")
+            # expand along bit j only if (a) it flips UPWARD (bit is
+            # 0 — keeps the exactly-once enumeration of the full
+            # variant) and (b) the vector sits within probe_margin of
+            # plane j relative to its norm
+            ups = [
+                F.when(
+                    (F.col("cell").bitwiseAND(F.lit(1 << j)) == 0)
+                    & (
+                        # rounded per the repo's cross-engine rounding
+                        # discipline so the SQL oracle can replay the
+                        # margin test bit-for-bit
+                        rnd(F.abs(projs[j]) / F.col("norm"), 6)
+                        < F.lit(float(probe_margin))
+                    ),
+                    F.col("cell") + F.lit(1 << j),
+                ).otherwise(F.lit(-1))
+                for j in range(bits)
+            ]
+            neighbors = F.concat(
+                F.array(F.col("cell")),
+                F.filter(F.array(*ups), lambda c: c >= 0),
+            )
+            a_rel = rel.select(
+                F.col("cell").alias("home"),
+                F.explode(neighbors).alias("cell"),
+                "vec_id",
+                "emb",
+                "norm",
+            )
+        elif multi_probe:
             # each vector fans out to its UPWARD (neighbor > home)
             # Hamming-1 cells plus home; a cross-cell pair (c1 < c2,
             # one bit apart) is then enumerable ONLY as (lower-cell
@@ -628,20 +686,31 @@ class SemanticDedup:
                 ).alias("cosine"),
             )
         )
+        if threshold is None:
+            # the full candidate relation — what the cell sizing and
+            # probe pruning actually control; counting it is how the
+            # margin variant's ≥2× claim is measured
+            return scored
         return scored.where(F.col("cosine") >= float(threshold))
 
     @staticmethod
     def dedup(
         embeddings: DataFrame,
         threshold: float,
-        num_cells: int | str = 16,
+        num_cells: int | str = "auto",
         seed: int = 1234,
-        multi_probe: bool = False,
+        multi_probe: bool | str = False,
+        target_cell_size: int | None = None,
+        probe_margin: float = 0.05,
     ) -> DataFrame:
         """(vec_id, component, cluster_size, is_canonical): every
         vector labeled with its semantic-duplicate group; vectors with
         no near-dup are their own canonical singleton. Filter
-        is_canonical to materialize the deduplicated corpus."""
+        is_canonical to materialize the deduplicated corpus.
+
+        For corpus-scale dedup pass ``target_cell_size`` (bounded
+        cells ⇒ linear candidate volume — see the class docstring);
+        the ``num_cells`` default suits search-sized inputs."""
         from sparker_spark.graph import ConnectedComponents
 
         edges = SemanticDedup.pairs(
@@ -650,6 +719,8 @@ class SemanticDedup:
             num_cells=num_cells,
             seed=seed,
             multi_probe=multi_probe,
+            target_cell_size=target_cell_size,
+            probe_margin=probe_margin,
         ).select("p1", "p2")
         nodes = embeddings.select(F.col("vec_id").alias("node"))
         return ConnectedComponents.canonical_groups(

@@ -77,7 +77,7 @@ class SimilaritySearch:
     def topk_cosine_ivf(
         embeddings: DataFrame,
         k: int = 10,
-        num_cells: int | str = 16,
+        num_cells: int | str = "auto",
         n_probe: int = 4,
         query_filter: str | None = None,
         seed: int = 1234,
@@ -126,13 +126,23 @@ class IVFIndex:
         return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
     @staticmethod
-    def _cell_expr(planes: list[list[float]], emb_col: str):
-        cell = F.lit(0)
-        for j, plane in enumerate(planes):
-            proj = F.expr(
+    def _proj_exprs(planes: list[list[float]], emb_col: str) -> list:
+        """One dot-product column expression per hyperplane — the raw
+        projections behind the cell sign bits (margin-aware callers
+        like SemanticDedup's pruned multi-probe need the magnitudes,
+        not just the signs)."""
+        return [
+            F.expr(
                 f"aggregate(zip_with({emb_col}, array({','.join(str(x) for x in plane)}),"
                 " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
             )
+            for plane in planes
+        ]
+
+    @staticmethod
+    def _cell_expr(planes: list[list[float]], emb_col: str):
+        cell = F.lit(0)
+        for j, proj in enumerate(IVFIndex._proj_exprs(planes, emb_col)):
             cell = cell + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
         return cell
 
@@ -152,16 +162,48 @@ class IVFIndex:
         return min(1 << 20, max(16, 1 << bits))
 
     @staticmethod
+    def cells_for_target(n: int, target_cell_size: int) -> int:
+        """Cell count for a BOUNDED expected cell size: cells ≈
+        N/target, rounded to the nearest power of two, clamped to
+        [16, 2^24]. This is the PRODUCTION sizing for dedup-style
+        workloads where EVERY vector is a query (SemDeDup's
+        constant-size clusters, Abbas et al. 2023): per-cell pair
+        volume is ~target², summed over N/target cells ⇒ total
+        candidate volume ≈ N·target — LINEAR in the corpus. The
+        sqrt-N rule (:meth:`auto_cells`) is right for SEARCH, where
+        per-query probe cost ~sqrt(N) amortizes over few queries,
+        but leaves total dedup volume at N^1.5."""
+        import math
+
+        if n <= 0:
+            return 16
+        target = max(1, int(target_cell_size))
+        # floor(x + 0.5), not Python round(): half-up matches the SQL
+        # oracle's floor formula exactly (banker's rounding doesn't)
+        bits = int(math.floor(math.log2(max(1.0, n / float(target))) + 0.5))
+        return min(1 << 24, max(16, 1 << bits))
+
+    @staticmethod
     def build(
         embeddings: DataFrame,
-        num_cells: int | str = 16,
+        num_cells: int | str = "auto",
         seed: int = 1234,
+        target_cell_size: int | None = None,
     ) -> "IVFIndex":
-        """``num_cells="auto"`` sizes the cell count from the corpus
-        (one count job, sqrt-N rule — :meth:`auto_cells`); an integer
-        pins it (the gated queries pin 16 for determinism)."""
+        """``num_cells="auto"`` (the default) sizes the cell count
+        from the corpus (one count job, sqrt-N rule —
+        :meth:`auto_cells`) — right for SEARCH indexes. Pass
+        ``target_cell_size=k`` instead for dedup-style all-vectors-
+        are-queries workloads (:meth:`cells_for_target` — cells ≈
+        N/k, bounded per-cell work, linear total). An integer
+        ``num_cells`` pins the count (the gated queries pin 16 for
+        determinism)."""
         dim = embeddings.select(F.size("embedding").alias("d")).first()["d"]
-        if num_cells == "auto":
+        if target_cell_size is not None:
+            num_cells = IVFIndex.cells_for_target(
+                embeddings.count(), target_cell_size
+            )
+        elif num_cells == "auto":
             num_cells = IVFIndex.auto_cells(embeddings.count())
         planes = IVFIndex._planes(dim, int(num_cells), seed)
         indexed = _normed(embeddings).withColumn(
