@@ -457,8 +457,13 @@ def main():
         # BENCH records through r3 were single-shot cold numbers —
         # "cold" is the apples-to-apples series for them)
         colds[name] = round(cold, 3)
-        reps.sort()
-        timings[name] = round(reps[len(reps) // 2], 3)
+        # headline = WARM median (reps 2+): the first rep carries
+        # cache builds (LSH signatures, codec payloads) that under
+        # co-tenancy produced same-code 3-6x outliers in the driver
+        # records (r10 verdict: dedup_keep_best 21.7 vs 3.5 s) —
+        # cold stays recorded alongside, the headline stops paying it
+        warm = sorted(reps[1:]) if len(reps) > 1 else list(reps)
+        timings[name] = round(warm[len(warm) // 2], 3)
         print(
             f"# {name}: median={timings[name]}s first={cold:.3f}s rows={n}",
             file=sys.stderr,
@@ -525,7 +530,9 @@ def main():
         "series_break": "r9: clearCache+GC barrier between EVERY query "
         "(r7 isolated only pipelines/stream) — medians are per-query "
         "clean-JVM-warm, comparable to controlled reruns; cross-query "
-        "shared-cache warm time moved into cold/first_run_total_sec",
+        "shared-cache warm time moved into cold/first_run_total_sec; "
+        "r11: headline median over WARM reps only (reps 2+) — the "
+        "first rep's cache builds stay in the cold map",
     }
     # full record -> committed artifact; stdout gets a compact line.
     # Subset runs write a SEPARATE artifact so the committed

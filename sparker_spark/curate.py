@@ -153,6 +153,9 @@ def curate(
         scorer = {
             2: LanguageModelScore.bigram_logprob,
             3: LanguageModelScore.trigram_logprob,
+            # KenLM-faithful order (Wenzek et al. 2020): 5-gram
+            # Jelinek-Mercer interpolation, never zero, no OOV holes
+            5: lambda d: LanguageModelScore.interpolated_logprob(d, 5),
         }[int(lm_order)]
         lm = scorer(docs).select("doc_id", "avg_logprob")
         if lm_floor_quantile is not None:

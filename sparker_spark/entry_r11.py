@@ -205,10 +205,92 @@ sedges AS (
 {_cc_tail_sql().strip()}"""
 
 
+# ----------------------------------- order-5 interpolated LM (KenLM)
+def _o_text_lm5_logprob() -> str:
+    """DuckDB replay of LanguageModelScore.interpolated_logprob(n=5):
+    the same lag-column position relation, one count CTE per order
+    with context sums on the COUNT tables, and the identical nested
+    JM combination — arithmetic shapes match the Spark expression
+    tree exactly so doubles agree bit-for-bit before the 6-dp
+    round."""
+    lam = 0.5  # LanguageModelScore.JM_LAMBDA
+    lags = ",\n         ".join(
+        ["t[i] AS w0"]
+        + [
+            f"CASE WHEN i > {j} THEN t[i - {j}] END AS w{j}"
+            for j in range(1, 5)
+        ]
+    )
+    parts = []
+    for k in range(2, 6):
+        cols = ", ".join(f"w{j}" for j in range(k - 1, -1, -1))
+        ctx = ", ".join(f"w{j}" for j in range(k - 1, 0, -1))
+        parts.append(
+            f"g{k} AS (SELECT {cols}, CAST(count(*) AS DOUBLE) AS cg\n"
+            f"      FROM pos WHERE w{k - 1} IS NOT NULL GROUP BY {cols}),\n"
+            f"x{k} AS (SELECT {ctx}, sum(cg) AS cc FROM g{k} GROUP BY {ctx}),\n"
+            f"m{k} AS (SELECT {', '.join('g' + str(k) + '.w' + str(j) for j in range(k - 1, -1, -1))},"
+            f" cg / cc AS ml{k}\n"
+            f"      FROM g{k} JOIN x{k} USING ({ctx}))"
+        )
+        # JM nesting, innermost first
+    comb = "p1.p1"
+    for k in range(2, 6):
+        comb = f"{lam} * m{k}.ml{k} + {1.0 - lam} * ({comb})"
+    joins = "\n  ".join(
+        f"JOIN m{k} USING ({', '.join('w' + str(j) for j in range(k - 1, -1, -1))})"
+        for k in range(2, 6)
+    )
+    return f"""
+WITH d AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                         x -> len(x) > 0) AS t
+      FROM documents),
+sc AS (SELECT CAST(count(*) AS DOUBLE) AS tt,
+              CAST(count(DISTINCT tok) AS DOUBLE) AS vs
+       FROM (SELECT unnest(t) AS tok FROM d)),
+pos AS (
+  SELECT doc_id,
+         {lags}
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        FROM d WHERE len(t) >= 1)),
+p1 AS (SELECT w0,
+              (CAST(count(*) AS DOUBLE) + 1.0)
+              / ((SELECT tt FROM sc) + (SELECT vs FROM sc)) AS p1
+       FROM pos GROUP BY w0),
+{",".join(parts)},
+lp AS (
+  SELECT pos.doc_id,
+         CAST(round(ln({comb}), 6) AS DECIMAL(18,6)) AS lp
+  FROM pos
+  JOIN p1 USING (w0)
+  {joins}
+  WHERE pos.w4 IS NOT NULL)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+FROM lp GROUP BY doc_id"""
+
+
+def q_text_lm5_logprob(spark, sf_dir):
+    """The order-5 Jelinek-Mercer interpolated corpus LM under the
+    VALUE-HASH gate (llm/text.LanguageModelScore.interpolated_logprob)
+    — the KenLM-faithful scorer the CCNet partition now runs on
+    (Wenzek et al. 2020 score with a 5-gram KenLM). Every document's
+    (n_grams, avg_logprob) value-checked against the full SQL replay
+    (per-order count tables + nested JM combination)."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.text import LanguageModelScore
+
+    return LanguageModelScore.interpolated_logprob(
+        load(spark, sf_dir, "documents"), 5
+    )
+
+
 def r11_queries() -> dict:
     return {
         "dedup_semantic_prod": q_dedup_semantic_prod,
         "dedup_semantic_margin": q_dedup_semantic_margin,
+        "text_lm5_logprob": q_text_lm5_logprob,
     }
 
 
@@ -216,4 +298,5 @@ def r11_oracles() -> dict:
     return {
         "dedup_semantic_prod": _o_dedup_semantic_prod(),
         "dedup_semantic_margin": _o_dedup_semantic_margin(),
+        "text_lm5_logprob": _o_text_lm5_logprob(),
     }

@@ -946,12 +946,13 @@ CURATE_LM_FLOOR_Q = 0.3
 
 
 def q_curation_lm_filter(spark, sf_dir):
-    """curate(lm_floor_quantile=...) under the VALUE-HASH gate (r10:
-    TRIGRAM scorer, corpus-p30 floor — Wenzek et al. score with a
+    """curate(lm_floor_quantile=...) under the VALUE-HASH gate (r11:
+    ORDER-5 JELINEK-MERCER interpolated scorer — the KenLM-faithful
+    order of the published pipeline; Wenzek et al. score with a
     5-gram KenLM and cut by percentile): the lowest-scoring 30% of
-    scorable documents dropped, unscored (<3-token) docs kept; every
+    scorable documents dropped, unscored (<5-token) docs kept; every
     surviving byte checked. All other stages off so the oracle
-    composes the trigram-LM SQL + one quantile + one filter."""
+    composes the 5-gram-LM SQL + one quantile + one filter."""
     from sparker_spark.curate import curate
     from sparker_spark.entry import load
 
@@ -964,15 +965,15 @@ def q_curation_lm_filter(spark, sf_dir):
         exact_dedup=False,
         jaccard_threshold=None,
         lm_floor_quantile=CURATE_LM_FLOOR_Q,
-        lm_order=3,
+        lm_order=5,
     )
 
 
 def _o_curation_lm_filter() -> str:
-    from sparker_spark.entry_r8 import O_TEXT_TRIGRAM_LOGPROB
+    from sparker_spark.entry_r11 import _o_text_lm5_logprob
 
     return f"""
-WITH lp AS ({O_TEXT_TRIGRAM_LOGPROB.strip()}),
+WITH lp AS ({_o_text_lm5_logprob().strip()}),
 fl AS (SELECT round(quantile_cont(avg_logprob, {CURATE_LM_FLOOR_Q}), 6)
          AS floor FROM lp)
 SELECT d.doc_id, d.text

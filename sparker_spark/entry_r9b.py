@@ -451,21 +451,25 @@ def q_dsir_sample(spark, sf_dir):
 # ------------------------------------------------- ppl partition
 def q_ppl_partition(spark, sf_dir):
     """CCNet head/middle/tail terciles per language under the corpus
-    TRIGRAM LM (r10 — Wenzek et al. score with a 5-gram KenLM; order
-    3 replaces r9's bigram as the closest faithful step); cutoffs are
-    exact interpolated quantiles (Spark percentile == DuckDB
-    quantile_cont), 6-dp rounded before the boundary compare."""
+    LM — r11: the ORDER-5 JELINEK-MERCER interpolated scorer (the
+    published pipeline scores with a 5-gram KenLM, Wenzek et al.
+    2020; r10 ran order 3, r9 order 2 — each round one faithful step
+    closer). Cutoffs are exact interpolated quantiles (Spark
+    percentile == DuckDB quantile_cont), 6-dp rounded before the
+    boundary compare."""
     from sparker_spark.entry import load
     from sparker_spark.llm.selection import PerplexityPartition
 
-    return PerplexityPartition.assign(load(spark, sf_dir, "documents"))
+    return PerplexityPartition.assign(
+        load(spark, sf_dir, "documents"), order=5
+    )
 
 
 def _o_ppl_partition() -> str:
-    from sparker_spark.entry_r8 import O_TEXT_TRIGRAM_LOGPROB
+    from sparker_spark.entry_r11 import _o_text_lm5_logprob
 
     return f"""
-WITH lp AS ({O_TEXT_TRIGRAM_LOGPROB.strip()}),
+WITH lp AS ({_o_text_lm5_logprob().strip()}),
 pscored AS (SELECT lp.doc_id, d.lang, lp.avg_logprob
             FROM lp JOIN documents d ON lp.doc_id = d.doc_id),
 cuts AS (SELECT lang,
@@ -670,7 +674,7 @@ def q_ppl_sample_corpus(spark, sf_dir):
     from sparker_spark.llm.selection import sample_by_ppl_bucket
 
     return sample_by_ppl_bucket(
-        load(spark, sf_dir, "documents"), PPL_RATES, seed=PPL_SEED
+        load(spark, sf_dir, "documents"), PPL_RATES, seed=PPL_SEED, order=5
     )
 
 

@@ -333,6 +333,8 @@ class PerplexityPartition:
         scorer = {
             2: LanguageModelScore.bigram_logprob,
             3: LanguageModelScore.trigram_logprob,
+            # KenLM-faithful order (Wenzek et al. 2020): 5-gram JM
+            5: lambda d: LanguageModelScore.interpolated_logprob(d, 5),
         }[int(order)]
         scored = scorer(documents).join(
             documents.select("doc_id", F.col(lang_col).alias("lang")),
@@ -401,6 +403,7 @@ def sample_by_ppl_bucket(
     rates: dict[str, float],
     seed: int = 11,
     lang_col: str = "lang",
+    order: int = 3,
 ) -> DataFrame:
     """(doc_id, lang, avg_logprob, ppl_bucket): the CCNet sampling
     recipe — keep each perplexity tercile at its own rate (typically
@@ -411,7 +414,7 @@ def sample_by_ppl_bucket(
     from ``rates`` are dropped (rate 0)."""
     from sparker_spark.llm.sampling import Sampling
 
-    assigned = PerplexityPartition.assign(documents, lang_col)
+    assigned = PerplexityPartition.assign(documents, lang_col, order=order)
     rate = F.lit(0.0)
     for bucket, r in rates.items():
         rate = F.when(
