@@ -274,3 +274,80 @@ def test_semantic_multi_probe_catches_boundary_pairs(spark):
         df, 0.99, num_cells=16, multi_probe=True
     ).collect()
     assert len(raw) == len(multi)
+
+
+def test_cells_for_target_sizing():
+    """cells ~ N/k, power of two, clamped — the linear-candidate
+    production rule; floor(x+0.5) (never banker's round) so the SQL
+    oracle's floor formula replays it exactly."""
+    from sparker_spark.llm.similarity import IVFIndex
+
+    assert IVFIndex.cells_for_target(0, 100) == 16
+    assert IVFIndex.cells_for_target(100, 100) == 16  # clamp floor
+    assert IVFIndex.cells_for_target(1_000_000, 1000) == 1024
+    assert IVFIndex.cells_for_target(10_000, 100) == 128
+    # candidate volume stays ~N*k across a decade: cells track N
+    c1 = IVFIndex.cells_for_target(100_000, 100)
+    c2 = IVFIndex.cells_for_target(1_000_000, 100)
+    assert 4 <= (c2 / c1) * 2 <= 32  # power-of-two rounding wiggle
+
+
+def test_margin_probe_containment_and_recall(spark):
+    """home-only ⊆ margin-pruned ⊆ full Hamming-1 (pair sets AND
+    candidate counts); the margin variant recovers the deliberately
+    planted boundary pair that home-only misses."""
+    import random
+
+    from sparker_spark.llm.dedup import SemanticDedup
+    from sparker_spark.llm.similarity import IVFIndex
+
+    planes = IVFIndex._planes(16, 16, 1234)
+    p0 = planes[0]
+    rng = random.Random(11)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    dot = sum(b * x for b, x in zip(base, p0))
+    nn = sum(x * x for x in p0)
+    on_plane = [b - dot * x / nn for b, x in zip(base, p0)]
+    eps = 1e-3
+    rows = [
+        (0, [b + eps * x for b, x in zip(on_plane, p0)]),
+        (1, [b - eps * x for b, x in zip(on_plane, p0)]),
+    ] + [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(2, 60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def pairs(**kw):
+        return {
+            (r["p1"], r["p2"])
+            for r in SemanticDedup.pairs(df, 0.999, num_cells=16, **kw).collect()
+        }
+
+    home = pairs()
+    margin = pairs(multi_probe="margin", probe_margin=0.05)
+    full = pairs(multi_probe=True)
+    assert home <= margin <= full
+    assert (0, 1) in margin and (0, 1) not in home  # boundary recovery
+    c_home = SemanticDedup.pairs(df, None, num_cells=16).count()
+    c_margin = SemanticDedup.pairs(
+        df, None, num_cells=16, multi_probe="margin", probe_margin=0.05
+    ).count()
+    c_full = SemanticDedup.pairs(
+        df, None, num_cells=16, multi_probe=True
+    ).count()
+    assert c_home <= c_margin < c_full  # pruning really prunes
+
+
+def test_target_cell_size_dedup_groups(spark):
+    """The production sizing path dedups identical vectors exactly as
+    the pinned path does (grouping is sizing-invariant for identical
+    vectors: same signs => same cell at ANY cell count)."""
+    from sparker_spark.llm.dedup import SemanticDedup
+
+    rows = [(i, [float(i % 7), 1.0, -2.0, 0.5]) for i in range(70)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SemanticDedup.dedup(df, 0.999999, target_cell_size=10)
+    comp = {r["vec_id"]: r["component"] for r in out.collect()}
+    assert len(comp) == 70
+    for i in range(70):
+        assert comp[i] == comp[i % 7]  # identical vectors co-group
