@@ -271,6 +271,108 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
 FROM lp GROUP BY doc_id"""
 
 
+# pruning constants for the gated pruned scorer: drop grams seen once
+# at orders >= 3 (the CCNet/KenLM `--prune 0 0 1...` shape)
+LM5_PRUNE_MIN = 2
+LM5_PRUNE_FROM = 3
+
+
+def _o_text_lm5_pruned_logprob() -> str:
+    """DuckDB replay of interpolated_logprob(n=5, prune_min_count=2,
+    prune_from=3): same pyramid as :func:`_o_text_lm5_logprob`, with
+    KenLM's estimate-then-remove rule — per-order context sums on the
+    UNPRUNED counts, ML tables filtered to cg >= 2 at orders >= 3,
+    LEFT joins for the pruned orders and COALESCE(ml_k, 0) in the JM
+    nest (stupid-backoff treatment of a pruned gram)."""
+    lam = 0.5  # LanguageModelScore.JM_LAMBDA
+    lags = ",\n         ".join(
+        ["t[i] AS w0"]
+        + [
+            f"CASE WHEN i > {j} THEN t[i - {j}] END AS w{j}"
+            for j in range(1, 5)
+        ]
+    )
+    parts = []
+    for k in range(2, 6):
+        cols = ", ".join(f"w{j}" for j in range(k - 1, -1, -1))
+        ctx = ", ".join(f"w{j}" for j in range(k - 1, 0, -1))
+        pruned = k >= LM5_PRUNE_FROM
+        keep = (
+            f" WHERE cg >= {float(LM5_PRUNE_MIN)}" if pruned else ""
+        )
+        parts.append(
+            f"g{k} AS (SELECT {cols}, CAST(count(*) AS DOUBLE) AS cg\n"
+            f"      FROM pos WHERE w{k - 1} IS NOT NULL GROUP BY {cols}),\n"
+            f"x{k} AS (SELECT {ctx}, sum(cg) AS cc FROM g{k} GROUP BY {ctx}),\n"
+            f"m{k} AS (SELECT {', '.join('g' + str(k) + '.w' + str(j) for j in range(k - 1, -1, -1))},"
+            f" cg / cc AS ml{k}\n"
+            f"      FROM (SELECT * FROM g{k}{keep}) AS g{k} "
+            f"JOIN x{k} USING ({ctx}))"
+        )
+    comb = "p1.p1"
+    for k in range(2, 6):
+        term = (
+            f"COALESCE(m{k}.ml{k}, 0.0)"
+            if k >= LM5_PRUNE_FROM
+            else f"m{k}.ml{k}"
+        )
+        comb = f"{lam} * {term} + {1.0 - lam} * ({comb})"
+    joins = "\n  ".join(
+        ("LEFT JOIN" if k >= LM5_PRUNE_FROM else "JOIN")
+        + f" m{k} USING ({', '.join('w' + str(j) for j in range(k - 1, -1, -1))})"
+        for k in range(2, 6)
+    )
+    return f"""
+WITH d AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                         x -> len(x) > 0) AS t
+      FROM documents),
+sc AS (SELECT CAST(count(*) AS DOUBLE) AS tt,
+              CAST(count(DISTINCT tok) AS DOUBLE) AS vs
+       FROM (SELECT unnest(t) AS tok FROM d)),
+pos AS (
+  SELECT doc_id,
+         {lags}
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        FROM d WHERE len(t) >= 1)),
+p1 AS (SELECT w0,
+              (CAST(count(*) AS DOUBLE) + 1.0)
+              / ((SELECT tt FROM sc) + (SELECT vs FROM sc)) AS p1
+       FROM pos GROUP BY w0),
+{",".join(parts)},
+lp AS (
+  SELECT pos.doc_id,
+         CAST(round(ln({comb}), 6) AS DECIMAL(18,6)) AS lp
+  FROM pos
+  JOIN p1 USING (w0)
+  {joins}
+  WHERE pos.w4 IS NOT NULL)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+FROM lp GROUP BY doc_id"""
+
+
+def q_text_lm5_pruned_logprob(spark, sf_dir):
+    """The order-5 JM LM with KenLM-style COUNT PRUNING under the
+    value-hash gate (llm/text.LanguageModelScore.interpolated_logprob
+    prune_min_count=2, prune_from=3 — the CCNet `--prune 0 0 1` shape;
+    Wenzek et al. 2020 / Heafield 2011). Pruning is what bounds 5-gram
+    model state at corpus scale: singletons at orders 3..5 are removed
+    after estimation, and a scored position whose gram was pruned
+    backs off with ML_k = 0 (Brants et al. 2007). The oracle replays
+    the whole pruned pyramid — filtered count tables, unpruned context
+    sums, LEFT joins + COALESCE — in SQL."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.text import LanguageModelScore
+
+    return LanguageModelScore.interpolated_logprob(
+        load(spark, sf_dir, "documents"),
+        5,
+        prune_min_count=LM5_PRUNE_MIN,
+        prune_from=LM5_PRUNE_FROM,
+    )
+
+
 def q_text_lm5_logprob(spark, sf_dir):
     """The order-5 Jelinek-Mercer interpolated corpus LM under the
     VALUE-HASH gate (llm/text.LanguageModelScore.interpolated_logprob)
@@ -291,6 +393,7 @@ def r11_queries() -> dict:
         "dedup_semantic_prod": q_dedup_semantic_prod,
         "dedup_semantic_margin": q_dedup_semantic_margin,
         "text_lm5_logprob": q_text_lm5_logprob,
+        "text_lm5_pruned_logprob": q_text_lm5_pruned_logprob,
     }
 
 
@@ -299,4 +402,5 @@ def r11_oracles() -> dict:
         "dedup_semantic_prod": _o_dedup_semantic_prod(),
         "dedup_semantic_margin": _o_dedup_semantic_margin(),
         "text_lm5_logprob": _o_text_lm5_logprob(),
+        "text_lm5_pruned_logprob": _o_text_lm5_pruned_logprob(),
     }

@@ -509,6 +509,8 @@ class LanguageModelScore:
         doc_col: str = "doc_id",
         text_col: str = "text",
         count_alias: str = "n_grams",
+        prune_min_count: int = 1,
+        prune_from: int = 3,
     ) -> DataFrame:
         """(doc_id, <count_alias>, avg_logprob): mean ln P per scored
         position under the ORDER-n JELINEK-MERCER interpolated corpus
@@ -537,10 +539,31 @@ class LanguageModelScore:
         keyed shuffles, linear in the corpus; the 5-gram count table
         is the state whose growth the decade bounds. Per-position
         logprobs are rounded to 6 places and summed as DECIMAL(18,6)
-        (the cross-engine determinism rule)."""
+        (the cross-engine determinism rule).
+
+        ``prune_min_count`` / ``prune_from``: KenLM-style COUNT
+        PRUNING, the mechanism real 5-gram pipelines use to bound
+        model state (CCNet trains KenLM with singleton pruning at the
+        high orders — the ``--prune 0 0 1`` shape). For orders
+        ``k >= prune_from``, k-grams with count < ``prune_min_count``
+        are REMOVED from the model AFTER estimation (context sums
+        c_k(ctx,*) are computed on the unpruned counts, KenLM's rule,
+        so surviving probabilities are unchanged); a scored position
+        whose k-gram was pruned takes ML_k = 0 and backs off entirely
+        to the (1-lam)-weighted lower orders — the stupid-backoff
+        treatment (Brants et al. 2007), unnormalized by design, as is
+        pruned KenLM itself. ``prune_min_count=1`` (default) keeps
+        every gram and is plan-identical to the unpruned scorer;
+        ``prune_min_count=2`` drops singletons, which on Heaps-law
+        corpora removes the majority of the top-order table — the
+        state the decade measurement bounds."""
         n = int(n)
         if n < 2:
             raise ValueError("interpolated_logprob needs n >= 2")
+        prune_min_count = int(prune_min_count)
+        prune_from = int(prune_from)
+        if prune_min_count < 1:
+            raise ValueError("prune_min_count must be >= 1")
         lam = float(
             LanguageModelScore.JM_LAMBDA if lam is None else lam
         )
@@ -609,24 +632,42 @@ class LanguageModelScore:
                 .groupBy(*cols)
                 .agg(F.count("*").cast("double").alias("cg"))
             )
+            # context sums on the UNPRUNED counts (KenLM: estimate,
+            # then remove — surviving probabilities are unchanged)
             ck = gk.groupBy(*ctx_cols).agg(F.sum("cg").alias("cc"))
+            pruned = prune_min_count > 1 and k >= prune_from
+            kept = (
+                gk.where(F.col("cg") >= F.lit(float(prune_min_count)))
+                if pruned
+                else gk
+            )
             ml_tabs.append(
                 (
                     cols,
-                    gk.join(ck, ctx_cols).select(
+                    kept.join(ck, ctx_cols).select(
                         *cols,
                         (F.col("cg") / F.col("cc")).alias(f"ml{k}"),
                     ),
+                    pruned,
                 )
             )
         scored = pos.where(F.col(f"w{n - 1}").isNotNull()).join(
             p1, "w0"
         )
-        for cols, tab in ml_tabs:
-            scored = scored.join(tab, cols)
+        for cols, tab, pruned in ml_tabs:
+            # a pruned order loses rows from its ML table, so the
+            # position join must keep the position (left) and read the
+            # missing ML as 0 — the unpruned path stays an inner join
+            # (every position's gram is in its own count table)
+            scored = scored.join(tab, cols, "left" if pruned else "inner")
         p = F.col("p1")
-        for k in range(2, n + 1):
-            p = F.lit(lam) * F.col(f"ml{k}") + F.lit(1.0 - lam) * p
+        for k, (_, _, pruned) in zip(range(2, n + 1), ml_tabs):
+            mlk = (
+                F.coalesce(F.col(f"ml{k}"), F.lit(0.0))
+                if pruned
+                else F.col(f"ml{k}")
+            )
+            p = F.lit(lam) * mlk + F.lit(1.0 - lam) * p
         scored = scored.select(
             "doc_id",
             rnd(F.log(p), 6).cast("decimal(18,6)").alias("lp"),

@@ -703,3 +703,98 @@ def test_apply_ranked_passes_skips_reexposed_pair():
     assert BPE._apply_ranked_passes(
         list("abb"), {("b", "b"): 1, ("a", "b"): 2}
     ) == ["a", "bb"]
+
+
+# ------------------------------------------- incremental trainer
+def test_incremental_matches_reference(spark):
+    got = [
+        (r["left"], r["right"])
+        for r in BPE.train_incremental(_docs(spark), 8)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == ref_train(_word_counts(), 8)
+    assert len(got) == 8
+
+
+def test_incremental_matches_local_and_distributed(spark):
+    docs = _docs(spark)
+    inc = [
+        tuple(r)
+        for r in BPE.train_incremental(docs, 6).orderBy("rank").collect()
+    ]
+    loc = [
+        tuple(r) for r in BPE.train_local(docs, 6).orderBy("rank").collect()
+    ]
+    dist = [tuple(r) for r in BPE.train(docs, 6).orderBy("rank").collect()]
+    assert inc == loc == dist and len(inc) == 6
+
+
+def test_incremental_byte_level_matches_local(spark):
+    docs = spark.createDataFrame(
+        [(0, "straße straße café"), (1, "café straße no\U0001f600pe")],
+        ["doc_id", "text"],
+    )
+    inc = [
+        tuple(r)
+        for r in BPE.train_incremental(docs, 6, byte_level=True)
+        .orderBy("rank")
+        .collect()
+    ]
+    loc = [
+        tuple(r)
+        for r in BPE.train_local(docs, 6, byte_level=True)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert inc == loc and len(inc) > 0
+
+
+def test_incremental_randomized_matches_local(spark):
+    """Randomized corpora sweep the incremental bookkeeping (lazy-heap
+    staleness, occurrence-index maintenance, self-pairs, counts hitting
+    zero) against train_local's recount-everything sequential loop."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(7000 + seed)
+        vocab = ["ab", "abc", "aab", "bba", "cab", "abab", "aa", "bb", "c"]
+        docs_rows = []
+        for di in range(rng.randint(2, 5)):
+            text = " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(3, 12))
+            )
+            docs_rows.append((di, text))
+        docs = spark.createDataFrame(docs_rows, ["doc_id", "text"])
+        k = rng.randint(1, 12)
+        inc = [
+            tuple(r)
+            for r in BPE.train_incremental(docs, k).orderBy("rank").collect()
+        ]
+        loc = [
+            tuple(r)
+            for r in BPE.train_local(docs, k).orderBy("rank").collect()
+        ]
+        assert inc == loc, (seed, k, docs_rows, inc, loc)
+
+
+def test_incremental_min_count_floor_and_observer(spark):
+    # every pair is a singleton -> zero merges at the default floor
+    docs = spark.createDataFrame([(0, "qwx yzj")], ["doc_id", "text"])
+    assert BPE.train_incremental(docs, 10).count() == 0
+    # observer sees every learned merge in rank order with its count
+    seen = []
+    BPE.train_incremental(
+        _docs(spark),
+        4,
+        observer=lambda k, l, r, n: seen.append((k, l, r, n)),
+    )
+    assert [s[0] for s in seen] == [1, 2, 3, 4]
+    want = ref_train(_word_counts(), 4)
+    assert [(l, r) for _, l, r, _ in seen] == want
+    assert all(n >= 2 for *_, n in seen)
+
+
+def test_incremental_cap_guard(spark):
+    with pytest.raises(ValueError, match="vocab_cap"):
+        BPE.train_incremental(_docs(spark), 2, vocab_cap=3)
