@@ -72,13 +72,16 @@ def prepare_training_data(
       text-mutating stages (``redact=False``, no boilerplate removal)
       or the counts will describe different bytes than the survivors.
     * ``bpe_merges``: a merge table from :class:`sparker_spark.llm.
-      bpe.BPE` (``train`` / ``train_local``) — the CURATED corpus is
-      BPE-encoded (priority encoder, Arrow-batched) and the packed
-      sequences are streams of BPE tokens. The full story in two
-      calls::
+      bpe.BPE` (``train_incremental`` / ``train`` / ``train_local`` —
+      identical tables; ``train_incremental`` is the production-budget
+      path, 32k byte-level merges in ~5 min, SCALING.md round 11) —
+      the CURATED corpus is BPE-encoded (priority encoder,
+      Arrow-batched) and the packed sequences are streams of BPE
+      tokens. The full story in two calls::
 
-          merges = BPE.train_local(docs, 32_000)
-          seqs = prepare_training_data(docs, 4096, bpe_merges=merges)
+          merges = BPE.train_incremental(docs, 32_000, byte_level=True)
+          seqs = prepare_training_data(docs, 4096, bpe_merges=merges,
+                                       byte_level=True)
 
       With ``return_ids=True`` the output is the TRAINABLE relation
       ``(seq_id, n_docs, n_tokens, input_ids: array<long>)``: token
