@@ -417,7 +417,23 @@ def main():
     }
     timings: dict[str, float] = {}
     colds: dict[str, float] = {}
+    sentinels: dict[str, float] = {}
     first_run_total = 0.0
+
+    # constant-work host sentinel (r11): a fixed pure-Python loop
+    # timed immediately before each query's reps. On a healthy host
+    # it costs a flat ~0.05-0.1 s; during the vCPU-scheduling stall
+    # bursts this round's stability records caught (SCALING.md r11),
+    # it inflates with everything else — so every record SELF-REPORTS
+    # which segments were noise-hit, and the comparison tool can
+    # exclude them instead of guessing (a constant-work query swinging
+    # 0.61 -> 28.3 s across same-code records was the r11 evidence).
+    def sentinel() -> float:
+        t0 = time.time()
+        s = 0
+        for i in range(2_000_000):
+            s += i
+        return time.time() - t0
 
     # SERIES BREAK (r7): the flagship pipelines and the streaming
     # queries run FIRST, right after warmup, behind a clearCache()
@@ -445,12 +461,16 @@ def main():
     # that failure mode, in the other direction).
     def run_reps(name, fn, isolate_fn=None):
         nonlocal first_run_total
+        s_pre = sentinel()
         reps: list[float] = []
         for _ in range(REPS):
             (isolate_fn or isolate)()
             t0 = time.time()
             n = fn(spark, SF_DIR).count()
             reps.append(time.time() - t0)
+        # bracket the reps: the worse of the two samples flags a
+        # burst that started OR ended inside this query's window
+        sentinels[name] = round(max(s_pre, sentinel()), 3)
         cold = reps[0]
         first_run_total += cold
         # per-query COLD time kept alongside the median (historical
@@ -522,6 +542,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "cold": colds,
+        "sentinel": sentinels,
         "excluded": EXCLUDED,
         "sf": float(sf),
         "reps": REPS,
