@@ -946,13 +946,16 @@ CURATE_LM_FLOOR_Q = 0.3
 
 
 def q_curation_lm_filter(spark, sf_dir):
-    """curate(lm_floor_quantile=...) under the VALUE-HASH gate (r11:
-    ORDER-5 JELINEK-MERCER interpolated scorer — the KenLM-faithful
-    order of the published pipeline; Wenzek et al. score with a
-    5-gram KenLM and cut by percentile): the lowest-scoring 30% of
-    scorable documents dropped, unscored (<5-token) docs kept; every
-    surviving byte checked. All other stages off so the oracle
-    composes the 5-gram-LM SQL + one quantile + one filter."""
+    """curate(lm_floor_quantile=...) under the VALUE-HASH gate (r12:
+    ORDER-5 JM scorer with KenLM-style COUNT PRUNING as the default —
+    prune_min_count=2, prune_from=3, the `--prune 0 0 1` shape CCNet
+    itself trains KenLM with; Wenzek et al. score with a pruned
+    5-gram KenLM and cut by percentile. The unpruned scorer stays
+    gated as the exact-LM anchor, text_lm5_logprob): the
+    lowest-scoring 30% of scorable documents dropped, unscored
+    (<5-token) docs kept; every surviving byte checked. All other
+    stages off so the oracle composes the pruned-5-gram-LM SQL + one
+    quantile + one filter."""
     from sparker_spark.curate import curate
     from sparker_spark.entry import load
 
@@ -970,10 +973,10 @@ def q_curation_lm_filter(spark, sf_dir):
 
 
 def _o_curation_lm_filter() -> str:
-    from sparker_spark.entry_r11 import _o_text_lm5_logprob
+    from sparker_spark.entry_r11 import _o_text_lm5_pruned_logprob
 
     return f"""
-WITH lp AS ({_o_text_lm5_logprob().strip()}),
+WITH lp AS ({_o_text_lm5_pruned_logprob().strip()}),
 fl AS (SELECT round(quantile_cont(avg_logprob, {CURATE_LM_FLOOR_Q}), 6)
          AS floor FROM lp)
 SELECT d.doc_id, d.text

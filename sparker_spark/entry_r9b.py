@@ -451,12 +451,15 @@ def q_dsir_sample(spark, sf_dir):
 # ------------------------------------------------- ppl partition
 def q_ppl_partition(spark, sf_dir):
     """CCNet head/middle/tail terciles per language under the corpus
-    LM — r11: the ORDER-5 JELINEK-MERCER interpolated scorer (the
-    published pipeline scores with a 5-gram KenLM, Wenzek et al.
-    2020; r10 ran order 3, r9 order 2 — each round one faithful step
-    closer). Cutoffs are exact interpolated quantiles (Spark
-    percentile == DuckDB quantile_cont), 6-dp rounded before the
-    boundary compare."""
+    LM — r12: the ORDER-5 JELINEK-MERCER scorer with KenLM-style
+    COUNT PRUNING as the DEFAULT (prune_min_count=2, prune_from=3 —
+    the `--prune 0 0 1` shape CCNet itself trains KenLM with; Wenzek
+    et al. 2020, Heafield 2011; measured 2.5-2.6x faster with ~95%
+    less order-5 state than the unpruned sibling, which stays gated
+    as the exact-LM anchor via text_lm5_logprob). r11 ran unpruned
+    order 5, r10 order 3, r9 order 2. Cutoffs are exact interpolated
+    quantiles (Spark percentile == DuckDB quantile_cont), 6-dp
+    rounded before the boundary compare."""
     from sparker_spark.entry import load
     from sparker_spark.llm.selection import PerplexityPartition
 
@@ -466,10 +469,10 @@ def q_ppl_partition(spark, sf_dir):
 
 
 def _o_ppl_partition() -> str:
-    from sparker_spark.entry_r11 import _o_text_lm5_logprob
+    from sparker_spark.entry_r11 import _o_text_lm5_pruned_logprob
 
     return f"""
-WITH lp AS ({_o_text_lm5_logprob().strip()}),
+WITH lp AS ({_o_text_lm5_pruned_logprob().strip()}),
 pscored AS (SELECT lp.doc_id, d.lang, lp.avg_logprob
             FROM lp JOIN documents d ON lp.doc_id = d.doc_id),
 cuts AS (SELECT lang,
@@ -669,7 +672,9 @@ PPL_SEED = 11
 def q_ppl_sample_corpus(spark, sf_dir):
     """CCNet sampling recipe under the gate: head+middle kept whole,
     a deterministic 25% hash-coordinate slice of tail — the survivor
-    set AND its scores/buckets value-checked."""
+    set AND its scores/buckets value-checked. r12: buckets come from
+    the PRUNED order-5 scorer (the production default; see
+    q_ppl_partition)."""
     from sparker_spark.entry import load
     from sparker_spark.llm.selection import sample_by_ppl_bucket
 
