@@ -558,9 +558,47 @@ def main():
     # full record -> committed artifact; stdout gets a compact line.
     # Subset runs write a SEPARATE artifact so the committed
     # full-registry record is never clobbered by a decade-run slice.
+    #
+    # SENTINEL GATE (r12): the canonical BENCH_LOCAL.json is the
+    # adjudicated reference record; r11's driver run (host-stall
+    # contaminated, two sentinel-flagged entries, total 452 s vs the
+    # quiet-window 318 s) silently overwrote it in the working tree.
+    # A fresh full-registry record now has to EARN the swap: using
+    # the same criterion as tools/compare_bench_records.py (a query
+    # is burst-hit when its sentinel exceeds 3x the record's own
+    # sentinel median), a record with more than
+    # SPARK_GRAFT_SENTINEL_MAX_FLAGS (default 2) flagged entries is
+    # quarantined to BENCH_LOCAL.candidate.json with the flag list
+    # printed, leaving the canonical record untouched.
+    max_flags = int(
+        os.environ.get("SPARK_GRAFT_SENTINEL_MAX_FLAGS", "2")
+    )
+    flagged: list[str] = []
+    if sentinels:
+        s_med = sorted(sentinels.values())[len(sentinels) // 2]
+        flagged = sorted(
+            q for q, s in sentinels.items() if s > 3 * s_med
+        )
+        record["sentinel_median"] = s_med
+        record["sentinel_flagged"] = flagged
+    quarantined = not ONLY and len(flagged) > max_flags
+    if quarantined:
+        record["quarantined"] = (
+            f"{len(flagged)} sentinel-flagged entries (> {max_flags} "
+            "allowed): host stall burst during the run — canonical "
+            "BENCH_LOCAL.json left untouched"
+        )
+        print(
+            f"# QUARANTINED: {len(flagged)} sentinel-flagged entries "
+            f"(max {max_flags}): {flagged} -> "
+            "BENCH_LOCAL.candidate.json; canonical record not replaced",
+            file=sys.stderr,
+        )
     artifact = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "BENCH_SUBSET_LOCAL.json" if ONLY else "BENCH_LOCAL.json",
+        "BENCH_SUBSET_LOCAL.json"
+        if ONLY
+        else ("BENCH_LOCAL.candidate.json" if quarantined else "BENCH_LOCAL.json"),
     )
     try:
         with open(artifact, "w") as f:
@@ -582,6 +620,8 @@ def main():
             "reps": REPS,
             "n_queries": len(timings),
             "first_run_total_sec": round(first_run_total, 3),
+            "sentinel_flags": len(flagged),
+            **({"quarantined": True} if quarantined else {}),
             **({"subset": True} if ONLY else {}),
             "queries": {
                 **{k: timings[k] for k in PIPELINES if k in timings},
