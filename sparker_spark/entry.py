@@ -1162,6 +1162,9 @@ def build_oracles() -> dict[str, str]:
     from sparker_spark.entry_r11 import r11_oracles
 
     oracles.update(r11_oracles())
+    from sparker_spark.entry_r12 import r12_oracles
+
+    oracles.update(r12_oracles())
     # native round() differs between engines at exact .5 boundaries —
     # rewrite every round() into the deterministic floor formula that
     # the Spark side (sparker_spark.rounding.rnd) uses
@@ -1243,6 +1246,14 @@ def _register_ext() -> None:
     from sparker_spark.entry_r11 import r11_queries
 
     QUERIES.update(r11_queries())
+    # r12 queries: the one-call corpus-dedup facade gated end-to-end
+    # — tail position, local evidence in TAIL_CHECKS.md.
+    import os as _os
+
+    if not _os.environ.get("SPARK_GRAFT_NO_R12"):
+        from sparker_spark.entry_r12 import r12_queries
+
+        QUERIES.update(r12_queries())
     # The driver grades only the first 50 registry entries. Push the
     # queries whose operators are redundantly covered to the tail so
     # every operator's *sole* oracle query stays inside the window:

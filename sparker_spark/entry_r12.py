@@ -1,0 +1,322 @@
+"""Round-12 oracle-gated queries: the one-call corpus-dedup facade
+(``dedup_corpus`` — verdict r11 ask #6) and the direct-benchable
+purged BLAST weighting fixture (ask #7).
+
+Same contract as every entry_r* registry: each query returns a
+DataFrame whose (sorted-column, sorted-row) value hash must equal the
+DuckDB replay of the paired SQL at the graded SFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# =====================================================================
+# dedup_corpus: the exact -> minhash -> semantic production ladder
+# behind one call (sparker_spark/dedupe.dedup_corpus), gated end-to-end
+# =====================================================================
+def q_dedup_corpus(spark, sf_dir):
+    """The one-call corpus-dedup facade under the VALUE-HASH gate:
+    dedupe.dedup_corpus(methods=["exact","minhash","semantic"]) —
+    content-hash exact dedup, then banded MinHash-LSH near-dup
+    clustering over the survivors, then bounded-cell SemDeDup over
+    the surviving embeddings; every stage's survivor set feeds the
+    next, and the output attributes each removed doc to the FIRST
+    method that dropped it. The oracle replays the whole ladder:
+    nested exact-hash window, the full LSH pyramid on the stage-1
+    survivor set, two recursive-CTE connected-components passes, and
+    the data-dependent SRP cell count recomputed from the surviving
+    embedding count."""
+    from sparker_spark.dedupe import dedup_corpus
+    from sparker_spark.entry import (
+        JACCARD_T,
+        MINHASH_BANDS,
+        MINHASH_K,
+        SHINGLE,
+        load,
+    )
+    from sparker_spark.entry_r10 import SEM_T
+    from sparker_spark.entry_r11 import SEM_PROD_TARGET
+
+    return dedup_corpus(
+        load(spark, sf_dir, "documents"),
+        methods=["exact", "minhash", "semantic"],
+        embeddings=load(spark, sf_dir, "embeddings"),
+        shingle_size=SHINGLE,
+        minhash_k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        jaccard_threshold=JACCARD_T,
+        semantic_threshold=SEM_T,
+        target_cell_size=SEM_PROD_TARGET,
+    )
+
+
+def _cc_drop_cte(edges_cte: str, prefix: str) -> str:
+    """Recursive-CTE min-label connected components over
+    ``{edges_cte}(p1, p2)``, emitting ``{prefix}drop`` = every
+    non-minimal member of a component (the docs a min-id keep policy
+    removes). Same reach idiom as entry_r3._o_dedup_cc_clusters."""
+    p = prefix
+    return f"""{p}und AS (SELECT p1 AS u, p2 AS v FROM {edges_cte}
+        UNION SELECT p2, p1 FROM {edges_cte}),
+{p}reach(u, r) AS (
+  SELECT DISTINCT u, u FROM {p}und
+  UNION
+  SELECT {p}und.u, {p}reach.r FROM {p}und JOIN {p}reach ON {p}und.v = {p}reach.u
+),
+{p}drop AS (SELECT u AS doc_id FROM {p}reach GROUP BY u
+            HAVING u <> min(r))"""
+
+
+def _o_dedup_corpus() -> str:
+    from sparker_spark.entry_r10 import SEM_T
+    from sparker_spark.entry_r11 import (
+        _MAX_BITS,
+        SEM_PROD_TARGET,
+        _planes_sql,
+    )
+
+    # stage 2: the gated MinHash-LSH pyramid, re-rooted at the stage-1
+    # survivor set (the only `FROM documents` in that SQL is the
+    # shingle CTE's source relation)
+    from sparker_spark.entry import _o_dedup_minhash
+
+    mh = _o_dedup_minhash().replace("FROM documents", "FROM s1")
+    # stage 3: the production-sizing SemDeDup pair enumeration
+    # (entry_r11._o_dedup_semantic_prod), re-rooted at the stage-2
+    # surviving embeddings; bits recomputed from THAT count
+    planes = _planes_sql(_MAX_BITS)
+    projs = ",\n         ".join(
+        f"list_dot_product(emb, {p}) AS pj{j}" for j, p in enumerate(planes)
+    )
+    cell = " + ".join(
+        f"CASE WHEN {j} < bits AND pj{j} > 0 THEN {2**j} ELSE 0 END"
+        for j in range(_MAX_BITS)
+    )
+    return f"""
+WITH RECURSIVE
+hx AS (SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0B]+', ' ', 'g'))) AS text_hash
+       FROM documents),
+exdrop AS (SELECT doc_id FROM
+           (SELECT doc_id, min(doc_id) OVER (PARTITION BY text_hash) AS m
+            FROM hx)
+           WHERE doc_id <> m),
+s1 AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM exdrop)),
+medges AS MATERIALIZED (
+{mh}
+),
+{_cc_drop_cte('medges', 'm')},
+s2 AS MATERIALIZED (
+  SELECT doc_id FROM s1
+  WHERE doc_id NOT IN (SELECT doc_id FROM mdrop)),
+v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS norm
+  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM s2)),
+bsel AS (
+  SELECT LEAST({_MAX_BITS}, GREATEST(4,
+           CAST(floor(log2(GREATEST(1.0,
+                  CAST(count(*) AS DOUBLE) / {float(SEM_PROD_TARGET)}))
+                + 0.5) AS INT))) AS bits
+  FROM v),
+vp AS MATERIALIZED (
+  SELECT vec_id, emb, norm,
+         {projs}
+  FROM v),
+vc AS MATERIALIZED (
+  SELECT vec_id, emb, norm, ({cell}) AS cell FROM vp, bsel),
+sedges AS MATERIALIZED (
+  SELECT a.vec_id AS p1, b.vec_id AS p2
+  FROM vc a JOIN vc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6)
+        >= {SEM_T}),
+{_cc_drop_cte('sedges', 's')},
+drops AS (
+  SELECT doc_id, 'exact' AS dropped_by FROM exdrop
+  UNION ALL SELECT doc_id, 'minhash' FROM mdrop
+  UNION ALL SELECT doc_id, 'semantic' FROM sdrop)
+SELECT d.doc_id,
+       drops.doc_id IS NULL AS kept,
+       drops.dropped_by
+FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc_id"""
+
+
+# =====================================================================
+# er_blast_wnp_purged: the BLAST chi2*entropy weighting on the PURGED
+# fixture — the only SURVEY §2 operators whose benched number was
+# indirect (er_blast_wnp / er_chi2_entropy_edges are quadratic-output
+# oracle fixtures, bench-excluded by design). This gate runs the SAME
+# chain bench.py's pipeline_blast_e2e times (entry_r9._blast_edges:
+# purge + filter ahead of weighting) and value-checks the edge
+# relation itself, giving the weighting a DIRECT bench row.
+# =====================================================================
+def q_er_blast_wnp_purged(spark, sf_dir):
+    """The purged BLAST edge relation under the VALUE-HASH gate:
+    cluster blocks -> block purging -> block filtering -> chi2*entropy
+    weighting -> BLAST WNP (sqrt(t1^2+t2^2)/2 threshold), exactly the
+    chain pipeline_blast_e2e benches — every (p1, p2, weight) checked
+    at 6 dp against the full SQL replay."""
+    from sparker_spark.entry_r9 import _blast_edges
+    from sparker_spark.rounding import rnd
+
+    return _blast_edges(spark, sf_dir).select(
+        "p1", "p2", rnd("weight", 6).alias("weight")
+    )
+
+
+def _o_er_blast_wnp_purged() -> str:
+    from sparker_spark.entry_r9 import _o_blast_chain_cte
+
+    return f"""WITH RECURSIVE {_o_blast_chain_cte().strip()}
+SELECT p1, p2, weight FROM pruned"""
+
+
+
+
+
+# =====================================================================
+# text_lm5_kn_logprob: interpolated Kneser-Ney at order 5 — the
+# smoothing KenLM actually estimates (verdict r11 ask #5, the last
+# fidelity step past Jelinek-Mercer). Oracle replays the whole
+# estimator: raw k-gram type tables, continuation counts, Ney
+# discounts from counts-of-counts, and the nested discount-interpolate
+# combination with identical arithmetic shapes (every count is an
+# integer-valued double, so sums are exact and order-independent; the
+# divisions/products follow the same association as the Spark
+# expression tree, so doubles agree bit-for-bit before the 6-dp round).
+# =====================================================================
+def _o_text_lm5_kn_logprob() -> str:
+    n = 5
+    lags = ",\n         ".join(
+        ["t[i] AS w0"]
+        + [
+            f"CASE WHEN i > {j} THEN t[i - {j}] END AS w{j}"
+            for j in range(1, n)
+        ]
+    )
+    parts = []
+    # raw k-gram type/count tables g2..g5
+    for k in range(2, n + 1):
+        cols = ", ".join(f"w{j}" for j in range(k - 1, -1, -1))
+        parts.append(
+            f"g{k} AS (SELECT {cols}, CAST(count(*) AS DOUBLE) AS cg\n"
+            f"      FROM pos WHERE w{k - 1} IS NOT NULL GROUP BY {cols})"
+        )
+    # adjusted-count tables: raw at the top order, continuation
+    # (distinct preceding types off g_{k+1}) below
+    parts.append(
+        f"a{n} AS (SELECT "
+        + ", ".join(f"w{j}" for j in range(n - 1, -1, -1))
+        + f", cg AS a FROM g{n})"
+    )
+    for k in range(n - 1, 0, -1):
+        cols = ", ".join(f"w{j}" for j in range(k - 1, -1, -1))
+        parts.append(
+            f"a{k} AS (SELECT {cols}, CAST(count(*) AS DOUBLE) AS a\n"
+            f"      FROM g{k + 1} GROUP BY {cols})"
+        )
+    # Ney discounts per order from counts-of-counts of the adjusted
+    # counts (0.5 only when an order has no mass at counts 1-2)
+    for k in range(1, n + 1):
+        parts.append(
+            f"dk{k} AS (SELECT CASE WHEN (n1 + 2.0 * n2) > 0\n"
+            f"           THEN n1 / (n1 + 2.0 * n2) ELSE 0.5 END AS d\n"
+            f"      FROM (SELECT CAST(sum(CASE WHEN a = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,\n"
+            f"                   CAST(sum(CASE WHEN a = 2.0 THEN 1 ELSE 0 END) AS DOUBLE) AS n2\n"
+            f"            FROM a{k}))"
+        )
+    parts.append(
+        "uni AS (SELECT sum(a) AS tp, CAST(count(*) AS DOUBLE) AS n1t FROM a1)"
+    )
+    # per-context denominator/type tables for orders 2..n
+    for k in range(2, n + 1):
+        ctx = ", ".join(f"w{j}" for j in range(k - 1, 0, -1))
+        parts.append(
+            f"c{k} AS (SELECT {ctx}, sum(a) AS den{k},\n"
+            f"              CAST(count(*) AS DOUBLE) AS nt{k}\n"
+            f"      FROM a{k} GROUP BY {ctx})"
+        )
+    # nested discount-interpolate combination, innermost (unigram)
+    # first — same association as the Spark expression tree
+    comb = (
+        "greatest(ar1.a - (SELECT d FROM dk1), 0.0) / (SELECT tp FROM uni)"
+        " + (((SELECT d FROM dk1) * (SELECT n1t FROM uni))"
+        " / (SELECT tp FROM uni)) * (1.0 / (SELECT v FROM vs))"
+    )
+    for k in range(2, n + 1):
+        comb = (
+            f"greatest(ar{k}.a{k} - (SELECT d FROM dk{k}), 0.0) / c{k}.den{k}"
+            f" + (((SELECT d FROM dk{k}) * c{k}.nt{k}) / c{k}.den{k})"
+            f" * ({comb})"
+        )
+    joins = []
+    for k in range(2, n + 1):
+        cols = ", ".join(f"w{j}" for j in range(k - 1, -1, -1))
+        ctx = ", ".join(f"w{j}" for j in range(k - 1, 0, -1))
+        joins.append(
+            f"JOIN (SELECT {cols}, a AS a{k} FROM a{k}) ar{k} USING ({cols})"
+        )
+        joins.append(f"JOIN c{k} USING ({ctx})")
+    joins.append("JOIN a1 ar1 USING (w0)")
+    joins_sql = "\n  ".join(joins)
+    body = ",\n".join(parts)
+    return f"""
+WITH d AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                         x -> len(x) > 0) AS t
+      FROM documents),
+vs AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+       FROM (SELECT unnest(t) AS tok FROM d)),
+pos AS (
+  SELECT doc_id,
+         {lags}
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        FROM d WHERE len(t) >= 1)),
+{body},
+lp AS (
+  SELECT pos.doc_id,
+         CAST(round(ln({comb}), 6) AS DECIMAL(18,6)) AS lp
+  FROM pos
+  {joins_sql}
+  WHERE pos.w{n - 1} IS NOT NULL)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+FROM lp GROUP BY doc_id"""
+
+
+def q_text_lm5_kn_logprob(spark, sf_dir):
+    """The order-5 INTERPOLATED KNESER-NEY corpus LM under the
+    VALUE-HASH gate (llm/text.LanguageModelScore.kneser_ney_logprob)
+    — continuation counts at the lower orders, Ney absolute discounts
+    from counts-of-counts, exact per-order normalization; the
+    smoothing family KenLM itself estimates (Heafield 2011; Chen &
+    Goodman 1999 interpolated variant with one discount per order).
+    Every document's (n_grams, avg_logprob) value-checked against the
+    full SQL replay."""
+    from sparker_spark.entry import load
+    from sparker_spark.llm.text import LanguageModelScore
+
+    return LanguageModelScore.kneser_ney_logprob(
+        load(spark, sf_dir, "documents"), 5
+    )
+
+
+def r12_queries() -> dict:
+    return {
+        "dedup_corpus": q_dedup_corpus,
+        "er_blast_wnp_purged": q_er_blast_wnp_purged,
+        "text_lm5_kn_logprob": q_text_lm5_kn_logprob,
+    }
+
+
+def r12_oracles() -> dict:
+    return {
+        "dedup_corpus": _o_dedup_corpus(),
+        "er_blast_wnp_purged": _o_er_blast_wnp_purged(),
+        "text_lm5_kn_logprob": _o_text_lm5_kn_logprob(),
+    }

