@@ -435,6 +435,23 @@ def main():
             s += i
         return time.time() - t0
 
+    # JVM-side constant-work sentinel (r12): the r11 Python loop only
+    # measures driver-THREAD scheduling; the r12 stability pair showed
+    # pervasive 1.3-5x same-code divergence with py-sentinel medians
+    # nearly flat — executor-side vCPU contention is invisible to a
+    # GIL loop. This times a fixed Spark job (range-sum, no shuffle,
+    # all 32 threads) immediately before each query's reps, so burst
+    # windows that steal JVM worker cores flag the segment they hit.
+    def jvm_sentinel() -> float:
+        t0 = time.time()
+        spark.range(0, 8_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 1) AS s"
+        ).collect()
+        return time.time() - t0
+
+    jvm_sentinels: dict[str, float] = {}
+    jvm_sentinel()  # pay the range-sum codegen once, outside any segment
+
     # SERIES BREAK (r7): the flagship pipelines and the streaming
     # queries run FIRST, right after warmup, behind a clearCache()
     # barrier — r5/r6 ran them LAST in a JVM carrying ~120 queries ×
@@ -462,6 +479,7 @@ def main():
     def run_reps(name, fn, isolate_fn=None):
         nonlocal first_run_total
         s_pre = sentinel()
+        j_pre = jvm_sentinel()
         reps: list[float] = []
         for _ in range(REPS):
             (isolate_fn or isolate)()
@@ -471,6 +489,7 @@ def main():
         # bracket the reps: the worse of the two samples flags a
         # burst that started OR ended inside this query's window
         sentinels[name] = round(max(s_pre, sentinel()), 3)
+        jvm_sentinels[name] = round(max(j_pre, jvm_sentinel()), 3)
         cold = reps[0]
         first_run_total += cold
         # per-query COLD time kept alongside the median (historical
@@ -543,6 +562,7 @@ def main():
         "queries": timings,
         "cold": colds,
         "sentinel": sentinels,
+        "sentinel_jvm": jvm_sentinels,
         "excluded": EXCLUDED,
         "sf": float(sf),
         "reps": REPS,
@@ -581,6 +601,18 @@ def main():
         )
         record["sentinel_median"] = s_med
         record["sentinel_flagged"] = flagged
+    if jvm_sentinels:
+        # JVM-side flags (r12): 2x of own median — the executor-pool
+        # sentinel is far less dispersed than the GIL loop on a quiet
+        # host, so a doubled range-sum is already a stall signature
+        j_med = sorted(jvm_sentinels.values())[len(jvm_sentinels) // 2]
+        record["sentinel_jvm_median"] = j_med
+        record["sentinel_jvm_flagged"] = sorted(
+            q for q, s in jvm_sentinels.items() if s > 2 * j_med
+        )
+        flagged = sorted(
+            set(flagged) | set(record["sentinel_jvm_flagged"])
+        )
     quarantined = not ONLY and len(flagged) > max_flags
     if quarantined:
         record["quarantined"] = (

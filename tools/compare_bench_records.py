@@ -28,21 +28,30 @@ def main() -> None:
     # whole reps (SCALING.md round 11). The exclusion is reported, so
     # a record pair that only agrees by dropping half its entries is
     # visibly doing so.
-    sa, sb = a_rec.get("sentinel") or {}, b_rec.get("sentinel") or {}
-    noise_hit = []
-    if sa and sb:
+    # r12: prefer the JVM-side sentinel when both records carry it —
+    # the Python loop only sees driver-thread scheduling; executor-
+    # side vCPU theft (the r12 run1/run2 divergence pattern: 1.3-5x
+    # same-code swings with flat py-sentinels) shows only in the
+    # fixed Spark range-sum job. The py sentinel stays as a fallback
+    # and a secondary flag source.
+    noise_hit: list[str] = []
+    for key, mult in (("sentinel_jvm", 2.0), ("sentinel", 3.0)):
+        sa, sb = a_rec.get(key) or {}, b_rec.get(key) or {}
+        if not (sa and sb):
+            continue
         med_a = sorted(sa.values())[len(sa) // 2]
         med_b = sorted(sb.values())[len(sb) // 2]
-        noise_hit = [
+        hit = [
             q
             for q in common
-            if sa.get(q, 0) > 3 * med_a or sb.get(q, 0) > 3 * med_b
+            if sa.get(q, 0) > mult * med_a or sb.get(q, 0) > mult * med_b
         ]
-        common = [q for q in common if q not in set(noise_hit)]
+        noise_hit.extend(q for q in hit if q not in noise_hit)
+        common = [q for q in common if q not in set(hit)]
         print(
-            f"sentinel medians {med_a}/{med_b}s; "
-            f"{len(noise_hit)} queries excluded as burst-hit: "
-            f"{sorted(noise_hit)[:12]}{'...' if len(noise_hit) > 12 else ''}"
+            f"{key} medians {med_a}/{med_b}s (x{mult:g} flag); "
+            f"{len(hit)} queries excluded as burst-hit: "
+            f"{sorted(hit)[:12]}{'...' if len(hit) > 12 else ''}"
         )
     if not common:
         print("no common queries")
