@@ -907,7 +907,14 @@ JOIN counts nb ON cbs.pb = nb.profile_id"""
 def q_er_pcpq(spark, sf_dir):
     from sparker_spark.entry import q_er_wnp_cbs_avg_or
 
-    edges = q_er_wnp_cbs_avg_or(spark, sf_dir).select("p1", "p2")
+    # materialize the pruned edges ONCE (r12): n_edges and hits are
+    # separate actions and each re-ran the weighting+WNP chain past
+    # the cached shingle blocks (guide §2.4); GC frees the blocks
+    edges = (
+        q_er_wnp_cbs_avg_or(spark, sf_dir)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
     groups = Dedup.exact_groups(_load(spark, sf_dir, "documents")).select(
         "doc_id", "text_hash"
     )

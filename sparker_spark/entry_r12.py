@@ -199,45 +199,50 @@ def _o_text_lm5_kn_logprob() -> str:
             for j in range(1, n)
         ]
     )
+    # Every CTE is MATERIALIZED: DuckDB otherwise inlines each
+    # reference, re-evaluating the corpus tokenize+explode subtree
+    # inside every g/a/c/dk/join occurrence — the replay never
+    # finished even at sf0.001 (same fix as the repo's other
+    # multi-reference oracles, e.g. _o_dedup_corpus).
     parts = []
     # raw k-gram type/count tables g2..g5
     for k in range(2, n + 1):
         cols = ", ".join(f"w{j}" for j in range(k - 1, -1, -1))
         parts.append(
-            f"g{k} AS (SELECT {cols}, CAST(count(*) AS DOUBLE) AS cg\n"
+            f"g{k} AS MATERIALIZED (SELECT {cols}, CAST(count(*) AS DOUBLE) AS cg\n"
             f"      FROM pos WHERE w{k - 1} IS NOT NULL GROUP BY {cols})"
         )
     # adjusted-count tables: raw at the top order, continuation
     # (distinct preceding types off g_{k+1}) below
     parts.append(
-        f"a{n} AS (SELECT "
+        f"a{n} AS MATERIALIZED (SELECT "
         + ", ".join(f"w{j}" for j in range(n - 1, -1, -1))
         + f", cg AS a FROM g{n})"
     )
     for k in range(n - 1, 0, -1):
         cols = ", ".join(f"w{j}" for j in range(k - 1, -1, -1))
         parts.append(
-            f"a{k} AS (SELECT {cols}, CAST(count(*) AS DOUBLE) AS a\n"
+            f"a{k} AS MATERIALIZED (SELECT {cols}, CAST(count(*) AS DOUBLE) AS a\n"
             f"      FROM g{k + 1} GROUP BY {cols})"
         )
     # Ney discounts per order from counts-of-counts of the adjusted
     # counts (0.5 only when an order has no mass at counts 1-2)
     for k in range(1, n + 1):
         parts.append(
-            f"dk{k} AS (SELECT CASE WHEN (n1 + 2.0 * n2) > 0\n"
+            f"dk{k} AS MATERIALIZED (SELECT CASE WHEN (n1 + 2.0 * n2) > 0\n"
             f"           THEN n1 / (n1 + 2.0 * n2) ELSE 0.5 END AS d\n"
             f"      FROM (SELECT CAST(sum(CASE WHEN a = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,\n"
             f"                   CAST(sum(CASE WHEN a = 2.0 THEN 1 ELSE 0 END) AS DOUBLE) AS n2\n"
             f"            FROM a{k}))"
         )
     parts.append(
-        "uni AS (SELECT sum(a) AS tp, CAST(count(*) AS DOUBLE) AS n1t FROM a1)"
+        "uni AS MATERIALIZED (SELECT sum(a) AS tp, CAST(count(*) AS DOUBLE) AS n1t FROM a1)"
     )
     # per-context denominator/type tables for orders 2..n
     for k in range(2, n + 1):
         ctx = ", ".join(f"w{j}" for j in range(k - 1, 0, -1))
         parts.append(
-            f"c{k} AS (SELECT {ctx}, sum(a) AS den{k},\n"
+            f"c{k} AS MATERIALIZED (SELECT {ctx}, sum(a) AS den{k},\n"
             f"              CAST(count(*) AS DOUBLE) AS nt{k}\n"
             f"      FROM a{k} GROUP BY {ctx})"
         )
@@ -266,13 +271,13 @@ def _o_text_lm5_kn_logprob() -> str:
     joins_sql = "\n  ".join(joins)
     body = ",\n".join(parts)
     return f"""
-WITH d AS (SELECT doc_id,
+WITH d AS MATERIALIZED (SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
                          x -> len(x) > 0) AS t
       FROM documents),
-vs AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+vs AS MATERIALIZED (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
        FROM (SELECT unnest(t) AS tok FROM d)),
-pos AS (
+pos AS MATERIALIZED (
   SELECT doc_id,
          {lags}
   FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i

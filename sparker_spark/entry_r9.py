@@ -505,7 +505,18 @@ def q_notebook_blast_pcpq(spark, sf_dir):
     from sparker_spark.entry import load
     from sparker_spark.entry_ext import _py_rnd
 
-    edges = _blast_edges(spark, sf_dir).select("p1", "p2")
+    # materialize the pruned edge relation ONCE (r12): two of the
+    # three bounded-scalar actions below (n_edges, hits) consume it,
+    # and without a checkpoint each action re-executes the whole
+    # cluster->purge->filter->chi2->WNP chain past the cached
+    # `rebuilt` (guide §2.4 — the second execution was pure waste;
+    # measured ~2x on the query). GC frees the blocks, the repo's
+    # multi-consumer idiom.
+    edges = (
+        _blast_edges(spark, sf_dir)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("pid"),
         "c_nationkey",

@@ -596,11 +596,19 @@ class LanguageModelScore:
                 *[F.col(f"p.w{j}").alias(f"w{j}") for j in range(n)],
             )
         )
-        scalars = documents.select(
-            F.explode(toks_arr).alias("tok")
-        ).agg(
+        # materialize the position relation ONCE (r12): every branch
+        # below — the T/V scalars, the unigram table, one gram count
+        # per order, and the scored-position base — re-derived the
+        # split+lower+explode lineage from the source otherwise
+        # (Spark has no automatic subplan reuse across shuffle
+        # branches), charging ~n+2 corpus tokenization passes to one
+        # scorer call. The checkpointed relation is (doc_id, n lag
+        # strings) — the same bytes each branch needs anyway — and is
+        # freed by GC, the repo's multi-consumer idiom.
+        pos = pos.localCheckpoint(eager=True)
+        scalars = pos.agg(
             F.count("*").cast("double").alias("T"),
-            F.countDistinct("tok").cast("double").alias("V"),
+            F.countDistinct("w0").cast("double").alias("V"),
         ).first()
         total, vocab = scalars["T"], scalars["V"]
         if not vocab:
@@ -766,11 +774,16 @@ class LanguageModelScore:
                 *[F.col(f"p.w{j}").alias(f"w{j}") for j in range(n)],
             )
         )
-        vocab = (
-            documents.select(F.explode(toks_arr).alias("tok"))
-            .agg(F.countDistinct("tok").cast("double").alias("V"))
-            .first()["V"]
-        )
+        # materialize the position relation ONCE (r12) — the g_k
+        # count tables (one per order), the vocab scalar, and the
+        # scored-position base each re-derived the tokenize+explode
+        # lineage otherwise, and the 2n driver-scalar actions below
+        # (discounts, unigram totals) re-ran it per action through
+        # the uncached lower-order g_k. See interpolated_logprob.
+        pos = pos.localCheckpoint(eager=True)
+        vocab = pos.agg(
+            F.countDistinct("w0").cast("double").alias("V")
+        ).first()["V"]
         if not vocab:
             return pos.select(
                 "doc_id",
