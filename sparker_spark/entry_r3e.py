@@ -613,14 +613,23 @@ FPG_MAX_SIZE = 3
 
 
 def q_frequent_itemsets(spark, sf_dir):
-    """MLlib FP-Growth over document token sets (the second pyspark.ml
-    integration next to the GSMB logistic regression): frequent
-    itemsets up to size 3 at 40% support, canonicalized (items sorted,
-    joined) so the output is engine-comparable. Downset-closure makes
-    the size cap lossless for the oracle: every subset of a frequent
-    set is frequent, so enumerating sizes 1-3 exactly matches the
-    filtered FP-Growth output."""
-    from pyspark.ml.fpm import FPGrowth
+    """Frequent itemsets up to size 3 at 40% support over document
+    token sets, canonicalized (items sorted, joined) so the output is
+    engine-comparable.
+
+    r12: DataFrame Apriori replaces MLlib FP-Growth. FP-Growth's RDD
+    path (genFreqItems + genFreqItemsets + driver-held FP-trees) cost
+    ~5 driver-orchestrated jobs outside codegen; the SAME output —
+    pinned by the unchanged value-hash oracle — falls out of three
+    hash aggregates. Downward closure makes it lossless: every item of
+    a frequent pair/triple is itself frequent, so enumerating
+    combinations of each doc's FREQUENT tokens only (a per-doc array
+    bounded by the frequent-singleton count, which 40% support keeps
+    tiny at any corpus size: Σ doc_len / (0.4·n) tokens at most)
+    exactly reproduces the filtered FP-Growth output, at any scale,
+    with no driver tree state."""
+    import math
+
     from pyspark.sql import functions as F
 
     from sparker_spark.entry import load
@@ -634,16 +643,65 @@ def q_frequent_itemsets(spark, sf_dir):
             )
         ).alias("items"),
     )
-    model = FPGrowth(
-        itemsCol="items", minSupport=FPG_MIN_SUPPORT, minConfidence=0.9
-    ).fit(docs)
-    return (
-        model.freqItemsets.where(F.size("items") <= FPG_MAX_SIZE)
-        .select(
-            F.concat_ws(" ", F.array_sort("items")).alias("itemset"),
-            F.size("items").cast("int").alias("size"),
-            F.col("freq").cast("long").alias("freq"),
+    # FPGrowth's own threshold rule: minCount = ceil(minSupport * n),
+    # kept as a driver scalar exactly like the purge histogram
+    n_docs = docs.count()
+    minc = int(math.ceil(FPG_MIN_SUPPORT * n_docs))
+    toks = docs.select("doc_id", F.explode("items").alias("tok"))
+    s1 = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= minc)
+        .localCheckpoint(eager=True)  # feeds the output AND the
+        # frequent-token broadcast filter below
+    )
+    # per-doc sorted array of its FREQUENT tokens; the broadcast is
+    # bounded by the support threshold (see docstring), not the corpus
+    # re-spread after the checkpoint: AQE coalesces the tiny per-doc
+    # aggregate to ~1 partition, which would serialize the O(m³)
+    # combination explode below onto one core (same fixup as the
+    # feature-generator mask loop)
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    arr = (
+        toks.join(F.broadcast(s1.select("tok")), "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tok")).alias("arr"))
+        .select("arr")
+        .localCheckpoint(eager=True)  # pair and triple legs
+        .repartition(par)
+    )
+    pairs = F.expr(
+        "flatten(transform(arr, (x, i) -> "
+        "transform(slice(arr, i + 2, size(arr)), "
+        "y -> concat(x, ' ', y))))"
+    )
+    triples = F.expr(
+        "flatten(flatten(transform(arr, (x, i) -> "
+        "transform(slice(arr, i + 2, size(arr)), (y, j) -> "
+        "transform(slice(arr, i + j + 3, size(arr)), "
+        "z -> concat_ws(' ', x, y, z))))))"
+    )
+
+    def count_sets(col, size):
+        return (
+            arr.select(F.explode(col).alias("itemset"))
+            .groupBy("itemset")
+            .agg(F.count("*").alias("freq"))
+            .where(F.col("freq") >= minc)
+            .select(
+                "itemset",
+                F.lit(size).cast("int").alias("size"),
+                F.col("freq").cast("long").alias("freq"),
+            )
         )
+
+    out1 = s1.select(
+        F.col("tok").alias("itemset"),
+        F.lit(1).cast("int").alias("size"),
+        F.col("freq").cast("long").alias("freq"),
+    )
+    return out1.unionByName(count_sets(pairs, 2)).unionByName(
+        count_sets(triples, 3)
     )
 
 

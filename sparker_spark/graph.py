@@ -36,6 +36,42 @@ from pyspark.sql import functions as F
 
 
 class ConnectedComponents:
+    # Adaptive regime switch (r12): an edge relation at or below this
+    # row count is collected (Arrow, two long columns) and solved with
+    # driver-side union-find — the same bounded-driver-scalar class as
+    # the purge histogram and the WNP broadcast guard (~16 MB at the
+    # cap). The near-dup graphs the dedup flows produce are SPARSE
+    # (edges ≪ nodes: most documents have no near-dup), so the
+    # log-round distributed loop — 4 shuffles + 2 actions per round —
+    # was pure fixed overhead on them. Above the cap the unchanged
+    # pointer-jumping loop runs: the switch is on EDGE count, which is
+    # what actually grows with a 100 TB corpus, and the labels logic
+    # is identical (component = min reachable node id) either way.
+    DRIVER_UNIONFIND_MAX = 1_000_000
+
+    @staticmethod
+    def _driver_components(edge_rows) -> dict[int, int]:
+        """Union-find over (u, v) pairs -> {node: min reachable id}.
+        Same result as the distributed loop by construction."""
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in edge_rows:
+            u, v = int(u), int(v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN id so every root is its component's min
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        return {n: find(n) for n in parent}
+
     @staticmethod
     def run(
         edges: DataFrame,
@@ -60,6 +96,41 @@ class ConnectedComponents:
             )
             .where(F.col("u") != F.col("v"))
         )
+        # materialize the edge relation once: the regime count below,
+        # and then either the driver collect or the distributed loop's
+        # every round, consume it
+        e = e.localCheckpoint(eager=True)
+        n_edges = e.count()
+        if n_edges <= ConnectedComponents.DRIVER_UNIONFIND_MAX:
+            spark = e.sparkSession
+            comp = ConnectedComponents._driver_components(
+                e.toPandas().itertuples(index=False, name=None)
+            )
+            comp_df = spark.createDataFrame(
+                list(comp.items()) or [(None, None)],
+                "u LONG, c LONG",
+            ).where(F.col("u").isNotNull())
+            node_rel = e.select("u").unionByName(
+                e.select(F.col("v").alias("u"))
+            )
+            if nodes is not None:
+                node_rel = node_rel.unionByName(
+                    nodes.select(
+                        F.col(nodes.columns[0]).cast("long").alias("u")
+                    )
+                )
+            return (
+                node_rel.distinct()
+                .join(F.broadcast(comp_df), "u", "left")
+                .select(
+                    F.col("u").alias("node"),
+                    F.coalesce("c", "u").alias("component"),
+                )
+                # lazy checkpoint: multi-leg consumers (sizes +
+                # canonical join) reuse the first materialization,
+                # matching the distributed path's checkpointed labels
+                .localCheckpoint(eager=False)
+            )
         und = (
             e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
             .distinct()
@@ -180,7 +251,10 @@ class PageRank:
             return nodes.select(
                 F.col("node"), F.lit(0.0).alias("pagerank")
             )
-        outdeg = directed.groupBy("src").agg(F.count("*").alias("deg"))
+        # out-degrees are loop-invariant: cache the node-sized relation
+        # once instead of re-deriving it from the edge relation inside
+        # every iteration's plan
+        outdeg = directed.groupBy("src").agg(F.count("*").alias("deg")).cache()
         base = (1.0 - d) / n
         inter_digits = ndigits + 4
         # initial score via the same floor-formula rounding the oracle
@@ -192,21 +266,26 @@ class PageRank:
             "pr", F.lit(math.floor((1.0 / n) * scale + 0.5) / scale)
         )
         for _ in range(int(iterations)):
+            # per-SOURCE contribution first: rnd(pr/deg) is a pure
+            # function of the source node, so computing it on the
+            # node-sized pr ⋈ outdeg relation and then attaching it to
+            # the edges yields bit-identical per-edge terms while the
+            # edge relation is joined once per iteration instead of
+            # twice (guide §2.4 — the old plan walked the cached edge
+            # relation through two shuffled joins per round)
+            per_src = pr.join(outdeg, pr.node == outdeg.src).select(
+                "src",
+                rnd(F.col("pr") / F.col("deg"), inter_digits)
+                .cast("decimal(30,12)")
+                .alias("c"),
+            )
             contrib = (
-                directed.join(pr, directed.src == pr.node)
-                .join(outdeg, "src")
-                .select(
-                    F.col("dst").alias("node"),
-                    (F.col("pr") / F.col("deg")).alias("c"),
-                )
+                directed.join(per_src, "src")
+                .select(F.col("dst").alias("node"), "c")
                 .groupBy("node")
                 # exact DECIMAL sum of pre-rounded terms: aggregation
                 # order cannot change the total (same trick as Decay)
-                .agg(
-                    F.sum(
-                        rnd(F.col("c"), inter_digits).cast("decimal(30,12)")
-                    ).cast("double").alias("in_sum")
-                )
+                .agg(F.sum("c").cast("double").alias("in_sum"))
             )
             pr = nodes.join(contrib, "node", "left").select(
                 "node",

@@ -48,6 +48,12 @@ class CEP:
 
     @staticmethod
     def prune(ctx: EdgeContext, k: int) -> DataFrame:
+        # NOTE (r12): global_topk's range repartition runs the input
+        # lineage twice (boundary sampling + shuffle), but
+        # ctx.materialize() here measured SLOWER (4.1 s vs 3.5 s at
+        # sf0.1): the weighting re-run over the cached block relations
+        # is cheaper than writing the full edge relation once. Left
+        # unmaterialized deliberately.
         half = ctx.half()
         kept = global_topk(
             half, [("weight", True), ("p1", False), ("p2", False)], int(k)

@@ -154,7 +154,11 @@ class SupervisedMB:
         The ≤ K-row result is eagerly materialized so the shuffle cache
         can be released (no cache accumulation across invocations)."""
         k = int(total_block_size / 2)
-        over_t = edges.filter("p_match >= 0.5")
+        # materialize the thresholded subset once: global_topk's range
+        # repartition samples its input for boundaries and then
+        # shuffles it — two executions of the scoring lineage without
+        # a checkpoint
+        over_t = edges.filter("p_match >= 0.5").localCheckpoint(eager=True)
         kept = global_topk(
             over_t, [("p_match", True), ("p1", False), ("p2", False)], k
         )
@@ -165,8 +169,13 @@ class SupervisedMB:
     @staticmethod
     def wep(edges: DataFrame) -> DataFrame:
         """Weight edge pruning: mean p_match of the >= 0.5 subset as
-        global threshold (supervised_metablocking.py:28-36)."""
-        over_t = edges.filter("p_match >= 0.5")
+        global threshold (supervised_metablocking.py:28-36).
+
+        The thresholded subset is materialized once: the threshold
+        aggregate and the filter leg would otherwise each re-run the
+        scoring lineage (the same two-pass shape WEP.prune fixes with
+        ctx.materialize())."""
+        over_t = edges.filter("p_match >= 0.5").localCheckpoint(eager=True)
         threshold = over_t.agg(F.avg("p_match").alias("t")).first()["t"]
         if threshold is None:
             return over_t
@@ -188,9 +197,9 @@ class SupervisedMB:
         )
 
     @staticmethod
-    def _top_k(edges: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
-        """Per-side top-k neighbor sets of the >= 0.5 subset."""
-        over_t = edges.filter("p_match >= 0.5")
+    def _top_k(over_t: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+        """Per-side top-k neighbor sets of the (already thresholded)
+        edge relation."""
         w1 = Window.partitionBy("p1").orderBy(F.col("p_match").desc(), "p2")
         w2 = Window.partitionBy("p2").orderBy(F.col("p_match").desc(), "p1")
         top1 = (
@@ -214,9 +223,16 @@ class SupervisedMB:
         """CNP (OR): keep if the edge is in EITHER side's top-k
         (supervised_metablocking.py:131-180)."""
         k = SupervisedMB._k(total_block_size, n_entities)
-        top1, top2 = SupervisedMB._top_k(edges, k)
-        over_t = edges.filter("p_match >= 0.5")
-        keep = top1.unionByName(top2).distinct()
+        # materialize the thresholded subset ONCE: the two top-k
+        # windows and the semi-join probe side are three independent
+        # plan legs, and each re-ran the full scoring lineage (the
+        # multi-leg shape CNP.prune fixes with ctx.materialize())
+        over_t = edges.filter("p_match >= 0.5").localCheckpoint(eager=True)
+        top1, top2 = SupervisedMB._top_k(over_t, k)
+        # no distinct: left_semi emits each probe row at most once
+        # regardless of build-side duplicates, so the dedup shuffle
+        # bought nothing
+        keep = top1.unionByName(top2)
         return over_t.join(keep, ["p1", "p2"], "left_semi")
 
     @staticmethod
@@ -224,8 +240,10 @@ class SupervisedMB:
         """Reciprocal CNP (AND): edge must be in BOTH sides' top-k
         (supervised_metablocking.py:71-128)."""
         k = SupervisedMB._k(total_block_size, n_entities)
-        top1, top2 = SupervisedMB._top_k(edges, k)
-        over_t = edges.filter("p_match >= 0.5")
+        # one materialization feeds both windows + the probe side
+        # (see cnp)
+        over_t = edges.filter("p_match >= 0.5").localCheckpoint(eager=True)
+        top1, top2 = SupervisedMB._top_k(over_t, k)
         return over_t.join(top1, ["p1", "p2"], "left_semi").join(
             top2, ["p1", "p2"], "left_semi"
         )

@@ -95,6 +95,32 @@ def test_cc_empty_edges(spark):
     assert ConnectedComponents.run(edges).count() == 0
 
 
+def test_cc_distributed_path_matches_driver_path(spark):
+    """The r12 regime switch (driver union-find below
+    DRIVER_UNIONFIND_MAX edges, pointer-jumping loop above) must be
+    invisible in the result: force the distributed path on the same
+    graphs the driver path answers and compare label maps."""
+    rng = random.Random(7)
+    cases = [
+        [(i, i + 1) for i in range(120)],  # chain: worst case for rounds
+        [(rng.randrange(50), rng.randrange(50)) for _ in range(80)],
+        [(1, 2)],
+    ]
+    old = ConnectedComponents.DRIVER_UNIONFIND_MAX
+    for edges in cases:
+        edges = [e for e in edges if e[0] != e[1]]
+        nodes = {x for e in edges for x in e}
+        want = _uf_components(edges, nodes)
+        try:
+            ConnectedComponents.DRIVER_UNIONFIND_MAX = -1  # force loop
+            got_loop = _run(spark, edges)
+        finally:
+            ConnectedComponents.DRIVER_UNIONFIND_MAX = old
+        got_driver = _run(spark, edges)
+        assert got_loop == want
+        assert got_driver == want
+
+
 def test_pagerank_star(spark):
     from sparker_spark.graph import PageRank
 
