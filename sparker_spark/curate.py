@@ -175,7 +175,14 @@ def curate(
                 prune_from=int(lm_prune_from),
             ),
         }[int(lm_order)]
-        lm = scorer(docs).select("doc_id", "avg_logprob")
+        # materialize the score relation ONCE (r12): it is doc-sized
+        # (two columns) but its lineage is the whole LM join pyramid,
+        # and both the quantile action and the filter join consume it
+        lm = (
+            scorer(docs)
+            .select("doc_id", "avg_logprob")
+            .localCheckpoint(eager=True)
+        )
         if lm_floor_quantile is not None:
             # corpus-relative floor (CCNet cuts by percentile, not
             # absolute ppl — an absolute floor cannot transfer across

@@ -781,15 +781,6 @@ class LanguageModelScore:
         # (discounts, unigram totals) re-ran it per action through
         # the uncached lower-order g_k. See interpolated_logprob.
         pos = pos.localCheckpoint(eager=True)
-        vocab = pos.agg(
-            F.countDistinct("w0").cast("double").alias("V")
-        ).first()["V"]
-        if not vocab:
-            return pos.select(
-                "doc_id",
-                F.lit(0).cast("long").alias(count_alias),
-                F.lit(0.0).alias("avg_logprob"),
-            ).limit(0)
         # raw k-gram TYPE/count tables g_k (k = 2..n); g_k is both the
         # top-order count source (k = n) and the continuation-type
         # source for order k-1. Cached: each feeds 3-4 model-sized
@@ -825,22 +816,59 @@ class LanguageModelScore:
                     .agg(F.count("*").cast("double").alias("a"))
                 )
             adj[k].cache()
-        # Ney discounts from counts-of-counts of each order's adjusted
-        # counts — 2(n) bounded driver scalars off model-sized tables
+        # ALL bounded driver scalars in ONE action (r12): the vocab
+        # count, the n per-order counts-of-counts behind the Ney
+        # discounts, and the unigram totals were n + 2 sequential
+        # collect jobs; unioned into a single (n + 1)-row relation
+        # they run as one job whose legs execute concurrently (and
+        # materialize the adj[k] caches as a side effect). The values
+        # collected — and so the discounts and every score — are
+        # identical.
+        legs = [
+            pos.agg(F.countDistinct("w0").cast("double").alias("n1"))
+            .select(
+                F.lit(0).alias("k"),
+                "n1",
+                F.lit(0.0).alias("n2"),
+                F.lit(0.0).alias("tp"),
+                F.lit(0.0).alias("n1t"),
+            )
+        ]
+        for k in range(1, n + 1):
+            legs.append(
+                adj[k]
+                .agg(
+                    F.sum((F.col("a") == 1.0).cast("long"))
+                    .cast("double")
+                    .alias("n1"),
+                    F.sum((F.col("a") == 2.0).cast("long"))
+                    .cast("double")
+                    .alias("n2"),
+                    F.sum("a").alias("tp"),
+                    F.count("*").cast("double").alias("n1t"),
+                )
+                .select(F.lit(k).alias("k"), "n1", "n2", "tp", "n1t")
+            )
+        u = legs[0]
+        for leg in legs[1:]:
+            u = u.unionByName(leg)
+        stats = {r["k"]: r for r in u.collect()}
+        vocab = stats[0]["n1"]
+        if not vocab:
+            return pos.select(
+                "doc_id",
+                F.lit(0).cast("long").alias(count_alias),
+                F.lit(0.0).alias("avg_logprob"),
+            ).limit(0)
         D: dict[int, float] = {}
         for k in range(1, n + 1):
-            cc = adj[k].agg(
-                F.sum((F.col("a") == 1.0).cast("long")).alias("n1"),
-                F.sum((F.col("a") == 2.0).cast("long")).alias("n2"),
-            ).first()
-            n1, n2 = float(cc["n1"] or 0), float(cc["n2"] or 0)
+            n1 = float(stats[k]["n1"] or 0)
+            n2 = float(stats[k]["n2"] or 0)
             D[k] = n1 / (n1 + 2.0 * n2) if (n1 + 2.0 * n2) > 0 else 0.5
         # unigram scalars: T' = total bigram types, N_1 = distinct
         # continuing unigrams (rows of adj[1])
-        uni = adj[1].agg(
-            F.sum("a").alias("tp"), F.count("*").cast("double").alias("n1t")
-        ).first()
-        t_prime, n1_types = float(uni["tp"]), float(uni["n1t"])
+        t_prime = float(stats[1]["tp"] or 0)
+        n1_types = float(stats[1]["n1t"] or 0)
         scored = pos.where(F.col(f"w{n - 1}").isNotNull())
         # per-order context tables for k >= 2: den (sum of a) and
         # ntypes (rows) per context, computed ON adj[k] (model-sized)
