@@ -339,6 +339,29 @@ PIPELINES = {
     "pipeline_pretrain_e2e": pipeline_pretrain_e2e,
 }
 
+# Stable watchlist for the compact stdout line (r12 verdict ask #2):
+# the stdout map used to carry only the pipelines + the TOP-10 SLOWEST
+# queries, so a query that got FASTER fell out of the map and the
+# driver's round-over-round comparison mislabeled the improvement as
+# "dropped_from_bench" (r12: curation_lm_filter 15.9 -> 3.7 s read as a
+# drop). These entries — the union of every query the r11/r12 driver
+# records referenced — are now ALWAYS in the map, so leaving it can
+# only mean actually-dropped. Additive only: existing keys keep their
+# meaning, the full per-query record still lives in BENCH_LOCAL.json.
+WATCHLIST = [
+    "curation_lm_filter",
+    "dedup_semantic_probe1",
+    "er_blast_wnp_purged",
+    "frequent_itemsets",
+    "notebook_blast_pcpq",
+    "pagerank_dedup",
+    "pipeline_pretrain_bpe_ids_e2e",
+    "ppl_sample_corpus",
+    "stream_interval_join",
+    "stream_sessions",
+    "text_lm5_kn_logprob",
+]
+
 
 def main():
     # The full-registry sweep runs ~120 queries in ONE JVM and
@@ -657,6 +680,7 @@ def main():
             **({"subset": True} if ONLY else {}),
             "queries": {
                 **{k: timings[k] for k in PIPELINES if k in timings},
+                **{k: timings[k] for k in WATCHLIST if k in timings},
                 **dict(slowest),
             },
             "full_record": "BENCH_LOCAL.json",

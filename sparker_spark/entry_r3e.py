@@ -1086,14 +1086,21 @@ def q_stream_sessions(spark, sf_dir):
     # its memory table behind, and re-registering the same name in one
     # session is an error
     sink = f"stream_sessions_sink_{next(_SINK_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    # the sessionizer's event-time timeout can NEVER fire here (the
+    # watermark is pinned beyond the data's time range), so the
+    # trailing no-data micro-batch emits nothing — skip it instead of
+    # paying its state-store load+commit round (entry_r5.NO_FINAL_BATCH)
+    from sparker_spark.entry_r5 import NO_FINAL_BATCH, _scoped_conf
+
+    with _scoped_conf(spark, NO_FINAL_BATCH):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q)
     return spark.table(sink).select(
         "user_id",
         "session_start",
