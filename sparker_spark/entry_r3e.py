@@ -377,14 +377,19 @@ def q_stream_hll(spark, sf_dir):
     stream = spark.readStream.schema(schema).parquet(stage)
     regs = streaming_hll(stream, "user_id", p=HLL_P)
     sink = f"stream_hll_sink_{next(_SINK_SEQ)}"
-    q = (
-        regs.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    # complete mode re-emits the full register table every batch — the
+    # trailing no-data batch recomputes the identical relation
+    from sparker_spark.entry_r5 import NO_FINAL_BATCH, _scoped_conf
+
+    with _scoped_conf(spark, NO_FINAL_BATCH):
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q)
     return spark.table(sink).select(
         "bucket", F.col("r").cast("int").alias("r")
     )
@@ -575,14 +580,19 @@ def q_stream_countmin(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     sink = f"stream_cm_sink_{next(_SINK_SEQ)}"
-    q = (
-        counters.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    # complete mode re-emits the full counter table every batch — the
+    # trailing no-data batch recomputes the identical relation
+    from sparker_spark.entry_r5 import NO_FINAL_BATCH, _scoped_conf
+
+    with _scoped_conf(spark, NO_FINAL_BATCH):
+        q = (
+            counters.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q)
     return spark.table(sink).select(
         F.col("j").cast("int").alias("j"),
         "bucket",

@@ -358,14 +358,19 @@ def q_stream_neardup(spark, sf_dir):
         stream, postings, detail, MINHASH_K, MINHASH_BANDS, SHINGLE, JACCARD_T
     )
     sink = f"stream_neardup_sink_{next(_SINK_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    # stateless per-row plan + stream-static join: the trailing
+    # no-data batch is a pure planning round
+    from sparker_spark.entry_r5 import NO_FINAL_BATCH, _scoped_conf
+
+    with _scoped_conf(spark, NO_FINAL_BATCH):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q)
     return spark.table(sink).select("doc_id", "corpus_id", "jaccard")
 
 

@@ -254,7 +254,12 @@ def q_stream_span_clean(spark, sf_dir):
         stream, corpus, shingle_size=SPAN_K, min_occurrences=1
     )
     sink = f"stream_spanx_sink_{next(_SINK_SEQ)}"
-    return _drain(spark, out, sink, "append")
+    # stateless per-row plan — the no-data batch is a pure planning
+    # round (NO_FINAL_BATCH)
+    from sparker_spark.entry_r5 import NO_FINAL_BATCH, _scoped_conf
+
+    with _scoped_conf(spark, NO_FINAL_BATCH):
+        return _drain(spark, out, sink, "append")
 
 
 def _o_span_clean_vs_index(weights=None) -> str:
