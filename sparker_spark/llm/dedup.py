@@ -672,8 +672,37 @@ class SemanticDedup:
             F.col("emb").alias("e2"),
             F.col("norm").alias("n2"),
         )
+        # Few-cell regime (r13, guide §2.5): with a FIXED small cell
+        # count (the gated 16-cell fixtures) the candidate join has at
+        # most num_cells distinct keys, so its parallelism is capped at
+        # num_cells tasks — and worse, AQE coalesces by INPUT bytes
+        # (~tens of MB here) while the join OUTPUT is quadratic per
+        # cell, so the whole enumeration collapsed onto 1-2 tasks
+        # (measured at sf1.0: dedup_semantic_probe1 410 s, a 75x
+        # super-linear wall for 10x data). Salt the key: the probe side
+        # keeps a deterministic per-row salt, the build side is
+        # exploded across all salts (each candidate pair still meets
+        # exactly once, at the probe row's salt), and BOTH sides are
+        # explicitly repartitioned with a user-specified partition
+        # count — which AQE never coalesces — so the enumeration runs
+        # at full width. Auto/target_cell_size sizings have
+        # cells >> cores and skip this (salt = 1).
+        join_keys = ["cell"]
+        spark = embeddings.sparkSession
+        par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_salts = -(-4 * par // index.num_cells)  # ceil: ~4 keys/core
+        if n_salts > 1:
+            a = a.withColumn(
+                "salt",
+                F.pmod(F.xxhash64("i1"), F.lit(n_salts)).cast("int"),
+            ).repartition(par, "cell", "salt")
+            b = b.withColumn(
+                "salt",
+                F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+            ).repartition(par, "cell", "salt")
+            join_keys = ["cell", "salt"]
         scored = (
-            a.join(b, "cell")
+            a.join(b, join_keys)
             .where(
                 ((F.col("home") == F.col("cell")) & (F.col("i1") < F.col("i2")))
                 | (F.col("home") != F.col("cell"))
