@@ -871,7 +871,14 @@ class LanguageModelScore:
         n1_types = float(stats[1]["n1t"] or 0)
         scored = pos.where(F.col(f"w{n - 1}").isNotNull())
         # per-order context tables for k >= 2: den (sum of a) and
-        # ntypes (rows) per context, computed ON adj[k] (model-sized)
+        # ntypes (rows) per context, computed ON adj[k] (model-sized).
+        # The context stats are PRE-JOINED into the gram table (one
+        # model-sized join per order, same keys) so the corpus-sized
+        # position relation is joined ONCE per order instead of twice
+        # (r13, guide §2.3/§2.4: 2(n-1)+1 = 9 position-relation joins
+        # -> n = 5; identical inner-join matching — adj[k] holds
+        # exactly one row per gram, ctx one per context — so every
+        # a/den/nt value each position reads is unchanged).
         for k in range(2, n + 1):
             cols = [f"w{j}" for j in range(k - 1, -1, -1)]
             ctx_cols = cols[:-1]
@@ -879,9 +886,10 @@ class LanguageModelScore:
                 F.sum("a").alias(f"den{k}"),
                 F.count("*").cast("double").alias(f"nt{k}"),
             )
-            scored = scored.join(
-                adj[k].select(*cols, F.col("a").alias(f"a{k}")), cols
+            tab = adj[k].select(
+                *cols, F.col("a").alias(f"a{k}")
             ).join(ctx, ctx_cols)
+            scored = scored.join(tab, cols)
         scored = scored.join(
             adj[1].select("w0", F.col("a").alias("a1")), "w0"
         )
